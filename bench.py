@@ -1,0 +1,102 @@
+"""Benchmark driver: renders BASELINE.json's headline workload on the real
+TPU chip and prints ONE JSON line.
+
+Metric: Mpix/s/chip on the distortion suite (fisheye, twirl, pond — BASELINE
+config 2 filters) at 4K with bilinear origVal sampling, per the north-star
+("distortion suite @ 4K"). vs_baseline: speedup over the C-codegen CPU
+renderer; the reference binary is unavailable (mount empty — SURVEY.md §0),
+so the stand-in baseline is this repo's NumPy oracle interpreter measured on
+this machine's CPU (BASELINE.md table row 3), which overstates our ratio vs
+real C; the absolute Mpix/s number is the durable figure.
+
+Usage: python bench.py [--size WxH] [--iters N] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build(filter_path, w, h, opts):
+    import mathmap_tpu as mm
+
+    filt = mm.compile_file(filter_path)
+    renderer = filt._renderer(w, h, opts, 1)
+    return filt, renderer
+
+
+def time_tpu(renderer, inputs, iters, t0=0.37):
+    import jax
+
+    # warmup / compile
+    out = renderer(inputs, {}, t=t0)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for i in range(iters):
+        out = renderer(inputs, {}, t=t0 + 0.001 * i)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="3840x2160")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--quick", action="store_true", help="small size, 2 iters")
+    args = ap.parse_args(argv)
+
+    import mathmap_tpu as mm
+
+    if args.quick:
+        w, h, iters = 960, 540, 2
+    else:
+        w, h = (int(v) for v in args.size.lower().split("x"))
+        iters = args.iters
+
+    opts = mm.RenderOptions(interpolation="bilinear")
+    rng = np.random.RandomState(42)
+    img = rng.rand(h, w, 4).astype(np.float32)
+    img[..., 3] = 1.0
+
+    suite = [
+        "filters/Distorts/fisheye.mm",
+        "filters/Distorts/twirl.mm",
+        "filters/Distorts/pond.mm",
+    ]
+
+    tpu_mpix = []
+    for path in suite:
+        filt, renderer = _build(path, w, h, opts)
+        dt = time_tpu(renderer, [img], iters)
+        mpix = w * h / dt / 1e6
+        tpu_mpix.append(mpix)
+        print(f"# {path}: {dt * 1e3:.2f} ms/frame  {mpix:.1f} Mpix/s", file=sys.stderr)
+
+    value = float(np.mean(tpu_mpix))
+
+    # CPU-interpreter stand-in baseline at reduced size (Mpix/s is roughly
+    # size-independent for the oracle; 4K oracle renders take minutes).
+    bw, bh = 480, 270
+    bimg = img[:bh, :bw]
+    filt = __import__("mathmap_tpu").compile_file(suite[0])
+    start = time.perf_counter()
+    filt.render(bimg, width=bw, height=bh, t=0.37, options=opts, interpret=True)
+    cpu_dt = time.perf_counter() - start
+    cpu_mpix = bw * bh / cpu_dt / 1e6
+    print(f"# oracle baseline: {cpu_mpix:.2f} Mpix/s (CPU NumPy interpreter)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "distortion_suite_4k_bilinear",
+        "value": round(value, 2),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(value / cpu_mpix, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

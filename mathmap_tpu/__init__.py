@@ -1,0 +1,43 @@
+"""mathmap_tpu — a TPU-native image-transform engine with the capabilities of
+MathMap (firstBusiness/mathmap).
+
+See SURVEY.md for the reference analysis (note its §0 provenance warning) and
+README.md for the architecture. Quick start:
+
+    import mathmap_tpu as mm
+    f = mm.compile("grayColor(gray(origVal(xy)))")
+    out = f.render(image)            # fused XLA program on TPU
+    ref = f.render(image, interpret=True)   # NumPy oracle
+"""
+
+from . import ops as _ops  # noqa: F401  — populate the builtin registry
+from .api import Filter, compile_file, compile_source
+from .imgio.images import read_image, to_float_rgba, to_uint8, write_image
+from .runtime.options import RenderOptions
+from .runtime.value import Curve, Gradient, InputImage
+from .utils.errors import MMError, MMNameError, MMRuntimeError, MMSyntaxError, MMTypeError
+
+compile = compile_source  # noqa: A001 — mirrors the reference's compile_mathmap()
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Filter",
+    "compile",
+    "compile_source",
+    "compile_file",
+    "read_image",
+    "write_image",
+    "to_float_rgba",
+    "to_uint8",
+    "RenderOptions",
+    "Curve",
+    "Gradient",
+    "InputImage",
+    "MMError",
+    "MMSyntaxError",
+    "MMTypeError",
+    "MMNameError",
+    "MMRuntimeError",
+    "__version__",
+]

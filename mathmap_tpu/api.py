@@ -1,0 +1,121 @@
+"""Public Python API: compile MathMap source -> Filter; render on TPU.
+
+The front-end replacement for the reference's GIMP plugin/CLI entry points
+(SURVEY.md §1 layer 10 [unverified — mount empty, SURVEY.md §0]): the same
+`.mm` sources compile to a `Filter` whose `render()` executes one fused
+jitted program per frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .imgio.images import to_float_rgba
+from .lang import astnodes as A
+from .lang.parser import parse
+from .runtime.options import RenderOptions
+from .runtime.render import JitRenderer, render_oracle
+from .utils.errors import MMError, MMNameError
+
+
+class Filter:
+    """A compiled MathMap filter (plus the filter environment of its file)."""
+
+    def __init__(self, program: A.Program, fdef: A.FilterDef, source: str):
+        self.program = program
+        self.fdef = fdef
+        self.source = source
+        self.filters = {f.name: f for f in program.filters}
+        self._jit_cache: dict = {}
+
+    # -- metadata -----------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self.fdef.name
+
+    @property
+    def params(self):
+        return self.fdef.params
+
+    @property
+    def image_params(self):
+        return [p for p in self.fdef.params if p.kind == "image"]
+
+    # -- rendering ------------------------------------------------------------
+    def _resolve_size(self, inputs, width, height):
+        if width is None:
+            width = inputs[0].shape[1] if inputs else 512
+        if height is None:
+            height = inputs[0].shape[0] if inputs else 512
+        return int(width), int(height)
+
+    def _renderer(self, width, height, options, num_frames) -> JitRenderer:
+        key = (width, height, options, num_frames)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = JitRenderer(
+                self.filters, self.fdef, width, height, options, num_frames
+            )
+        return self._jit_cache[key]
+
+    def render(self, *inputs, width: int | None = None, height: int | None = None,
+               t: float = 0.0, frame: float = 0.0, options: RenderOptions | None = None,
+               params: dict | None = None, interpret: bool = False):
+        """Render one frame -> float32 (H, W, 4) RGBA in [0,1].
+
+        inputs: zero or more (H,W,4)-convertible arrays bound to the filter's
+        image parameters in order. `interpret=True` uses the NumPy oracle
+        (the reference's no-gcc interpreter fallback, SURVEY §5 failure row).
+        """
+        options = options or RenderOptions()
+        params = params or {}
+        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        width, height = self._resolve_size(ins, width, height)
+        if interpret:
+            return render_oracle(
+                self.filters, self.fdef, ins, params, width, height, options, t=t, frame=frame
+            )
+        renderer = self._renderer(width, height, options, 1)
+        return np.asarray(renderer(ins, params, t=t, frame=frame))
+
+    def render_frames(self, *inputs, num_frames: int, width: int | None = None,
+                      height: int | None = None, options: RenderOptions | None = None,
+                      params: dict | None = None):
+        """Animation: t-sweep over `num_frames` (SURVEY §2.1 render row —
+        periodic: t=frame/N; else t=frame/(N-1)). Yields (H,W,4) frames.
+        Compiles once; each frame reuses the executable."""
+        options = options or RenderOptions()
+        params = params or {}
+        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        width, height = self._resolve_size(ins, width, height)
+        renderer = self._renderer(width, height, options, num_frames)
+        denom = num_frames if options.periodic else max(num_frames - 1, 1)
+        for frame in range(num_frames):
+            t = frame / denom
+            yield np.asarray(renderer(ins, params, t=t, frame=float(frame)))
+
+
+def compile_source(source: str, main: str | None = None) -> Filter:
+    """Compile MathMap source. `main` selects a filter by name; default is
+    the last filter in the file (the reference composer convention
+    [unverified])."""
+    try:
+        program = parse(source)
+    except MMError as exc:
+        if exc.source is None:
+            exc.source = source
+        raise
+    if not program.filters:
+        raise MMNameError("source contains no filters")
+    if main is None:
+        fdef = program.filters[-1]
+    else:
+        by_name = {f.name: f for f in program.filters}
+        if main not in by_name:
+            raise MMNameError(f"no filter named {main!r} in source")
+        fdef = by_name[main]
+    return Filter(program, fdef, source)
+
+
+def compile_file(path: str, main: str | None = None) -> Filter:
+    with open(path) as f:
+        return compile_source(f.read(), main=main)

@@ -1,0 +1,169 @@
+"""Command-line renderer.
+
+Reference: `mathmap_cmdline.c` (SURVEY.md §2.1 CLI row [unverified — mount
+empty, SURVEY.md §0]): `mathmap [options] 'expression|file' in.png out.png`
+with flags for size, frames, interpolation, edge behavior; multiple input
+images as extra args; drives the same compile+render pipeline headless.
+
+Usage:
+    python -m mathmap_tpu 'expr or file.mm' [in.png ...] out.png \
+        --size 512x512 --frames 1 --interpolation bilinear \
+        --edge-x color --edge-y color --supersample \
+        --param name=value --interpret --profile DIR --verbose
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from .api import compile_file, compile_source
+from .imgio.images import read_image, write_image
+from .runtime.options import EDGE_BEHAVIORS, INTERPOLATIONS, RenderOptions
+from .utils.errors import MMError
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mathmap_tpu",
+        description="TPU-native MathMap renderer (CLI front end)",
+    )
+    p.add_argument("expression", help="MathMap expression or path to a .mm file")
+    p.add_argument("images", nargs="*", help="input image(s)..., then the output image")
+    p.add_argument("--size", default=None, help="output WxH (default: first input's size, else 512x512)")
+    p.add_argument("--frames", type=int, default=1, help="number of animation frames")
+    p.add_argument("--non-periodic", action="store_true", help="t = frame/(N-1) instead of frame/N")
+    p.add_argument("--interpolation", choices=INTERPOLATIONS, default="bilinear")
+    p.add_argument("--edge-x", choices=EDGE_BEHAVIORS, default="color")
+    p.add_argument("--edge-y", choices=EDGE_BEHAVIORS, default="color")
+    p.add_argument("--edge-color", default="0,0,0,0", help="RGBA floats for 'color' edge behavior")
+    p.add_argument("--supersample", action="store_true", help="2x2 supersampling AA")
+    p.add_argument("--filter", dest="filter_name", default=None, help="filter name when the file defines several")
+    p.add_argument("--param", action="append", default=[], metavar="NAME=VALUE", help="set a userval")
+    p.add_argument("--seed", type=int, default=0, help="rand() seed")
+    p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")
+    p.add_argument("--interpret", action="store_true", help="use the NumPy oracle interpreter")
+    p.add_argument("--resume", action="store_true", help="skip animation frames whose output file exists")
+    p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
+    p.add_argument("--verbose", "-v", action="store_true", help="print per-phase timing and render stats")
+    return p
+
+
+def _parse_params(items):
+    params = {}
+    for item in items:
+        if "=" not in item:
+            raise SystemExit(f"--param expects NAME=VALUE, got {item!r}")
+        name, value = item.split("=", 1)
+        try:
+            params[name] = json.loads(value)
+        except json.JSONDecodeError:
+            params[name] = value
+    return params
+
+
+def _frame_path(path: str, frame: int, num_frames: int) -> str:
+    if num_frames == 1:
+        return path
+    root, ext = os.path.splitext(path)
+    return f"{root}_{frame:04d}{ext or '.png'}"
+
+
+def main(argv=None) -> int:
+    # MMTPU_PLATFORM=cpu forces the JAX backend (the axon sitecustomize
+    # pre-imports jax, so JAX_PLATFORMS alone is too late in this image).
+    plat = os.environ.get("MMTPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    args = build_arg_parser().parse_args(argv)
+    verbose = args.verbose
+
+    def log(msg):
+        if verbose:
+            print(msg, file=sys.stderr)
+
+    if not args.images:
+        raise SystemExit("missing output image path")
+    *input_paths, out_path = args.images
+
+    t0 = time.perf_counter()
+    try:
+        if args.expression.endswith((".mm", ".mmc")) or os.path.exists(args.expression):
+            filt = compile_file(args.expression, main=args.filter_name)
+        else:
+            filt = compile_source(args.expression, main=args.filter_name)
+    except MMError as exc:
+        print(exc.format(), file=sys.stderr)
+        return 1
+    log(f"parse: {time.perf_counter() - t0:.3f}s  (filter {filt.name!r})")
+
+    inputs = [read_image(p) for p in input_paths]
+    width = height = None
+    if args.size:
+        width, height = (int(v) for v in args.size.lower().split("x"))
+
+    opts = RenderOptions(
+        interpolation=args.interpolation,
+        edge_x=args.edge_x,
+        edge_y=args.edge_y,
+        edge_color=tuple(float(c) for c in args.edge_color.split(",")),
+        supersample=2 if args.supersample else 1,
+        periodic=not args.non_periodic,
+        seed=args.seed,
+    )
+    params = _parse_params(args.param)
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profile_ctx = True
+
+    try:
+        t1 = time.perf_counter()
+        if args.frames <= 1:
+            out = filt.render(
+                *inputs, width=width, height=height, t=args.t,
+                options=opts, params=params, interpret=args.interpret,
+            )
+            write_image(out_path, out)
+            frames_done = 1
+        else:
+            frames_done = 0
+            for i, frame in enumerate(
+                filt.render_frames(
+                    *inputs, num_frames=args.frames, width=width, height=height,
+                    options=opts, params=params,
+                )
+            ):
+                path = _frame_path(out_path, i, args.frames)
+                if args.resume and os.path.exists(path):
+                    continue  # frame-granular resume (SURVEY §5 checkpoint row)
+                write_image(path, frame)
+                frames_done += 1
+        dt = time.perf_counter() - t1
+        if verbose:
+            h = height or (inputs[0].shape[0] if inputs else 512)
+            w = width or (inputs[0].shape[1] if inputs else 512)
+            mpix = frames_done * h * w / 1e6
+            log(f"render: {dt:.3f}s  {frames_done} frame(s)  {mpix / dt:.2f} Mpix/s")
+    except MMError as exc:
+        print(exc.format(), file=sys.stderr)
+        return 1
+    finally:
+        if profile_ctx:
+            import jax
+
+            jax.profiler.stop_trace()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

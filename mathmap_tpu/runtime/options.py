@@ -1,0 +1,44 @@
+"""Render options — the rebuild's `mathmap_invocation_t` settings.
+
+Reference: invocation fields (image dims, uservals, edge behavior,
+interpolation, supersampling flag, # frames) in `mathmap_common.c`
+[unverified — mount empty, SURVEY.md §0]; dataclass form per SURVEY.md §5
+config-system row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+INTERPOLATIONS = ("nearest", "bilinear", "bicubic")
+EDGE_BEHAVIORS = ("color", "wrap", "reflect")
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    interpolation: str = "bilinear"
+    edge_x: str = "color"
+    edge_y: str = "color"
+    #: RGBA used by the 'color' edge behavior (default transparent, per
+    #: SURVEY §2.1 origVal row).
+    edge_color: tuple = (0.0, 0.0, 0.0, 0.0)
+    #: supersampling antialiasing: 1 = off, 2 = 2x2 subpixel grid ("4x AA",
+    #: BASELINE config 4). The exact reference scheme (corner grid + center)
+    #: is marked LOW-confidence in SURVEY §2.1; we use an s×s subpixel grid.
+    supersample: int = 1
+    #: safety cap on per-pixel `while` trip counts (the reference's compile/
+    #: render resource limits, SURVEY §2.1 compiler row).
+    max_loop_iters: int = 10000
+    #: periodic animation: t = frame/N (wraps); non-periodic: t = frame/(N-1)
+    #: so the last frame reaches t=1 (SURVEY §2.1 render-engine row).
+    periodic: bool = True
+    #: PRNG seed for rand()
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.interpolation not in INTERPOLATIONS:
+            raise ValueError(f"interpolation must be one of {INTERPOLATIONS}")
+        if self.edge_x not in EDGE_BEHAVIORS or self.edge_y not in EDGE_BEHAVIORS:
+            raise ValueError(f"edge behaviors must be one of {EDGE_BEHAVIORS}")
+        if self.supersample < 1:
+            raise ValueError("supersample must be >= 1")

@@ -1,0 +1,202 @@
+"""Render engine: jit/pjit entry points.
+
+Reference: `mathmap_common.c` render loop — slice threads over rows, per-pixel
+filter calls, supersampling, 8-bit packing (SURVEY.md §2.1 render-engine row,
+§3.1 call stack [unverified — mount empty, SURVEY.md §0]).
+
+TPU design (SURVEY §7): one traced program evaluates the whole grid; the
+row-slice thread pool is replaced by XLA's on-chip parallelism (and by mesh
+sharding for multi-chip — parallel/shard.py). Supersampling evaluates the
+filter at an s×s subpixel offset grid and averages — the loop is unrolled at
+trace time so XLA fuses all s² evaluations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..lang import astnodes as A
+from ..utils.errors import MMRuntimeError
+from .tracer import Evaluator, RenderContext, bind_params, coerce_rgba
+from .uservals import convert_userval, default_userval
+from .value import InputImage, image_value
+
+
+def coordinate_grids(ctx: RenderContext, dx: float = 0.0, dy: float = 0.0):
+    """Centered world-coordinate grids: GLOBAL pixel (row j, col i) center at
+    (i + 0.5 - W/2, H/2 - 0.5 - j), y pointing up. (dx, dy) are subpixel
+    offsets in pixel units for supersampling. When the grid is sharded
+    (ctx.grid_shape set), each device builds only its local tile using its
+    row/col offsets — coordinates are identical to the unsharded render."""
+    be = ctx.be
+    h, w = ctx.shape
+    xs = (be.arange(w, dtype=be.float32)
+          + be.asarray(ctx.col_offset, dtype=be.float32)
+          + be.asarray(0.5 + dx, dtype=be.float32)
+          - be.asarray(ctx.width * 0.5, dtype=be.float32))
+    ys = (be.asarray(ctx.height * 0.5, dtype=be.float32)
+          - (be.arange(h, dtype=be.float32)
+             + be.asarray(ctx.row_offset, dtype=be.float32)
+             + be.asarray(0.5 + dy, dtype=be.float32)))
+    x = be.broadcast_to(xs[None, :], (h, w))
+    y = be.broadcast_to(ys[:, None], (h, w))
+    return x, y
+
+
+def subpixel_offsets(s: int):
+    """s×s subpixel offset grid within one pixel (s=1 -> center only)."""
+    return [((i + 0.5) / s - 0.5, (j + 0.5) / s - 0.5) for j in range(s) for i in range(s)]
+
+
+def build_env(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
+    """Bind filter params: image params consume ctx.inputs positionally,
+    others come from the `uservals` dict (already TupleValues) or defaults."""
+    env = {}
+    img_idx = 0
+    for p in fdef.params:
+        if p.kind == "image":
+            if img_idx < len(ctx.inputs):
+                env[p.name] = image_value(ctx.inputs[img_idx])
+                img_idx += 1
+            elif p.name in uservals:
+                env[p.name] = uservals[p.name]
+            else:
+                raise MMRuntimeError(
+                    f"filter {fdef.name!r}: no input bound for image parameter {p.name!r}",
+                    p.span,
+                )
+        elif p.name in uservals:
+            env[p.name] = uservals[p.name]
+        else:
+            env[p.name] = default_userval(ctx, p)
+    return env
+
+
+def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
+    """Render one frame -> (H, W, 4) float32 array in [0,1]."""
+    be = ctx.be
+    s = ctx.opts.supersample
+    acc = None
+    for dx, dy in subpixel_offsets(s):
+        x, y = coordinate_grids(ctx, dx, dy)
+        env = build_env(ctx, fdef, uservals)
+        ev = Evaluator(ctx, x, y, env)
+        out = ev.eval(fdef.body)
+        comps = coerce_rgba(ev, out, fdef)
+        if acc is None:
+            acc = list(comps)
+        else:
+            acc = [a + c for a, c in zip(acc, comps)]
+    inv = 1.0 / (s * s)
+    comps = [a * inv for a in acc]
+    rgba = be.stack(comps, axis=-1)
+    # clamp to displayable range (the reference clamps when packing 8-bit)
+    return be.clip(rgba, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# JAX product path: jitted, cached per static configuration
+# ---------------------------------------------------------------------------
+
+def _userval_pytree(ctx, fdef: A.FilterDef, params: dict):
+    """Split user params into (traced pytree of arrays, static remainder).
+
+    Numeric/color/curve/gradient/image values become traced arrays so
+    changing them does NOT retrigger compilation — mirroring the reference,
+    where uservals are runtime inputs to the compiled .so."""
+    arrays = {}
+    kinds = {}
+    for p in fdef.params:
+        if p.name not in params:
+            continue
+        tv = convert_userval(ctx, p, params[p.name])
+        if tv.is_opaque:
+            payload = tv.payload
+            if hasattr(payload, "lut"):
+                kinds[p.name] = "lut:" + p.kind
+                arrays[p.name] = payload.lut
+            else:
+                kinds[p.name] = "image"
+                arrays[p.name] = payload.pixels
+        else:
+            kinds[p.name] = "tuple:" + tv.tag
+            arrays[p.name] = list(tv.arrays)
+    # kinds is returned as a hashable static spec (jit static argument)
+    return arrays, tuple(sorted(kinds.items()))
+
+
+def _rebuild_uservals(be, arrays: dict, kinds: tuple):
+    from .value import Curve, Gradient, TupleValue, curve_value, gradient_value
+
+    out = {}
+    for name, kind in kinds:
+        payload = arrays[name]
+        if kind.startswith("tuple:"):
+            out[name] = TupleValue(kind.split(":", 1)[1], tuple(payload))
+        elif kind == "lut:curve":
+            out[name] = curve_value(Curve(lut=payload))
+        elif kind == "lut:gradient":
+            out[name] = gradient_value(Gradient(lut=payload))
+        elif kind == "image":
+            out[name] = image_value(InputImage(pixels=payload, name=name))
+    return out
+
+
+class JitRenderer:
+    """Compile-once renderer for a (filter, W, H, options) configuration —
+    the analog of the reference's compiled-filter cache (cgen.c)."""
+
+    def __init__(self, program_filters: dict, fdef: A.FilterDef, width: int,
+                 height: int, opts, num_frames: int = 1):
+        import jax
+        import jax.numpy as jnp
+
+        self.jnp = jnp
+        self.fdef = fdef
+        self.filters = program_filters
+        self.width, self.height, self.opts = width, height, opts
+        self.num_frames = num_frames
+
+        def run(input_arrays, userval_arrays, kinds, t, frame):
+            ctx = RenderContext(
+                be=jnp, width=width, height=height, opts=opts,
+                inputs=[InputImage(pixels=a, name=f"in{i}") for i, a in enumerate(input_arrays)],
+                filters=program_filters, t=t, frame=frame,
+                num_frames=num_frames, is_jax=True,
+            )
+            uservals = _rebuild_uservals(jnp, userval_arrays, kinds)
+            return render_frame(ctx, fdef, uservals)
+
+        self._jitted = jax.jit(run, static_argnums=(2,))
+
+    def __call__(self, input_arrays, params: dict, t: float = 0.0, frame: float = 0.0):
+        jnp = self.jnp
+        ctx = RenderContext(
+            be=jnp, width=self.width, height=self.height, opts=self.opts,
+            inputs=[], filters=self.filters, is_jax=True,
+        )
+        arrays, kinds = _userval_pytree(ctx, self.fdef, params)
+        ins = [jnp.asarray(np.asarray(a, dtype=np.float32)) for a in input_arrays]
+        return self._jitted(ins, arrays, kinds, jnp.float32(t), jnp.float32(frame))
+
+
+def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params: dict,
+                  width: int, height: int, opts, t: float = 0.0, frame: float = 0.0,
+                  num_frames: int = 1):
+    """NumPy oracle render — the semantic spec (reference IR interpreter
+    analog, SURVEY §2.3 item 2). Eager, slow, used by tests and
+    `--interpret`."""
+    ctx = RenderContext(
+        be=np, width=width, height=height, opts=opts,
+        inputs=[InputImage(pixels=np.asarray(a, dtype=np.float32), name=f"in{i}")
+                for i, a in enumerate(input_arrays)],
+        filters=program_filters, t=np.float32(t), frame=np.float32(frame),
+        num_frames=num_frames, is_jax=False,
+    )
+    uservals = {}
+    for p in fdef.params:
+        if p.name in params:
+            uservals[p.name] = convert_userval(ctx, p, params[p.name])
+    return render_frame(ctx, fdef, uservals)

@@ -1,0 +1,144 @@
+"""origVal source-image sampling: interpolation + edge behaviors.
+
+Reference: the origVal macros + drawable access — THE hot inner loop for
+distortion filters (SURVEY.md §2.1 origVal row, §3.6 hot-loop ranking)
+[unverified — mount empty, SURVEY.md §0].
+
+TPU design (SURVEY §7): compute the source-coordinate arrays for the whole
+grid, apply the edge behavior arithmetically (mod for wrap, mirror for
+reflect, clamp+mask for color), then gather. Gathers are expressed as flat
+`take` on a (H*W,) linearized image so XLA lowers them to efficient dynamic-
+gather; bilinear = 4 gathers + lerp, bicubic = 16 gathers with Catmull-Rom
+weights. A fused Pallas kernel can replace this if XLA gather underperforms
+(SURVEY §2.3 item 3) — see pallas_kernels/sample_kernel.py.
+
+Coordinate convention [unverified — SURVEY marks the reference's exact pixel
+centers LOW]: world origin at the image center, y axis pointing up, pixel
+(row j, col i) center at world (i + 0.5 - W/2, H/2 - 0.5 - j).
+
+Known numerical hazard (affects every sampler, including the reference's C):
+when a source coordinate lands EXACTLY on a texel boundary, XLA may
+rematerialize the coordinate computation into separate fusions whose
+fast-math rounding differs by 1 ulp, making floor() disagree between the
+gather-index and the interpolation-weight paths — a full-texel jump on that
+pixel. Interpolation itself is continuous, so the artifact only appears at
+exact boundaries; the Pallas sampling kernel (pallas_kernels/) computes
+indices once and does not exhibit it.
+"""
+
+from __future__ import annotations
+
+
+def world_to_pixel(be, x, y, w: int, h: int):
+    """World coords -> continuous pixel-center coords (px, py)."""
+    px = x + (w * 0.5 - 0.5)
+    py = (h * 0.5 - 0.5) - y
+    return px, py
+
+
+def _edge_index(be, i, n: int, behavior: str):
+    """Map integer sample index to a valid index + in-bounds mask.
+
+    Returns (index int32 in [0, n), inside bool) — `inside` is all-true for
+    wrap/reflect, and the out-of-bounds mask for 'color'.
+    """
+    if behavior == "wrap":
+        return be.mod(i, n), None
+    if behavior == "reflect":
+        j = be.mod(i, 2 * n)
+        return be.where(j < n, j, 2 * n - 1 - j), None
+    # 'color': clamp for the gather, mask decides edge-color substitution.
+    inside = (i >= 0) & (i < n)
+    return be.clip(i, 0, n - 1), inside
+
+
+def _gather(be, flat_channels, iy, ix, w: int):
+    """Gather each RGBA channel at (iy, ix); flat_channels is a list of
+    4 linearized (H*W,) arrays."""
+    lin = iy * w + ix
+    return [be.take(ch, lin) for ch in flat_channels]
+
+
+def _tap(be, flat_channels, ix, iy, w, h, edge_x, edge_y, edge_color):
+    """One (possibly out-of-bounds) integer tap -> 4 channel arrays with the
+    edge behavior applied."""
+    jx, in_x = _edge_index(be, ix, w, edge_x)
+    jy, in_y = _edge_index(be, iy, h, edge_y)
+    chans = _gather(be, flat_channels, jy, jx, w)
+    if in_x is not None or in_y is not None:
+        inside = None
+        for m in (in_x, in_y):
+            if m is not None:
+                inside = m if inside is None else (inside & m)
+        chans = [be.where(inside, c, col) for c, col in zip(chans, edge_color)]
+    return chans
+
+
+def _catmull_rom_weights(be, f):
+    """Catmull-Rom cubic weights for fractional offset f in [0,1): taps at
+    -1, 0, +1, +2. (Reference uses a Mitchell/Catmull-Rom-style kernel per
+    SURVEY §2.1 [unverified coefficients].)"""
+    f2 = f * f
+    f3 = f2 * f
+    w0 = -0.5 * f3 + f2 - 0.5 * f
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+    w3 = 0.5 * f3 - 0.5 * f2
+    return w0, w1, w2, w3
+
+
+def sample_image(ev, pixels, x, y):
+    """Sample an input image at world coords (x, y) using the invocation's
+    interpolation/edge settings. Returns 4 channel arrays (r, g, b, a)."""
+    be = ev.be
+    opts = ev.ctx.opts
+    h, w = int(pixels.shape[0]), int(pixels.shape[1])
+    flat = pixels.reshape(h * w, 4)
+    flat_channels = [flat[:, c] for c in range(4)]
+    edge_color = [be.asarray(c, dtype=be.float32) for c in opts.edge_color]
+    px, py = world_to_pixel(be, x, y, w, h)
+
+    def tap(ix, iy):
+        return _tap(be, flat_channels, ix, iy, w, h, opts.edge_x, opts.edge_y, edge_color)
+
+    if opts.interpolation == "nearest":
+        ix = be.floor(px + 0.5).astype(be.int32)
+        iy = be.floor(py + 0.5).astype(be.int32)
+        return tap(ix, iy)
+
+    x0f = be.floor(px)
+    y0f = be.floor(py)
+    fx = px - x0f
+    fy = py - y0f
+    x0 = x0f.astype(be.int32)
+    y0 = y0f.astype(be.int32)
+
+    if opts.interpolation == "bilinear":
+        c00 = tap(x0, y0)
+        c10 = tap(x0 + 1, y0)
+        c01 = tap(x0, y0 + 1)
+        c11 = tap(x0 + 1, y0 + 1)
+        out = []
+        for ch in range(4):
+            top = c00[ch] + fx * (c10[ch] - c00[ch])
+            bot = c01[ch] + fx * (c11[ch] - c01[ch])
+            out.append(top + fy * (bot - top))
+        return out
+
+    # bicubic: 4x4 Catmull-Rom
+    wx = _catmull_rom_weights(be, fx)
+    wy = _catmull_rom_weights(be, fy)
+    out = [None] * 4
+    for dy in range(-1, 3):
+        row = [None] * 4
+        for dx in range(-1, 3):
+            c = tap(x0 + dx, y0 + dy)
+            wgt = wx[dx + 1]
+            for ch in range(4):
+                term = wgt * c[ch]
+                row[ch] = term if row[ch] is None else row[ch] + term
+        wgt_y = wy[dy + 1]
+        for ch in range(4):
+            term = wgt_y * row[ch]
+            out[ch] = term if out[ch] is None else out[ch] + term
+    return out

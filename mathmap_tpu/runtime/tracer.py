@@ -1,0 +1,551 @@
+"""Whole-grid tracing evaluator — the TPU replacement for the reference's
+compiler middle end + C-codegen/interpreter backends.
+
+Reference shape (SURVEY.md §3.2 [unverified — mount empty, SURVEY.md §0]):
+`compile_mathmap()` parses, builds SSA, optimizes, then either emits C
+(gcc+dlopen) or interprets the IR per pixel. The TPU design (SURVEY §7):
+bind `x`/`y` to whole-grid coordinate arrays and evaluate the AST ONCE —
+every scalar op becomes an elementwise array op; under `jax.jit` XLA fuses
+the entire filter into one program and performs the folding/CSE/DCE the
+reference implemented by hand.
+
+Control-flow semantics:
+  - `if` evaluates both branches and merges assigned variables with a
+    `where` phi on the condition mask (language is pure except local
+    assignment, so this preserves semantics).
+  - per-pixel `while` (Mandelbrot) becomes `lax.while_loop` over the grid
+    with an active-pixel mask and the invocation's trip-count safety cap.
+
+The same evaluator runs on two array backends: `jax.numpy` (the product
+path, traced under jit) and `numpy` (the eager oracle interpreter — the
+rebuild's analog of the reference's IR interpreter, SURVEY §2.3 item 2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..lang import astnodes as A
+from ..ops import registry as R
+from ..ops.color_ops import apply_curve, apply_gradient
+from ..runtime.value import ClosureImage, Curve, Gradient, TupleValue
+from ..typesys import tags as tagmod
+from ..typesys.tags import NIL
+from ..utils.errors import MMNameError, MMRuntimeError, MMTypeError
+
+_PI = 3.141592653589793
+_2PI = 6.283185307179586
+_E = 2.718281828459045
+
+#: operator token -> builtin name
+_BINOP_NAME = {
+    "+": "__add", "-": "__sub", "*": "__mul", "/": "__div", "%": "__mod",
+    "^": "__pow", "==": "__eq", "!=": "__ne", "<": "__lt", ">": "__gt",
+    "<=": "__le", ">=": "__ge", "&&": "__and", "||": "__or", "xor": "__xor",
+}
+_UNOP_NAME = {"-": "__neg", "!": "__not"}
+
+
+@dataclass
+class RenderContext:
+    """Per-invocation state — the rebuild's `mathmap_invocation_t` +
+    `mathmap_frame_t` (SURVEY §2.1 render-engine row)."""
+
+    be: Any  # array backend module (numpy or jax.numpy)
+    width: int
+    height: int
+    opts: Any  # RenderOptions
+    inputs: list = field(default_factory=list)  # list[InputImage]
+    filters: dict = field(default_factory=dict)  # name -> FilterDef
+    t: Any = 0.0  # animation time (scalar, may be traced)
+    frame: Any = 0.0
+    num_frames: int = 1
+    is_jax: bool = True
+    rand_counter: int = 0
+    #: Local tile shape when the grid is sharded over a device mesh
+    #: (parallel/shard.py); None = unsharded, full (height, width). The
+    #: semantic internals X/Y/W/H/R always use the GLOBAL size.
+    grid_shape: tuple | None = None
+    #: Global (row, col) origin of this device's tile (may be traced
+    #: values derived from lax.axis_index under shard_map).
+    row_offset: Any = 0
+    col_offset: Any = 0
+
+    @property
+    def shape(self):
+        return self.grid_shape if self.grid_shape is not None else (self.height, self.width)
+
+
+class Evaluator:
+    def __init__(self, ctx: RenderContext, x, y, env: dict):
+        self.ctx = ctx
+        self.be = ctx.be
+        self.x = x
+        self.y = y
+        self.env = env
+        self._cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # small helpers
+    # ------------------------------------------------------------------
+    def lit(self, v) -> Any:
+        return self.be.asarray(v, dtype=self.be.float32)
+
+    def grid(self, arr):
+        """Broadcast a component to the full (H, W) grid."""
+        return self.be.broadcast_to(arr, self.ctx.shape)
+
+    def rand_uniform(self):
+        """Deterministic per-pixel uniform in [0,1): counter-based integer
+        hash on the pixel linear index — identical bits on both backends
+        (SURVEY §2.3 item 4 bit-comparability strategy, applied to rand)."""
+        be = self.be
+        self.ctx.rand_counter += 1
+        h, w = self.ctx.shape
+        # Linear index in the GLOBAL pixel grid so sharded and unsharded
+        # renders draw identical per-pixel randomness.
+        iy = be.arange(h, dtype=be.uint32) + be.asarray(self.ctx.row_offset, dtype=be.uint32)
+        ix = be.arange(w, dtype=be.uint32) + be.asarray(self.ctx.col_offset, dtype=be.uint32)
+        idx = iy[:, None] * be.asarray(self.ctx.width, dtype=be.uint32) + ix[None, :]
+        salt = (
+            (self.ctx.opts.seed * 0x9E3779B9 + self.ctx.rand_counter * 0x85EBCA6B)
+            & 0xFFFFFFFF
+        )
+        v = idx ^ be.asarray(salt, dtype=be.uint32)
+        v = v ^ (v >> 16)
+        v = v * be.asarray(0x7FEB352D, dtype=be.uint32)
+        v = v ^ (v >> 15)
+        v = v * be.asarray(0x846CA68B, dtype=be.uint32)
+        v = v ^ (v >> 16)
+        return (v >> 8).astype(be.float32) * (1.0 / 16777216.0)
+
+    def _truthy_mask(self, v: TupleValue, span):
+        if v.is_opaque or v.length != 1:
+            raise MMTypeError("condition must be a single value", span)
+        return v.arrays[0] != 0
+
+    def _select(self, mask, a: TupleValue, b: TupleValue, span) -> TupleValue:
+        if a.is_opaque or b.is_opaque:
+            if a.payload is b.payload:
+                return a
+            raise MMTypeError("cannot merge image/curve/gradient values across branches", span)
+        pairs = R.broadcast_pair(a, b, span, "if")
+        be = self.be
+        return TupleValue(R.result_tag(a, b), tuple(be.where(mask, x, y) for x, y in pairs))
+
+    def _zero_like(self, v: TupleValue) -> TupleValue:
+        return TupleValue(v.tag, tuple(self.be.zeros_like(x) for x in v.arrays))
+
+    # ------------------------------------------------------------------
+    # variable resolution
+    # ------------------------------------------------------------------
+    def _internal(self, name: str):
+        if name in self._cache:
+            return self._cache[name]
+        be, ctx = self.be, self.ctx
+        v = None
+        if name == "x":
+            v = TupleValue(NIL, (self.x,))
+        elif name == "y":
+            v = TupleValue(NIL, (self.y,))
+        elif name == "r":
+            v = TupleValue(NIL, (be.sqrt(self.x * self.x + self.y * self.y),))
+        elif name == "a":
+            # angle in [0, 2pi) counterclockwise from +x [unverified, LOW
+            # confidence per SURVEY §2.1 internals row]
+            v = TupleValue(NIL, (be.mod(be.arctan2(self.y, self.x), _2PI),))
+        elif name == "t":
+            v = TupleValue(NIL, (self.lit(ctx.t),))
+        elif name == "frame":
+            v = TupleValue(NIL, (self.lit(ctx.frame),))
+        elif name == "X":
+            v = TupleValue(NIL, (self.lit(ctx.width * 0.5),))
+        elif name == "Y":
+            v = TupleValue(NIL, (self.lit(ctx.height * 0.5),))
+        elif name == "W":
+            v = TupleValue(NIL, (self.lit(float(ctx.width)),))
+        elif name == "H":
+            v = TupleValue(NIL, (self.lit(float(ctx.height)),))
+        elif name == "R":
+            v = TupleValue(
+                NIL,
+                (self.lit(((ctx.width * 0.5) ** 2 + (ctx.height * 0.5) ** 2) ** 0.5),),
+            )
+        elif name == "xy":
+            v = TupleValue("xy", (self.x, self.y))
+        elif name == "WH" or name == "wh":
+            v = TupleValue(NIL, (self.lit(float(ctx.width)), self.lit(float(ctx.height))))
+        elif name == "pi":
+            v = TupleValue(NIL, (self.lit(_PI),))
+        elif name == "e":
+            v = TupleValue(NIL, (self.lit(_E),))
+        elif name == "I":
+            v = TupleValue("ri", (self.lit(0.0), self.lit(1.0)))
+        if v is not None:
+            self._cache[name] = v
+        return v
+
+    def _lookup(self, name: str, span) -> TupleValue:
+        if name in self.env:
+            return self.env[name]
+        v = self._internal(name)
+        if v is not None:
+            return v
+        if name in self.ctx.filters:
+            from .value import image_value
+
+            return image_value(ClosureImage(self.ctx.filters[name], (), name=name))
+        raise MMNameError(f"unknown variable {name!r}", span)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def eval(self, node) -> TupleValue:
+        method = getattr(self, "_eval_" + type(node).__name__, None)
+        if method is None:
+            raise MMRuntimeError(f"cannot evaluate node {type(node).__name__}", node.span)
+        return method(node)
+
+    def _eval_Num(self, node: A.Num) -> TupleValue:
+        return TupleValue(NIL, (self.lit(node.value),))
+
+    def _eval_Var(self, node: A.Var) -> TupleValue:
+        return self._lookup(node.name, node.span)
+
+    def _eval_TupleLit(self, node: A.TupleLit) -> TupleValue:
+        comps = []
+        for item in node.items:
+            v = self.eval(item)
+            comps.append(v.scalar(item.span))
+        return TupleValue(NIL, tuple(comps))
+
+    def _eval_Cast(self, node: A.Cast) -> TupleValue:
+        v = self.eval(node.expr)
+        want = tagmod.tag_length(node.tag)
+        if want is not None and not v.is_opaque and v.length != want:
+            if v.length == 1:
+                # scalar widens to the tag's arity (0 -> ri:[0,0] etc.)
+                v = TupleValue(v.tag, v.arrays * want)
+            else:
+                raise MMTypeError(
+                    f"cannot retag length-{v.length} tuple as {node.tag}: (length {want})",
+                    node.span,
+                )
+        return v.retag(node.tag)
+
+    def _eval_Subscript(self, node: A.Subscript) -> TupleValue:
+        base = self.eval(node.base)
+        if base.is_opaque:
+            raise MMTypeError(f"cannot subscript {base.tag}", node.span)
+        idx = self._static_index(node.index)
+        if idx is not None:
+            if not 0 <= idx < base.length:
+                raise MMTypeError(
+                    f"index {idx} out of range for length-{base.length} tuple", node.span
+                )
+            return TupleValue(NIL, (base.arrays[idx],))
+        # dynamic index: select chain
+        iv = self.eval(node.index).scalar(node.span)
+        be = self.be
+        acc = base.arrays[0]
+        for i in range(1, base.length):
+            acc = be.where(iv >= i, base.arrays[i], acc)
+        return TupleValue(NIL, (acc,))
+
+    def _static_index(self, node) -> int | None:
+        if isinstance(node, A.Num) and float(node.value).is_integer():
+            return int(node.value)
+        return None
+
+    def _eval_BinOp(self, node: A.BinOp) -> TupleValue:
+        name = _BINOP_NAME.get(node.op)
+        if name is None:
+            raise MMRuntimeError(f"unknown operator {node.op!r}", node.span)
+        fn = R.lookup(name)
+        return fn(self, [self.eval(node.left), self.eval(node.right)], node.span)
+
+    def _eval_UnOp(self, node: A.UnOp) -> TupleValue:
+        fn = R.lookup(_UNOP_NAME[node.op])
+        return fn(self, [self.eval(node.operand)], node.span)
+
+    def _eval_Assign(self, node: A.Assign) -> TupleValue:
+        v = self.eval(node.expr)
+        self.env[node.name] = v
+        return v
+
+    def _eval_SubAssign(self, node: A.SubAssign) -> TupleValue:
+        if node.name not in self.env:
+            raise MMNameError(f"unknown variable {node.name!r}", node.span)
+        base = self.env[node.name]
+        if base.is_opaque:
+            raise MMTypeError(f"cannot sub-assign into {base.tag}", node.span)
+        rhs = self.eval(node.expr).scalar(node.span)
+        idx = self._static_index(node.index)
+        comps = list(base.arrays)
+        if idx is not None:
+            if not 0 <= idx < base.length:
+                raise MMTypeError(
+                    f"index {idx} out of range for length-{base.length} tuple", node.span
+                )
+            comps[idx] = rhs
+        else:
+            iv = self.eval(node.index).scalar(node.span)
+            be = self.be
+            for i in range(base.length):
+                comps[i] = be.where(iv == i, rhs, comps[i])
+        self.env[node.name] = TupleValue(base.tag, tuple(comps))
+        return TupleValue(NIL, (rhs,))
+
+    def _eval_Seq(self, node: A.Seq) -> TupleValue:
+        out = None
+        for item in node.items:
+            out = self.eval(item)
+        return out
+
+    def _eval_If(self, node: A.If) -> TupleValue:
+        mask = self._truthy_mask(self.eval(node.cond), node.span)
+        saved = self.env
+        env_t = dict(saved)
+        self.env = env_t
+        v_t = self.eval(node.then)
+        env_e = dict(saved)
+        self.env = env_e
+        v_e = self.eval(node.orelse) if node.orelse is not None else self._zero_like(v_t)
+        self.env = saved
+        # phi-merge assigned variables (SSA phis of compiler.c, SURVEY §3.2)
+        for k in set(env_t) | set(env_e):
+            vt, ve = env_t.get(k), env_e.get(k)
+            if vt is ve:
+                if vt is not None:
+                    saved[k] = vt
+                continue
+            if vt is None:
+                vt = self._zero_like(ve) if k not in saved else saved[k]
+            if ve is None:
+                ve = self._zero_like(vt) if k not in saved else saved[k]
+            saved[k] = self._select(mask, vt, ve, node.span)
+        return self._select(mask, v_t, v_e, node.span)
+
+    # ------------------------------------------------------------------
+    # while loops
+    # ------------------------------------------------------------------
+    def _eval_While(self, node: A.While) -> TupleValue:
+        names = sorted(A.assigned_names(node.body) | A.assigned_names(node.cond))
+        # Probe pass: discover each carried variable's final length/tag by
+        # evaluating cond+body once on a scratch env (results discarded;
+        # under jit any unused probe computation is dead code for XLA).
+        probe_env = dict(self.env)
+        probe = Evaluator(self.ctx, self.x, self.y, probe_env)
+        for n in names:
+            if n not in probe_env:
+                probe_env[n] = TupleValue(NIL, (self.lit(0.0),))
+        probe.eval(node.cond)
+        probe.eval(node.body)
+
+        be = self.be
+        shape = self.ctx.shape
+
+        def widen(v: TupleValue, target: TupleValue) -> TupleValue:
+            if v.is_opaque:
+                raise MMTypeError("image values cannot be loop variables", node.span)
+            arrays = v.arrays
+            if len(arrays) != target.length:
+                if len(arrays) == 1:
+                    arrays = arrays * target.length
+                else:
+                    raise MMTypeError(
+                        f"loop variable changes tuple length "
+                        f"{len(arrays)} -> {target.length}",
+                        node.span,
+                    )
+            tag = v.tag if v.tag != NIL else target.tag
+            return TupleValue(
+                tag,
+                tuple(be.broadcast_to(self.lit(x), shape) for x in arrays),
+            )
+
+        init_env = dict(self.env)
+        carried: list[str] = []
+        for n in names:
+            tgt = probe_env[n]
+            if n not in init_env:
+                init_env[n] = TupleValue(NIL, (self.lit(0.0),))
+            init_env[n] = widen(init_env[n], tgt)
+            carried.append(n)
+        lengths = {n: init_env[n].length for n in carried}
+        tags = {n: init_env[n].tag for n in carried}
+
+        def pack(env):
+            flat = []
+            for n in carried:
+                flat.extend(env[n].arrays)
+            return tuple(flat)
+
+        def unpack(flat):
+            env = dict(init_env)
+            i = 0
+            for n in carried:
+                k = lengths[n]
+                env[n] = TupleValue(tags[n], tuple(flat[i : i + k]))
+                i += k
+            return env
+
+        max_iters = self.ctx.opts.max_loop_iters
+
+        def step(flat):
+            """One iteration: returns (new_flat, any_active)."""
+            env = unpack(flat)
+            ev = Evaluator(self.ctx, self.x, self.y, env)
+            mask = ev._truthy_mask(ev.eval(node.cond), node.span)
+            ev.eval(node.body)
+            new_flat = []
+            i = 0
+            for n in carried:
+                k = lengths[n]
+                new = env[n]
+                if new.length != k:
+                    if not new.is_opaque and new.length == 1:
+                        new = TupleValue(tags[n], new.arrays * k)
+                    else:
+                        raise MMTypeError(
+                            f"loop variable {n!r} changes tuple length inside loop", node.span
+                        )
+                for j in range(k):
+                    new_flat.append(be.where(mask, new.arrays[j], flat[i + j]))
+                i += k
+            return tuple(new_flat)
+
+        def cond_active(flat):
+            env = unpack(flat)
+            ev = Evaluator(self.ctx, self.x, self.y, env)
+            return be.any(ev._truthy_mask(ev.eval(node.cond), node.span))
+
+        flat0 = pack(init_env)
+        if node.post:
+            flat0 = self._run_body_once(node, flat0, unpack, pack, carried, lengths)
+
+        if self.ctx.is_jax:
+            import jax
+
+            def cond_fn(state):
+                i, flat = state
+                return cond_active(flat) & (i < max_iters)
+
+            def body_fn(state):
+                i, flat = state
+                return (i + 1, step(flat))
+
+            _, flat_out = jax.lax.while_loop(cond_fn, body_fn, (be.asarray(0, be.int32), flat0))
+        else:
+            flat = flat0
+            i = 0
+            while bool(cond_active(flat)) and i < max_iters:
+                flat = step(flat)
+                i += 1
+            flat_out = flat
+
+        final_env = unpack(flat_out)
+        for n in carried:
+            self.env[n] = final_env[n]
+        return TupleValue(NIL, (self.lit(0.0),))
+
+    def _run_body_once(self, node, flat0, unpack, pack, carried, lengths):
+        """do-while: execute the body unconditionally once before looping."""
+        env = unpack(flat0)
+        ev = Evaluator(self.ctx, self.x, self.y, env)
+        ev.eval(node.body)
+        be, shape = self.be, self.ctx.shape
+        return tuple(be.broadcast_to(self.lit(c), shape) for c in pack(env))
+
+    # ------------------------------------------------------------------
+    # calls / application
+    # ------------------------------------------------------------------
+    def _eval_Call(self, node: A.Call) -> TupleValue:
+        func = node.func
+        if isinstance(func, A.Var):
+            name = func.name
+            # 1. a local/param holding an applicable value
+            if name in self.env and self.env[name].is_opaque:
+                return self._apply_value(self.env[name], node)
+            # 2. a user-defined filter: build a closure image (SURVEY §3.5)
+            if name in self.ctx.filters and name not in self.env:
+                fdef = self.ctx.filters[name]
+                args = tuple(self.eval(a) for a in node.args)
+                from .value import image_value
+
+                return image_value(ClosureImage(fdef, args, name=name))
+            # 3. builtin
+            fn = R.lookup(name)
+            if fn is not None:
+                args = [self.eval(a) for a in node.args]
+                return fn(self, args, node.span)
+            raise MMNameError(f"unknown function {name!r}", node.span)
+        # computed callee: must evaluate to an applicable value
+        v = self.eval(func)
+        if v.is_opaque:
+            return self._apply_value(v, node)
+        raise MMTypeError("cannot call a numeric tuple", node.span)
+
+    def _apply_value(self, v: TupleValue, node: A.Call) -> TupleValue:
+        span = node.span
+        if v.tag == "image":
+            if len(node.args) != 1:
+                raise MMTypeError("image application expects one xy argument", span)
+            p = self.eval(node.args[0])
+            R.need_length(p, 2, "image application", span)
+            x, y = self.grid(p.arrays[0]), self.grid(p.arrays[1])
+            return TupleValue("rgba", tuple(v.payload.sample(self, x, y)))
+        if v.tag == "curve":
+            if len(node.args) != 1:
+                raise MMTypeError("curve application expects one argument", span)
+            return apply_curve(self, v.payload, self.eval(node.args[0]), span)
+        if v.tag == "gradient":
+            if len(node.args) != 1:
+                raise MMTypeError("gradient application expects one argument", span)
+            return apply_gradient(self, v.payload, self.eval(node.args[0]), span)
+        raise MMTypeError(f"cannot apply value of type {v.tag}", span)
+
+    # ------------------------------------------------------------------
+    # filter invocation (closures / top level)
+    # ------------------------------------------------------------------
+    def eval_filter_at(self, fdef: A.FilterDef, args: tuple, x, y):
+        """Evaluate `fdef` at coordinate arrays (x, y) — composition is
+        trace-time inlining (SURVEY §3.4: no runtime representation)."""
+        env = bind_params(self.ctx, fdef, args)
+        ev = Evaluator(self.ctx, x, y, env)
+        out = ev.eval(fdef.body)
+        return coerce_rgba(ev, out, fdef)
+
+
+def bind_params(ctx: RenderContext, fdef: A.FilterDef, args: tuple) -> dict:
+    """Bind call arguments to filter params positionally; unbound params fall
+    back to declared defaults (userval semantics, SURVEY §2.1 userval row)."""
+    from .uservals import default_userval
+
+    env: dict = {}
+    if len(args) > len(fdef.params):
+        raise MMTypeError(
+            f"filter {fdef.name!r} takes {len(fdef.params)} argument(s), got {len(args)}",
+            fdef.span,
+        )
+    for i, p in enumerate(fdef.params):
+        if i < len(args):
+            env[p.name] = args[i]
+        else:
+            env[p.name] = default_userval(ctx, p)
+    return env
+
+
+def coerce_rgba(ev: Evaluator, out: TupleValue, fdef: A.FilterDef):
+    """A filter's result must be a color; image results are auto-sampled at
+    the current coordinates."""
+    if out.is_opaque and out.tag == "image":
+        return out.payload.sample(ev, ev.grid(ev.x), ev.grid(ev.y))
+    if out.is_opaque or out.length != 4:
+        raise MMTypeError(
+            f"filter {fdef.name!r} must return an rgba color (length-4 tuple), "
+            f"got {out.tag}:{out.length}",
+            fdef.span,
+        )
+    return tuple(ev.grid(c) for c in out.arrays)

@@ -1,0 +1,147 @@
+"""Runtime value model for the tracer.
+
+A MathMap value is a tagged tuple (reference `tuples.c` [unverified — mount
+empty, SURVEY.md §0]). The TPU design (SURVEY.md §7): tuple components are
+kept as separate backend arrays — each component is either a scalar () or a
+whole-grid (H, W) array — so every scalar op of the reference's per-pixel
+program becomes one elementwise array op over the grid and XLA fuses the
+entire filter into a single program.
+
+Images, curves and gradients are first-class values in the language
+(SURVEY §3.5); they are represented by dedicated classes and carried in
+length-1 tuples with tags 'image'/'curve'/'gradient' holding the object in
+`payload` instead of arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from ..utils.errors import MMTypeError
+
+
+class TupleValue:
+    """A tagged tuple of backend arrays (or a payload for opaque values)."""
+
+    __slots__ = ("tag", "arrays", "payload")
+
+    def __init__(self, tag: str, arrays: tuple = (), payload: Any = None):
+        self.tag = tag
+        self.arrays = tuple(arrays)
+        self.payload = payload
+
+    @property
+    def length(self) -> int:
+        return len(self.arrays) if self.payload is None else 1
+
+    @property
+    def is_opaque(self) -> bool:
+        return self.payload is not None
+
+    def retag(self, tag: str) -> "TupleValue":
+        return TupleValue(tag, self.arrays, self.payload)
+
+    def scalar(self, span=None):
+        """The single component of a length-1 tuple."""
+        if self.payload is not None or len(self.arrays) != 1:
+            raise MMTypeError(
+                f"expected a single value, got {self.tag}:{self.length}-tuple", span
+            )
+        return self.arrays[0]
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.payload is not None:
+            return f"<{self.tag}:{self.payload!r}>"
+        return f"<{self.tag}:{self.length}>"
+
+
+@dataclass
+class ImageBase:
+    """Base for first-class image values; sample(ev, x, y) -> rgba components."""
+
+    def sample(self, ev, x, y):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@dataclass
+class InputImage(ImageBase):
+    """An input drawable: pixel data (H, W, 4) float in [0,1].
+
+    Equivalent of the reference's `input_drawable_t` (drawable.c, SURVEY §1
+    layer 3). Sampling honors the invocation's interpolation and edge
+    behaviors via runtime.sampling.
+    """
+
+    pixels: Any  # backend array (H, W, 4), float32, RGBA in [0,1]
+    name: str = "in"
+
+    def sample(self, ev, x, y):
+        from . import sampling
+
+        return sampling.sample_image(ev, self.pixels, x, y)
+
+
+@dataclass
+class ClosureImage(ImageBase):
+    """A filter (partially) applied to arguments — an image value.
+
+    Composition is source-level inlining in the reference (SURVEY §3.4/3.5):
+    applying the closure to coordinates evaluates the filter body with those
+    coordinates bound, inside the SAME trace, yielding one fused XLA program.
+    """
+
+    filter_def: Any  # lang.astnodes.FilterDef
+    args: tuple = ()  # tuple[TupleValue], one per filter param
+    name: str = "closure"
+
+    def sample(self, ev, x, y):
+        return ev.eval_filter_at(self.filter_def, self.args, x, y)
+
+
+@dataclass
+class Curve:
+    """A user-editable 1D function, sampled as a LUT (userval.c curve widget).
+
+    The LUT is a (resolution,) array mapping [0,1] -> [0,1]; application
+    outside [0,1] clamps, matching widget behavior [unverified].
+    """
+
+    lut: Any  # (N,) array
+    name: str = "curve"
+
+    @staticmethod
+    def identity(be, resolution: int = 1024) -> "Curve":
+        return Curve(lut=be.linspace(0.0, 1.0, resolution, dtype=be.float32))
+
+    @staticmethod
+    def from_function(be, fn: Callable[[Any], Any], resolution: int = 1024) -> "Curve":
+        xs = be.linspace(0.0, 1.0, resolution, dtype=be.float32)
+        return Curve(lut=be.asarray(fn(xs), dtype=be.float32))
+
+
+@dataclass
+class Gradient:
+    """A color gradient: (N, 4) RGBA LUT over [0,1] (userval.c gradient)."""
+
+    lut: Any  # (N, 4) array
+    name: str = "gradient"
+
+    @staticmethod
+    def default(be, resolution: int = 1024) -> "Gradient":
+        """Black->white opaque ramp [unverified default — mount empty]."""
+        ramp = be.linspace(0.0, 1.0, resolution, dtype=be.float32)
+        ones = be.ones_like(ramp)
+        return Gradient(lut=be.stack([ramp, ramp, ramp, ones], axis=-1))
+
+
+def image_value(img: ImageBase) -> TupleValue:
+    return TupleValue("image", payload=img)
+
+
+def curve_value(c: Curve) -> TupleValue:
+    return TupleValue("curve", payload=c)
+
+
+def gradient_value(g: Gradient) -> TupleValue:
+    return TupleValue("gradient", payload=g)

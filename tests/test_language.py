@@ -1,0 +1,240 @@
+"""Language-feature tests: control flow, assignment, closures, uservals
+(SURVEY.md §4 items 1-2)."""
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+from mathmap_tpu.utils.errors import MMNameError, MMTypeError
+
+H, W = 6, 8
+BLANK = np.zeros((H, W, 4), np.float32)
+
+
+def gray(src, interpret=True, **kw):
+    f = mm.compile(src)
+    return f.render(BLANK, interpret=interpret, **kw)[..., 0]
+
+
+def grids():
+    xs = np.arange(W, dtype=np.float32) + 0.5 - W / 2
+    ys = H / 2 - (np.arange(H, dtype=np.float32) + 0.5)
+    return np.broadcast_to(xs[None, :], (H, W)), np.broadcast_to(ys[:, None], (H, W))
+
+
+X, Y = grids()
+
+
+def test_sequence_and_assignment():
+    out = gray("v = 2; w = v * 3; grayColor(w / 8)")
+    np.testing.assert_allclose(out, np.full((H, W), 0.75))
+
+
+def test_sub_assignment_static():
+    out = gray("v = [1, 2, 3]; v[1] = 0.5; grayColor(v[1])")
+    np.testing.assert_allclose(out, np.full((H, W), 0.5))
+
+
+def test_sub_assignment_dynamic_index():
+    out = gray("v = [0.1, 0.2, 0.3]; i = 1 + (x > 100); v[i] = 0.9; grayColor(v[1])")
+    np.testing.assert_allclose(out, np.full((H, W), 0.9))
+
+
+def test_dynamic_subscript():
+    out = gray("v = [0.1, 0.5, 0.9]; i = (x >= 0) + (x >= 2); grayColor(v[i])")
+    expected = np.where(X >= 2, 0.9, np.where(X >= 0, 0.5, 0.1)).astype(np.float32)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_if_merges_assignments():
+    out = gray("if x >= 0 then v = 0.75 else v = 0.25 end; grayColor(v)")
+    expected = np.where(X >= 0, 0.75, 0.25).astype(np.float32)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_if_as_expression():
+    out = gray("grayColor(if x >= 0 then 0.75 else 0.25 end)")
+    expected = np.where(X >= 0, 0.75, 0.25).astype(np.float32)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_if_without_else_keeps_prior_value():
+    out = gray("v = 0.25; if x >= 0 then v = 0.75 end; grayColor(v)")
+    expected = np.where(X >= 0, 0.75, 0.25).astype(np.float32)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_while_uniform_loop():
+    out = gray("i = 0; s = 0; while i < 4 do s = s + 0.125; i = i + 1 end; grayColor(s)")
+    np.testing.assert_allclose(out, np.full((H, W), 0.5))
+
+
+def test_while_divergent_trip_counts():
+    # per-pixel trip counts differ (the Mandelbrot-shaped case, SURVEY §7
+    # hard part 1)
+    src = "n = 0; v = abs(x); while v > 1 do v = v / 2; n = n + 1 end; grayColor(n / 4)"
+    out = gray(src)
+    expected = np.zeros((H, W), np.float32)
+    v = np.abs(X).copy()
+    while (v > 1).any():
+        m = v > 1
+        v = np.where(m, v / 2, v)
+        expected = np.where(m, expected + 0.25, expected)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_do_while_runs_body_once():
+    out = gray("i = 5; s = 0; do s = s + 0.5 while i < 0 end; grayColor(s)")
+    np.testing.assert_allclose(out, np.full((H, W), 0.5))
+
+
+def test_while_var_widens_to_tuple():
+    src = "z = 0; i = 0; while i < 3 do z = z + ri:[0.1, 0.2]; i = i + 1 end; grayColor(z[1])"
+    out = gray(src)
+    np.testing.assert_allclose(out, np.full((H, W), 0.6), rtol=1e-5)
+
+
+def test_loop_safety_cap():
+    out = gray(
+        "i = 0; while 1 == 1 do i = i + 1 end; grayColor(i / 16)",
+        options=mm.RenderOptions(max_loop_iters=8),
+    )
+    np.testing.assert_allclose(out, np.full((H, W), 0.5))
+
+
+def test_filter_as_function_closure():
+    src = (
+        "filter half (image in)\n"
+        "  p = in(xy); rgbaColor(red(p)/2, green(p)/2, blue(p)/2, alpha(p))\n"
+        "end\n"
+        "filter main (image in)\n"
+        "  half(in)(xy)\n"
+        "end"
+    )
+    f = mm.compile(src)
+    img = np.full((H, W, 4), 0.8, np.float32)
+    out = f.render(img, interpret=True)
+    np.testing.assert_allclose(out[..., 0], np.full((H, W), 0.4), rtol=1e-6)
+
+
+def test_filter_image_result_auto_sampled():
+    src = (
+        "filter ident (image in) in(xy) end\n"
+        "filter main (image in) ident(in) end"
+    )
+    f = mm.compile(src)
+    img = np.random.RandomState(0).rand(H, W, 4).astype(np.float32)
+    out = f.render(img, interpret=True, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(out, np.clip(img, 0, 1), atol=1e-6)
+
+
+def test_closure_captures_uservals():
+    src = (
+        "filter scaled (image in, float k: 0-2 (0.5))\n"
+        "  p = in(xy); rgbaColor(red(p)*k, green(p)*k, blue(p)*k, alpha(p))\n"
+        "end\n"
+        "filter main (image in)\n"
+        "  scaled(in, 0.25)(xy)\n"
+        "end"
+    )
+    f = mm.compile(src)
+    img = np.full((H, W, 4), 1.0, np.float32)
+    out = f.render(img, interpret=True)
+    np.testing.assert_allclose(out[..., 0], np.full((H, W), 0.25), rtol=1e-6)
+
+
+def test_userval_defaults_and_override():
+    src = "filter f (float k: 0-1 (0.5)) grayColor(k) end"
+    f = mm.compile(src)
+    out = f.render(width=W, height=H, interpret=True)
+    np.testing.assert_allclose(out[..., 0], np.full((H, W), 0.5))
+    out2 = f.render(width=W, height=H, interpret=True, params={"k": 0.75})
+    np.testing.assert_allclose(out2[..., 0], np.full((H, W), 0.75))
+    # range clamping
+    out3 = f.render(width=W, height=H, interpret=True, params={"k": 7})
+    np.testing.assert_allclose(out3[..., 0], np.full((H, W), 1.0))
+
+
+def test_int_userval_rounds():
+    src = "filter f (int n: 0-10 (3)) grayColor(n / 10) end"
+    f = mm.compile(src)
+    out = f.render(width=W, height=H, interpret=True, params={"n": 6.7})
+    np.testing.assert_allclose(out[..., 0], np.full((H, W), 0.7))
+
+
+def test_color_userval():
+    src = "filter f (color c) c end"
+    f = mm.compile(src)
+    out = f.render(width=W, height=H, interpret=True, params={"c": (0.2, 0.4, 0.6, 0.8)})
+    np.testing.assert_allclose(out[0, 0], [0.2, 0.4, 0.6, 0.8], rtol=1e-6)
+
+
+def test_curve_userval():
+    src = "filter f (curve c) grayColor(c(x / 8 + 0.5)) end"
+    f = mm.compile(src)
+    out = f.render(width=W, height=H, interpret=True, params={"c": lambda v: v**2})
+    expected = np.clip((X / 8 + 0.5) ** 2, 0, 1)
+    np.testing.assert_allclose(out[..., 0], expected, atol=2e-3)  # LUT resolution
+
+
+def test_gradient_userval():
+    src = "filter f (gradient g) g(x / 8 + 0.5) end"
+    f = mm.compile(src)
+    lut = np.stack(
+        [np.linspace(0, 1, 256), np.zeros(256), np.ones(256), np.ones(256)], axis=1
+    )
+    out = f.render(width=W, height=H, interpret=True, params={"g": lut})
+    expected = np.clip(X / 8 + 0.5, 0, 1)
+    np.testing.assert_allclose(out[..., 0], expected, atol=5e-3)
+    np.testing.assert_allclose(out[..., 2], np.ones((H, W)))
+
+
+def test_two_input_compositing():
+    src = "filter blend2 (image a, image b) lerp(0.5, a(xy), b(xy)) end"
+    f = mm.compile(src)
+    a = np.zeros((H, W, 4), np.float32)
+    b = np.ones((H, W, 4), np.float32)
+    out = f.render(a, b, interpret=True, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(out, np.full((H, W, 4), 0.5))
+
+
+def test_cast_scalar_widens():
+    out = gray("z = ri:0; grayColor(z[0] + z[1] + 0.5)")
+    np.testing.assert_allclose(out, np.full((H, W), 0.5))
+
+
+def test_cast_length_mismatch_raises():
+    with pytest.raises(MMTypeError):
+        gray("v = ri:[1,2,3]; grayColor(v[0])")
+
+
+def test_unknown_variable_raises():
+    with pytest.raises(MMNameError):
+        gray("grayColor(nosuchvar)")
+
+
+def test_unknown_function_raises():
+    with pytest.raises(MMNameError):
+        gray("grayColor(nosuchfn(1))")
+
+
+def test_filter_wrong_result_type_raises():
+    with pytest.raises(MMTypeError):
+        gray("x + y")  # length-1 result is not a color
+
+
+def test_t_and_frame_internals():
+    src = "grayColor(t)"
+    f = mm.compile(src)
+    out = f.render(BLANK, interpret=True, t=0.25)
+    np.testing.assert_allclose(out[..., 0], np.full((H, W), 0.25))
+
+
+def test_supersampling_smooths_edges():
+    src = "grayColor(if x >= 0.4 then 1 else 0 end)"
+    f = mm.compile(src)
+    hard = f.render(BLANK, interpret=True)[..., 0]
+    soft = f.render(BLANK, interpret=True, options=mm.RenderOptions(supersample=2))[..., 0]
+    assert set(np.unique(hard)) <= {0.0, 1.0}
+    # the supersampled column containing the threshold is fractional
+    assert ((soft > 0) & (soft < 1)).any()

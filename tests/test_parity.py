@@ -1,0 +1,80 @@
+"""Oracle parity: traced-JAX output vs the NumPy interpreter (SURVEY.md §4
+item 2) across language features and the bundled filter suite."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+
+H, W = 16, 20
+FILTER_DIR = os.path.join(os.path.dirname(__file__), "..", "filters")
+
+EXPRS = [
+    "rgbaColor(1 - red(origVal(xy)), 1 - green(origVal(xy)), 1 - blue(origVal(xy)), alpha(origVal(xy)))",
+    "grayColor(gray(origVal(xy)))",
+    "grayColor(0.5 + 0.5 * sin(r - a))",
+    "grayColor(0.5 + 0.5 * noise([x/3, y/3, 0.7]))",
+    "v = 0; i = 0; while i < 5 do v = v + x / 50; i = i + 1 end; grayColor(v + 0.5)",
+    "if r < 5 then origVal(xy) else grayColor(a / 7) end",
+    "p = toHSVA(origVal(xy)); p[0] = (p[0] + 0.3) % 1; toRGBA(p)",
+    "grayColor(rand(0, 1))",
+    "origVal(toXY(ra:[r * 0.8, a + 0.5]))",
+]
+
+
+def _image(h=H, w=W, seed=7):
+    img = np.random.RandomState(seed).rand(h, w, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_expr_parity(expr):
+    f = mm.compile(expr)
+    img = _image()
+    oracle = f.render(img, interpret=True)
+    jax_out = f.render(img)
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        mm.RenderOptions(interpolation="nearest"),
+        mm.RenderOptions(interpolation="bilinear"),
+        mm.RenderOptions(interpolation="bicubic"),
+        mm.RenderOptions(interpolation="bilinear", edge_x="wrap", edge_y="wrap"),
+        mm.RenderOptions(interpolation="bilinear", edge_x="reflect", edge_y="reflect"),
+        mm.RenderOptions(interpolation="bicubic", edge_x="wrap", edge_y="reflect"),
+        mm.RenderOptions(supersample=2),
+    ],
+)
+def test_sampling_option_parity(opts):
+    f = mm.compile("origVal(toXY(ra:[r * 1.4, a + 0.3]))")
+    img = _image()
+    oracle = f.render(img, options=opts, interpret=True)
+    jax_out = f.render(img, options=opts)
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-4, atol=1e-5)
+
+
+def _suite_files():
+    return sorted(glob.glob(os.path.join(FILTER_DIR, "*", "*.mm")))
+
+
+def test_suite_is_present():
+    assert len(_suite_files()) >= 20
+
+
+@pytest.mark.parametrize("path", _suite_files(), ids=lambda p: os.path.basename(p))
+def test_filter_suite_parity(path):
+    f = mm.compile_file(path)
+    n_imgs = len(f.image_params)
+    inputs = [_image(seed=10 + i) for i in range(n_imgs)]
+    oracle = f.render(*inputs, width=W, height=H, t=0.3, interpret=True)
+    jax_out = f.render(*inputs, width=W, height=H, t=0.3)
+    assert oracle.shape == (H, W, 4)
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(oracle).all()

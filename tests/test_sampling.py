@@ -1,0 +1,122 @@
+"""Sampling unit tests: interpolation modes and edge behaviors vs hand-rolled
+NumPy references (SURVEY.md §4 item 1; origVal is THE hot path §3.6)."""
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+
+H, W = 10, 12
+
+
+def _image(seed=3):
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+def test_identity_sample_nearest():
+    img = _image()
+    f = mm.compile("origVal(xy)")
+    out = f.render(img, interpret=True, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_identity_sample_bilinear_exact_at_centers():
+    img = _image()
+    f = mm.compile("origVal(xy)")
+    out = f.render(img, interpret=True, options=mm.RenderOptions(interpolation="bilinear"))
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_identity_sample_bicubic_exact_at_centers():
+    # Catmull-Rom interpolates the sample values at integer offsets
+    img = _image()
+    f = mm.compile("origVal(xy)")
+    out = f.render(
+        img, interpret=True,
+        options=mm.RenderOptions(interpolation="bicubic", edge_x="wrap", edge_y="wrap"),
+    )
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_half_pixel_shift_bilinear_averages():
+    img = _image()
+    # shift by exactly one half pixel in x: bilinear = average of neighbors
+    f = mm.compile("origVal(xy + xy:[0.5, 0])")
+    out = f.render(
+        img, interpret=True,
+        options=mm.RenderOptions(interpolation="bilinear", edge_x="wrap", edge_y="wrap"),
+    )
+    expected = 0.5 * (img + np.roll(img, -1, axis=1))
+    np.testing.assert_allclose(out, np.clip(expected, 0, 1), atol=1e-6)
+
+
+def test_integer_shift_matches_roll_wrap():
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[3, 0])")
+    out = f.render(
+        img, interpret=True,
+        options=mm.RenderOptions(interpolation="nearest", edge_x="wrap", edge_y="wrap"),
+    )
+    np.testing.assert_allclose(out, np.roll(img, -3, axis=1), atol=1e-6)
+
+
+def test_integer_shift_y_up():
+    # +y in world space is up = smaller row index
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[0, 1])")
+    out = f.render(
+        img, interpret=True,
+        options=mm.RenderOptions(interpolation="nearest", edge_y="wrap"),
+    )
+    np.testing.assert_allclose(out, np.roll(img, 1, axis=0), atol=1e-6)
+
+
+def test_edge_color_outside():
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[100, 0])")  # fully outside
+    opts = mm.RenderOptions(interpolation="nearest", edge_x="color", edge_color=(1, 0, 0, 1))
+    out = f.render(img, interpret=True, options=opts)
+    np.testing.assert_allclose(out, np.broadcast_to([1, 0, 0, 1], (H, W, 4)), atol=1e-6)
+
+
+def test_edge_reflect():
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[" + str(W) + ", 0])")  # shift by exactly W
+    opts = mm.RenderOptions(interpolation="nearest", edge_x="reflect")
+    out = f.render(img, interpret=True, options=opts)
+    np.testing.assert_allclose(out, img[:, ::-1], atol=1e-6)
+
+
+def test_edge_wrap_x_shift_full_period():
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[" + str(W) + ", 0])")
+    opts = mm.RenderOptions(interpolation="nearest", edge_x="wrap")
+    out = f.render(img, interpret=True, options=opts)
+    np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_independent_edge_behaviors_per_axis():
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[" + str(W) + ", " + str(-H) + "])")
+    opts = mm.RenderOptions(interpolation="nearest", edge_x="wrap", edge_y="color",
+                            edge_color=(0, 1, 0, 1))
+    out = f.render(img, interpret=True, options=opts)
+    np.testing.assert_allclose(out, np.broadcast_to([0, 1, 0, 1], (H, W, 4)), atol=1e-6)
+
+
+def test_bicubic_weights_sum_to_one():
+    from mathmap_tpu.runtime.sampling import _catmull_rom_weights
+
+    f = np.linspace(0, 0.999, 37, dtype=np.float64)
+    w = _catmull_rom_weights(np, f)
+    np.testing.assert_allclose(w[0] + w[1] + w[2] + w[3], np.ones_like(f), atol=1e-12)
+
+
+def test_multi_image_sampling_uses_own_pixels():
+    a = np.zeros((H, W, 4), np.float32)
+    b = np.ones((H, W, 4), np.float32)
+    f = mm.compile("filter f (image p, image q) q(xy) end")
+    out = f.render(a, b, interpret=True, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(out, b, atol=1e-6)

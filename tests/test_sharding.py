@@ -1,0 +1,81 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 item 4): sharded output must equal unsharded bitwise."""
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+from mathmap_tpu.parallel.mesh import make_mesh
+from mathmap_tpu.parallel.shard import ShardedRenderer
+
+H, W = 16, 32
+
+
+def _image(seed=5):
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+def _unsharded(f, inputs, **kw):
+    return f.render(*inputs, width=W, height=H, **kw)
+
+
+@pytest.mark.parametrize(
+    "src,n_inputs",
+    [
+        ("grayColor(0.5 + 0.5 * sin(r - a + t * 2 * pi))", 0),
+        ("origVal(toXY(ra:[r * 0.7, a + 0.4]))", 1),
+        ("grayColor(rand(0, 1))", 0),
+        (
+            "z = ri:[x/X, y/Y]; c = ri:[-0.4, 0.6]; i = 0;"
+            "while z[0]*z[0] + z[1]*z[1] < 4 && i < 20 do z = z*z + c; i = i + 1 end;"
+            "grayColor(i / 20)",
+            0,
+        ),
+    ],
+)
+@pytest.mark.parametrize("mesh_shape", [(1, 8, 1), (1, 4, 2), (1, 2, 4)])
+def test_grid_sharded_matches_unsharded(src, n_inputs, mesh_shape):
+    f = mm.compile(src)
+    inputs = [_image(seed=i) for i in range(n_inputs)] or [_image()]
+    expected = _unsharded(f, inputs, t=0.25)
+    mesh = make_mesh(*mesh_shape)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, W, H, mm.RenderOptions(), 1)
+    got = np.asarray(r(inputs, t=0.25))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_frame_sharded_matches_unsharded():
+    f = mm.compile("grayColor(0.5 + 0.5 * sin(x / 4 + t * 2 * pi))")
+    inputs = [_image()]
+    num_frames = 8
+    ts = np.arange(num_frames, dtype=np.float32) / num_frames
+    expected = np.stack(
+        [_unsharded(f, inputs, t=float(t)) for t in ts], axis=0
+    )
+    mesh = make_mesh(4, 2, 1)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, W, H, mm.RenderOptions(), num_frames)
+    got = np.asarray(r(inputs, ts=ts))
+    assert got.shape == (num_frames, H, W, 4)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_full_3d_mesh():
+    f = mm.compile_file("filters/Distorts/ripple.mm")
+    inputs = [_image()]
+    mesh = make_mesh(2, 2, 2)
+    num_frames = 4
+    # offset t so no sample coordinate lands exactly on a texel boundary
+    # (floor() is unstable there across differently-fused XLA programs —
+    # see runtime/sampling.py docstring)
+    ts = (np.arange(num_frames, dtype=np.float32) + 0.37) / num_frames
+    r = ShardedRenderer(mesh, f.filters, f.fdef, W, H, mm.RenderOptions(), num_frames)
+    got = np.asarray(r(inputs, ts=ts))
+    expected = np.stack([_unsharded(f, inputs, t=float(t)) for t in ts], axis=0)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(3, 3, 1)  # 9 != 8 devices
