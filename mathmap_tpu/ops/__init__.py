@@ -12,6 +12,7 @@ from . import vector_ops  # noqa: F401  (vectors, matrices, quats)
 from . import special_ops  # noqa: F401  (gamma/beta/elliptic/jacobi)
 from . import noise  # noqa: F401  (Perlin)
 from . import image_ops  # noqa: F401  (origVal family)
+from . import native_ops  # noqa: F401  (native fast-path: gaussian blur)
 from .registry import BUILTINS, is_builtin, lookup  # noqa: F401
 
 # ri: ^ overload: z^w as exp(w * log z) (GSL complex pow in the reference).

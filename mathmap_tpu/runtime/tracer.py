@@ -208,7 +208,7 @@ class Evaluator:
         return method(node)
 
     def _eval_Num(self, node: A.Num) -> TupleValue:
-        return TupleValue(NIL, (self.lit(node.value),))
+        return TupleValue(NIL, (self.lit(node.value),), const=(node.value,))
 
     def _eval_Var(self, node: A.Var) -> TupleValue:
         return self._lookup(node.name, node.span)
@@ -267,7 +267,11 @@ class Evaluator:
 
     def _eval_UnOp(self, node: A.UnOp) -> TupleValue:
         fn = R.lookup(_UNOP_NAME[node.op])
-        return fn(self, [self.eval(node.operand)], node.span)
+        operand = self.eval(node.operand)
+        out = fn(self, [operand], node.span)
+        if node.op == "-" and operand.const is not None:
+            out.const = tuple(-c for c in operand.const)
+        return out
 
     def _eval_Assign(self, node: A.Assign) -> TupleValue:
         v = self.eval(node.expr)

@@ -22,14 +22,20 @@ from ..utils.errors import MMTypeError
 
 
 class TupleValue:
-    """A tagged tuple of backend arrays (or a payload for opaque values)."""
+    """A tagged tuple of backend arrays (or a payload for opaque values).
 
-    __slots__ = ("tag", "arrays", "payload")
+    `const` carries trace-time-known Python values for components that came
+    from source literals — ops that need STATIC parameters (e.g. the gaussian
+    blur kernel radius) read it, since under jit even literals become staged
+    tracers that float() cannot extract."""
 
-    def __init__(self, tag: str, arrays: tuple = (), payload: Any = None):
+    __slots__ = ("tag", "arrays", "payload", "const")
+
+    def __init__(self, tag: str, arrays: tuple = (), payload: Any = None, const=None):
         self.tag = tag
         self.arrays = tuple(arrays)
         self.payload = payload
+        self.const = const
 
     @property
     def length(self) -> int:
@@ -40,7 +46,18 @@ class TupleValue:
         return self.payload is not None
 
     def retag(self, tag: str) -> "TupleValue":
-        return TupleValue(tag, self.arrays, self.payload)
+        return TupleValue(tag, self.arrays, self.payload, self.const)
+
+    def static_scalar(self) -> float | None:
+        """Trace-time-known value of a length-1 tuple, if any."""
+        if self.const is not None and len(self.const) == 1:
+            return self.const[0]
+        if len(self.arrays) == 1:
+            try:
+                return float(self.arrays[0])
+            except Exception:
+                return None
+        return None
 
     def scalar(self, span=None):
         """The single component of a length-1 tuple."""

@@ -1,0 +1,176 @@
+"""Expression database, composer/designer, and native fast-path filters
+(SURVEY.md §2.1 rows: expression_db, designer, native_filters)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+from mathmap_tpu.designer import sexpr
+from mathmap_tpu.designer.graph import DesignerGraph, InputRef, from_mmc
+from mathmap_tpu.expression_db import default_db
+from mathmap_tpu.utils.errors import MMNameError, MMRuntimeError
+
+H, W = 12, 16
+
+
+def _image(seed=3):
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+# ---------------------------------------------------------------------------
+# expression database
+# ---------------------------------------------------------------------------
+
+def test_db_scans_categories():
+    db = default_db()
+    assert not db.errors
+    assert {"Colors", "Distorts", "Combine", "Render", "Map", "Noise"} <= set(db.categories)
+    assert "fisheye" in db.entries
+    assert db.entries["fisheye"].category == "Distorts"
+    assert "polar" in db.entries["fisheye"].doc.lower() or db.entries["fisheye"].doc
+
+
+def test_db_compile_renders():
+    db = default_db()
+    f = db.compile("invert")
+    img = _image()
+    out = f.render(img, interpret=True)
+    np.testing.assert_allclose(out[..., 0], 1 - img[..., 0], atol=1e-6)
+
+
+def test_db_cross_file_filter_call():
+    """A filter can call another filter that lives in a different file."""
+    db = default_db()
+    f = db.compile("grayscale")
+    # inject a synthetic caller that uses two library filters by name
+    src = "filter chain (image in) invert(grayscale(in))(xy) end"
+    import mathmap_tpu.api as api
+
+    chain = api.compile_source(src)
+    chain.filters.update(db.library_defs())
+    img = _image()
+    out = chain.render(img, interpret=True,
+                       options=mm.RenderOptions(interpolation="nearest"))
+    g = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    np.testing.assert_allclose(out[..., 0], 1 - g, atol=1e-5)
+
+
+def test_db_unknown_name():
+    db = default_db()
+    with pytest.raises(MMNameError):
+        db.compile("nope")
+
+
+def test_db_tree_listing():
+    db = default_db()
+    tree = db.tree()
+    assert "Distorts/" in tree and "fisheye" in tree
+
+
+# ---------------------------------------------------------------------------
+# s-expressions (lispreader analog)
+# ---------------------------------------------------------------------------
+
+def test_sexpr_roundtrip():
+    text = '(composer (node "a" "fisheye" (param "strength" 2)) (output "a"))'
+    forms = sexpr.loads(text)
+    assert sexpr.loads(sexpr.dumps(forms[0]))[0] == forms[0]
+
+
+def test_sexpr_comments_and_strings():
+    forms = sexpr.loads('; comment\n(a "he\\"llo" 1.5)')
+    assert forms[0][1] == 'he"llo'
+    assert forms[0][2] == 1.5
+
+
+# ---------------------------------------------------------------------------
+# composer / designer
+# ---------------------------------------------------------------------------
+
+def test_composer_chain_matches_manual():
+    db = default_db()
+    g = DesignerGraph(db=db)
+    a = g.add("grayscale", **{"in": InputRef(0)})
+    b = g.add("invert")
+    g.connect(a, b, "in")
+    src = g.to_source()
+    assert "filter composed" in src
+    f = g.compile()
+    img = _image()
+    out = f.render(img, interpret=True,
+                   options=mm.RenderOptions(interpolation="nearest"))
+    gray = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    np.testing.assert_allclose(out[..., 0], 1 - gray, atol=1e-5)
+
+
+def test_composer_params_and_mmc_roundtrip(tmp_path):
+    db = default_db()
+    g = DesignerGraph(db=db)
+    n1 = g.add("twirl", **{"in": InputRef(0), "angle": 4.0})
+    path = os.path.join(tmp_path, "t.mmc")
+    g.save(path)
+    g2 = from_mmc(open(path).read(), db=db)
+    assert g2.output == n1
+    assert g2.nodes[n1].params["angle"] == 4.0
+    img = _image()
+    out1 = g.compile().render(img, interpret=True)
+    out2 = g2.compile().render(img, interpret=True)
+    np.testing.assert_array_equal(out1, out2)
+    # equals calling twirl directly with the same angle
+    direct = db.compile("twirl").render(img, interpret=True, params={"angle": 4.0})
+    np.testing.assert_allclose(out1, direct, atol=1e-6)
+
+
+def test_composer_cycle_detection():
+    db = default_db()
+    g = DesignerGraph(db=db)
+    a = g.add("invert")
+    b = g.add("invert")
+    g.connect(a, b, "in")
+    g.connect(b, a, "in")
+    with pytest.raises(MMRuntimeError):
+        g.to_source()
+
+
+def test_composer_middle_default_spelled_out():
+    db = default_db()
+    g = DesignerGraph(db=db)
+    # lens has (in, size, zoom, cx, cy); set only cx -> size/zoom must be
+    # emitted as their defaults
+    g.add("lens", **{"in": InputRef(0), "cx": 1.0})
+    src = g.to_source()
+    assert "200.0" in src and "2.0" in src
+
+
+# ---------------------------------------------------------------------------
+# native fast-path: gaussian blur
+# ---------------------------------------------------------------------------
+
+def test_gaussian_blur_constant_image_invariant():
+    img = np.full((H, W, 4), 0.6, np.float32)
+    f = mm.compile("filter f (image in) gaussian_blur(in, 2)(xy) end")
+    out = f.render(img, interpret=True, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_gaussian_blur_smooths():
+    img = np.zeros((H, W, 4), np.float32)
+    img[H // 2, W // 2] = 1.0
+    f = mm.compile("filter f (image in) gaussian_blur(in, 1.5)(xy) end")
+    out = f.render(img, interpret=True, options=mm.RenderOptions(interpolation="nearest"))
+    c = out[H // 2, W // 2, 0]
+    n = out[H // 2, W // 2 + 1, 0]
+    assert 0 < c < 1 and 0 < n < c  # spread out, monotone falloff
+
+
+def test_gaussian_blur_parity():
+    img = _image()
+    f = mm.compile("filter f (image in) gaussian_blur(in, 2)(xy) end")
+    opts = mm.RenderOptions(interpolation="nearest")
+    oracle = f.render(img, interpret=True, options=opts)
+    jax_out = f.render(img, options=opts)
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-4, atol=1e-5)
