@@ -36,15 +36,24 @@ def time_tpu(renderer, inputs, iters, t0=0.37):
     here is HBM residency — host transfer is measured separately)."""
     import jax
 
+    import jax.numpy as jnp
+
     inputs = [jax.device_put(a) for a in inputs]
     jax.block_until_ready(inputs)
     # warmup / compile
     out = renderer(inputs, {}, t=t0)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out))
+    # Fence via an actual host readback: under the axon relay,
+    # block_until_ready acks before execution finishes, fabricating
+    # impossible >HBM-bandwidth numbers. Accumulating a scalar reduction of
+    # every frame and reading it back forces all renders to really run
+    # (costs one extra output read per frame — conservatively slower).
     start = time.perf_counter()
+    acc = jnp.float32(0)
     for i in range(iters):
         out = renderer(inputs, {}, t=t0 + 0.001 * i)
-    jax.block_until_ready(out)
+        acc = acc + jnp.sum(out)
+    _ = float(acc)
     return (time.perf_counter() - start) / iters
 
 

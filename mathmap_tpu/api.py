@@ -77,6 +77,21 @@ class Filter:
         renderer = self._renderer(width, height, options, 1)
         return np.asarray(renderer(ins, params, t=t, frame=frame))
 
+    def render_animation(self, *inputs, num_frames: int, width: int | None = None,
+                         height: int | None = None, options: RenderOptions | None = None,
+                         params: dict | None = None):
+        """Whole t-sweep in ONE device program (lax.map over frames) ->
+        (F, H, W, 4). Fastest path for animation batches; for frame-by-frame
+        streaming use render_frames()."""
+        options = options or RenderOptions()
+        params = params or {}
+        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        width, height = self._resolve_size(ins, width, height)
+        renderer = self._renderer(width, height, options, num_frames)
+        denom = num_frames if options.periodic else max(num_frames - 1, 1)
+        ts = np.arange(num_frames, dtype=np.float32) / denom
+        return np.asarray(renderer.render_all_frames(ins, params, ts))
+
     def render_frames(self, *inputs, num_frames: int, width: int | None = None,
                       height: int | None = None, options: RenderOptions | None = None,
                       params: dict | None = None):
@@ -88,6 +103,10 @@ class Filter:
         ins = [to_float_rgba(np.asarray(a)) for a in inputs]
         width, height = self._resolve_size(ins, width, height)
         renderer = self._renderer(width, height, options, num_frames)
+        # upload inputs once; every frame reuses the device-resident copies
+        import jax
+
+        ins = [jax.device_put(a) for a in ins]
         denom = num_frames if options.periodic else max(num_frames - 1, 1)
         for frame in range(num_frames):
             t = frame / denom

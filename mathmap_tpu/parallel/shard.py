@@ -131,7 +131,11 @@ class ShardedRenderer:
 
     def __call__(self, input_arrays, t=0.0, ts=None):
         jnp = self.jnp
-        ins = [jnp.asarray(np.asarray(a, dtype=np.float32)) for a in input_arrays]
+        ins = [
+            a if isinstance(a, jnp.ndarray)
+            else jnp.asarray(np.asarray(a, dtype=np.float32))
+            for a in input_arrays
+        ]
         if self.num_frames == 1:
             return self._jitted(ins, jnp.float32(t))
         return self._jitted(ins, jnp.asarray(ts, dtype=jnp.float32))

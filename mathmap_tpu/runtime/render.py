@@ -171,6 +171,21 @@ class JitRenderer:
 
         self._jitted = jax.jit(run, static_argnums=(2,))
 
+        def run_frames(input_arrays, userval_arrays, kinds, ts):
+            # whole t-sweep in ONE device program: lax.map over frames keeps
+            # each frame's fused program and amortizes dispatch + transfer
+            # (the reference renders frames in a host loop; SURVEY §7 chose
+            # lax.map/vmap for the TPU path)
+            frames = jnp.arange(ts.shape[0], dtype=jnp.float32)
+
+            def one(args):
+                frame, t = args
+                return run(input_arrays, userval_arrays, kinds, t, frame)
+
+            return jax.lax.map(one, (frames, ts))
+
+        self._jitted_frames = jax.jit(run_frames, static_argnums=(2,))
+
     def __call__(self, input_arrays, params: dict, t: float = 0.0, frame: float = 0.0):
         jnp = self.jnp
         ctx = RenderContext(
@@ -178,8 +193,29 @@ class JitRenderer:
             inputs=[], filters=self.filters, is_jax=True,
         )
         arrays, kinds = _userval_pytree(ctx, self.fdef, params)
-        ins = [jnp.asarray(np.asarray(a, dtype=np.float32)) for a in input_arrays]
+        # device arrays pass through untouched — a np.asarray on them would
+        # round-trip the whole image host<->device on every frame
+        ins = [
+            a if isinstance(a, jnp.ndarray)
+            else jnp.asarray(np.asarray(a, dtype=np.float32))
+            for a in input_arrays
+        ]
         return self._jitted(ins, arrays, kinds, jnp.float32(t), jnp.float32(frame))
+
+    def render_all_frames(self, input_arrays, params: dict, ts):
+        """Render every frame of a t-sweep in one device call -> (F,H,W,4)."""
+        jnp = self.jnp
+        ctx = RenderContext(
+            be=jnp, width=self.width, height=self.height, opts=self.opts,
+            inputs=[], filters=self.filters, is_jax=True,
+        )
+        arrays, kinds = _userval_pytree(ctx, self.fdef, params)
+        ins = [
+            a if isinstance(a, jnp.ndarray)
+            else jnp.asarray(np.asarray(a, dtype=np.float32))
+            for a in input_arrays
+        ]
+        return self._jitted_frames(ins, arrays, kinds, jnp.asarray(ts, dtype=jnp.float32))
 
 
 def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params: dict,

@@ -52,19 +52,14 @@ def _edge_index(be, i, n: int, behavior: str):
     return be.clip(i, 0, n - 1), inside
 
 
-def _gather(be, flat_channels, iy, ix, w: int):
-    """Gather each RGBA channel at (iy, ix); flat_channels is a list of
-    4 linearized (H*W,) arrays."""
-    lin = iy * w + ix
-    return [be.take(ch, lin) for ch in flat_channels]
-
-
-def _tap(be, flat_channels, ix, iy, w, h, edge_x, edge_y, edge_color):
+def _tap(be, gather, ix, iy, w, h, edge_x, edge_y, edge_color):
     """One (possibly out-of-bounds) integer tap -> 4 channel arrays with the
-    edge behavior applied."""
+    edge behavior applied. `gather(iy, ix)` maps GLOBAL in-range indices to
+    channel values (an InputImage's flat take, or a TiledInput's halo-block
+    lookup)."""
     jx, in_x = _edge_index(be, ix, w, edge_x)
     jy, in_y = _edge_index(be, iy, h, edge_y)
-    chans = _gather(be, flat_channels, jy, jx, w)
+    chans = gather(jy, jx)
     if in_x is not None or in_y is not None:
         inside = None
         for m in (in_x, in_y):
@@ -87,19 +82,19 @@ def _catmull_rom_weights(be, f):
     return w0, w1, w2, w3
 
 
-def sample_image(ev, pixels, x, y):
+def sample_image(ev, img, x, y):
     """Sample an input image at world coords (x, y) using the invocation's
-    interpolation/edge settings. Returns 4 channel arrays (r, g, b, a)."""
+    interpolation/edge settings. Returns 4 channel arrays (r, g, b, a).
+    `img` provides global_shape and make_gather (value.InputImage API)."""
     be = ev.be
     opts = ev.ctx.opts
-    h, w = int(pixels.shape[0]), int(pixels.shape[1])
-    flat = pixels.reshape(h * w, 4)
-    flat_channels = [flat[:, c] for c in range(4)]
+    h, w = img.global_shape
+    gather = img.make_gather(be)
     edge_color = [be.asarray(c, dtype=be.float32) for c in opts.edge_color]
     px, py = world_to_pixel(be, x, y, w, h)
 
     def tap(ix, iy):
-        return _tap(be, flat_channels, ix, iy, w, h, opts.edge_x, opts.edge_y, edge_color)
+        return _tap(be, gather, ix, iy, w, h, opts.edge_x, opts.edge_y, edge_color)
 
     if opts.interpolation == "nearest":
         ix = be.floor(px + 0.5).astype(be.int32)

@@ -93,10 +93,55 @@ class InputImage(ImageBase):
     pixels: Any  # backend array (H, W, 4), float32, RGBA in [0,1]
     name: str = "in"
 
+    @property
+    def global_shape(self):
+        return int(self.pixels.shape[0]), int(self.pixels.shape[1])
+
+    def make_gather(self, be):
+        h, w = self.global_shape
+        flat = self.pixels.reshape(h * w, 4)
+        channels = [flat[:, c] for c in range(4)]
+
+        def gather(iy, ix):
+            lin = iy * w + ix
+            return [be.take(ch, lin) for ch in channels]
+
+        return gather
+
     def sample(self, ev, x, y):
         from . import sampling
 
-        return sampling.sample_image(ev, self.pixels, x, y)
+        return sampling.sample_image(ev, self, x, y)
+
+
+@dataclass
+class TiledInput(InputImage):
+    """A row-sharded input: `pixels` is this device's row block PLUS halo
+    rows exchanged from ring neighbors over ICI (parallel/halo.py — the
+    sequence/context-parallel analog, SURVEY §2.2 SP row). Global row index
+    `row_base` maps to local row 0. Sampling beyond the halo clamps into the
+    block — callers must bound the filter's displacement by the halo size.
+    """
+
+    global_height: int = 0
+    row_base: Any = 0  # global row of local row 0 (may be traced)
+
+    @property
+    def global_shape(self):
+        return self.global_height, int(self.pixels.shape[1])
+
+    def make_gather(self, be):
+        ext_h, w = int(self.pixels.shape[0]), int(self.pixels.shape[1])
+        flat = self.pixels.reshape(ext_h * w, 4)
+        channels = [flat[:, c] for c in range(4)]
+        row_base = self.row_base
+
+        def gather(iy, ix):
+            ly = be.clip(iy - row_base, 0, ext_h - 1)
+            lin = ly * w + ix
+            return [be.take(ch, lin) for ch in channels]
+
+        return gather
 
 
 @dataclass

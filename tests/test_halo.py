@@ -1,0 +1,67 @@
+"""Halo-exchange tiled rendering tests (SURVEY.md §2.2 SP row, §4 item 4):
+input rows sharded over the mesh, halos exchanged via ppermute, output must
+match the replicated-input render when displacement <= halo."""
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+from mathmap_tpu.parallel.halo import TiledRenderer
+from mathmap_tpu.parallel.mesh import make_mesh
+
+H, W = 32, 16
+
+
+def _image(seed=9):
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+def _tiled(src, img, halo, t=0.0, opts=None):
+    f = mm.compile(src)
+    mesh = make_mesh(1, 8, 1)
+    r = TiledRenderer(mesh, f.filters, f.fdef, W, H, opts or mm.RenderOptions(), halo)
+    return np.asarray(r(img, t=t))
+
+
+def test_identity_tiled_matches():
+    img = _image()
+    src = "origVal(xy)"
+    got = _tiled(src, img, halo=1)
+    want = mm.compile(src).render(img, width=W, height=H)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bounded_shift_within_halo():
+    img = _image()
+    src = "origVal(xy + xy:[0, 2])"  # vertical shift by 2 rows
+    got = _tiled(src, img, halo=3)
+    want = mm.compile(src).render(img, width=W, height=H)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wave_displacement_within_halo():
+    img = _image()
+    src = "origVal(xy + xy:[0, 2 * sin(x / 3 + t)])"
+    got = _tiled(src, img, halo=4, t=0.41)
+    want = mm.compile(src).render(img, width=W, height=H, t=0.41)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_horizontal_access_unrestricted():
+    img = _image()
+    src = "origVal(xy + xy:[7 * sin(y / 5), 1])"
+    got = _tiled(src, img, halo=2)
+    want = mm.compile(src).render(img, width=W, height=H)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_halo_too_large_raises():
+    img = _image()
+    f = mm.compile("origVal(xy)")
+    mesh = make_mesh(1, 8, 1)
+    from mathmap_tpu.utils.errors import MMRuntimeError
+
+    with pytest.raises(MMRuntimeError):
+        TiledRenderer(mesh, f.filters, f.fdef, W, H, mm.RenderOptions(), halo=5)(img)

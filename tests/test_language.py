@@ -238,3 +238,21 @@ def test_supersampling_smooths_edges():
     assert set(np.unique(hard)) <= {0.0, 1.0}
     # the supersampled column containing the threshold is fractional
     assert ((soft > 0) & (soft < 1)).any()
+
+
+def test_render_animation_batched_matches_loop():
+    src = "grayColor(0.5 + 0.4 * sin(x / 3 + t * 2 * pi))"
+    f = mm.compile(src)
+    batched = f.render_animation(BLANK, num_frames=4)
+    looped = np.stack(list(f.render_frames(BLANK, num_frames=4)), axis=0)
+    assert batched.shape == (4, H, W, 4)
+    np.testing.assert_allclose(batched, looped, atol=1e-6)
+
+
+def test_render_animation_nonperiodic_reaches_t1():
+    src = "grayColor(t)"
+    f = mm.compile(src)
+    frames = f.render_animation(BLANK, num_frames=3,
+                                options=mm.RenderOptions(periodic=False))
+    np.testing.assert_allclose(frames[-1][..., 0], np.ones((H, W)))
+    np.testing.assert_allclose(frames[0][..., 0], np.zeros((H, W)))
