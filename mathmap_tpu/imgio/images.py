@@ -24,7 +24,9 @@ def to_float_rgba(arr: np.ndarray) -> np.ndarray:
     """uint8 (H,W,{1,3,4}) or float array -> float32 (H,W,4) in [0,1]."""
     arr = np.asarray(arr)
     if arr.dtype == np.uint8:
-        arr = arr.astype(np.float32) / 255.0
+        from .. import native
+
+        arr = native.u8_to_f32(arr)
     else:
         arr = arr.astype(np.float32)
     if arr.ndim == 2:
@@ -41,21 +43,36 @@ def to_float_rgba(arr: np.ndarray) -> np.ndarray:
 
 def to_uint8(arr: np.ndarray) -> np.ndarray:
     """float (H,W,4) in [0,1] -> uint8, with the reference's round-to-nearest
-    8-bit packing."""
-    arr = np.asarray(arr, dtype=np.float32)
-    return (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    8-bit packing (native hot loop when available)."""
+    from .. import native
+
+    return native.f32_to_u8(np.asarray(arr, dtype=np.float32))
 
 
 def read_image(path: str) -> np.ndarray:
     """Read an image file -> float32 (H,W,4) RGBA in [0,1]."""
+    if path.lower().endswith((".ppm", ".pam", ".pnm")):
+        from .. import native
+
+        data = native.read_image_native(path)
+        if data is not None:
+            return to_float_rgba(data)
     img = _pil().open(path).convert("RGBA")
     return to_float_rgba(np.asarray(img))
 
 
 def write_image(path: str, arr) -> None:
-    """Write a float (H,W,4) RGBA array in [0,1] to an image file."""
+    """Write a float (H,W,4) RGBA array in [0,1] to an image file. PPM/PAM
+    go through the native codec (fast batch-animation dumps, rwimg analog)."""
     data = to_uint8(np.asarray(arr))
+    lower = path.lower()
+    if lower.endswith((".pam", ".ppm", ".pnm")):
+        from .. import native
+
+        ok = native.write_pam(path, data) if lower.endswith(".pam") else native.write_ppm(path, data)
+        if ok:
+            return
     img = _pil().fromarray(data, mode="RGBA")
-    if path.lower().endswith((".jpg", ".jpeg")):
+    if lower.endswith((".jpg", ".jpeg")):
         img = img.convert("RGB")
     img.save(path)
