@@ -1,0 +1,133 @@
+"""Benchmark driver for the five BASELINE.json configs (SURVEY.md §6).
+
+Prints one JSON object per config plus a summary line. Run on the real TPU:
+
+    python benchmarks/run_configs.py [--quick]
+
+Configs (BASELINE.json `configs`):
+  1. pointwise color filter (invert) on 512x512 RGBA
+  2. polar distortions (fisheye, twirl, pond) at 1080p, bilinear origVal
+  3. two-input compositing (blend) with edge-behavior variants at 1080p
+  4. animated ripple: 120-frame t-sweep at 1080p with 4x supersampling AA
+  5. generative complex-math (mandelbrot, moire) at 4K
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import mathmap_tpu as mm  # noqa: E402
+
+
+def _img(h, w, seed=0):
+    img = np.random.RandomState(seed).rand(h, w, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+def fenced_time(fn, iters):
+    """Mean seconds per call; fences with a scalar readback (see bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = fn(0)
+    _ = float(jnp.sum(out))
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for i in range(iters):
+        acc = acc + jnp.sum(fn(i))
+    _ = float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def time_filter(path_or_src, inputs, w, h, opts, iters, from_file=True):
+    import jax
+
+    filt = mm.compile_file(path_or_src) if from_file else mm.compile_source(path_or_src)
+    renderer = filt._renderer(w, h, opts, 1)
+    ins = [jax.device_put(np.asarray(a)) for a in inputs]
+    return fenced_time(lambda i: renderer(ins, {}, t=0.37 + 0.001 * i), iters)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    it = 2 if args.quick else 8
+    results = []
+
+    root = os.path.join(os.path.dirname(__file__), "..", "filters")
+
+    def report(config, mpix_s, detail):
+        rec = {"config": config, "mpix_per_s": round(mpix_s, 2), **detail}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # 1. pointwise 512x512
+    w, h = 512, 512
+    dt = time_filter(os.path.join(root, "Colors", "invert.mm"), [_img(h, w)], w, h,
+                     mm.RenderOptions(), it)
+    report("1_pointwise_invert_512", w * h / dt / 1e6, {"ms_per_frame": round(dt * 1e3, 2)})
+
+    # 2. polar distortions 1080p
+    w, h = 1920, 1080
+    times = {}
+    for name in ("fisheye", "twirl", "pond"):
+        dt = time_filter(os.path.join(root, "Distorts", f"{name}.mm"), [_img(h, w)],
+                         w, h, mm.RenderOptions(interpolation="bilinear"), it)
+        times[name] = round(dt * 1e3, 2)
+    mean_dt = sum(times.values()) / len(times) / 1e3
+    report("2_polar_distortions_1080p", w * h / mean_dt / 1e6, {"ms_per_frame": times})
+
+    # 3. two-input compositing, edge variants
+    variants = {}
+    for ex in ("color", "wrap", "reflect"):
+        dt = time_filter(os.path.join(root, "Combine", "blend.mm"),
+                         [_img(h, w, 1), _img(h, w, 2)], w, h,
+                         mm.RenderOptions(edge_x=ex, edge_y=ex), it)
+        variants[ex] = round(dt * 1e3, 2)
+    mean_dt = sum(variants.values()) / len(variants) / 1e3
+    report("3_compositing_1080p", w * h / mean_dt / 1e6, {"ms_per_frame": variants})
+
+    # 4. animated ripple, 120 frames, 4x AA
+    import jax
+    import jax.numpy as jnp
+
+    frames = 8 if args.quick else 120
+    filt = mm.compile_file(os.path.join(root, "Distorts", "ripple.mm"))
+    opts = mm.RenderOptions(supersample=2)
+    renderer = filt._renderer(w, h, opts, frames)
+    ins = [jax.device_put(np.asarray(_img(h, w)))]
+    ts = (np.arange(frames, dtype=np.float32) + 0.37) / frames
+    out = renderer.render_all_frames(ins, {}, ts)  # compile
+    _ = float(jnp.sum(out))
+    t0 = time.perf_counter()
+    out = renderer.render_all_frames(ins, {}, ts + 0.001)
+    _ = float(jnp.sum(out))
+    dt = time.perf_counter() - t0
+    report("4_animated_ripple_120f_4xAA", frames * w * h / dt / 1e6,
+           {"frames": frames, "s_total": round(dt, 2)})
+
+    # 5. generative 4K
+    w4, h4 = 3840, 2160
+    gen = {}
+    for name in ("mandelbrot", "moire"):
+        dt = time_filter(os.path.join(root, "Render", f"{name}.mm"), [], w4, h4,
+                         mm.RenderOptions(), it)
+        gen[name] = round(dt * 1e3, 2)
+    mean_dt = sum(gen.values()) / len(gen) / 1e3
+    report("5_generative_4k", w4 * h4 / mean_dt / 1e6, {"ms_per_frame": gen})
+
+    print(json.dumps({"summary": {r["config"]: r["mpix_per_s"] for r in results}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="mathmap_tpu",
         description="TPU-native MathMap renderer (CLI front end)",
     )
-    p.add_argument("expression", help="MathMap expression or path to a .mm file")
+    p.add_argument("expression", nargs="?", default=None,
+                   help="MathMap expression, path to a .mm/.mmc file, or a library filter name")
+    p.add_argument("--list", action="store_true",
+                   help="list the bundled filter library (expression database) and exit")
+    p.add_argument("--library", default=None, metavar="DIR",
+                   help="scan DIR as the filter library instead of the bundled one")
     p.add_argument("images", nargs="*", help="input image(s)..., then the output image")
     p.add_argument("--size", default=None, help="output WxH (default: first input's size, else 512x512)")
     p.add_argument("--frames", type=int, default=1, help="number of animation frames")
@@ -88,16 +93,40 @@ def main(argv=None) -> int:
         if verbose:
             print(msg, file=sys.stderr)
 
+    def get_db():
+        from .expression_db import ExpressionDB, default_db
+
+        return ExpressionDB.scan(args.library) if args.library else default_db()
+
+    if args.list:
+        db = get_db()
+        print(db.tree())
+        for path, err in db.errors:
+            print(f"# skipped {path}: {err}", file=sys.stderr)
+        return 0
+
+    if args.expression is None:
+        raise SystemExit("missing expression (or use --list)")
     if not args.images:
         raise SystemExit("missing output image path")
     *input_paths, out_path = args.images
 
     t0 = time.perf_counter()
     try:
-        if args.expression.endswith((".mm", ".mmc")) or os.path.exists(args.expression):
+        if args.expression.endswith(".mmc"):
+            # composer graph -> composite source (SURVEY §3.4)
+            from .designer.graph import load_mmc
+
+            graph = load_mmc(args.expression, db=get_db())
+            filt = graph.compile()
+        elif args.expression.endswith(".mm") or os.path.exists(args.expression):
             filt = compile_file(args.expression, main=args.filter_name)
         else:
-            filt = compile_source(args.expression, main=args.filter_name)
+            db = get_db()
+            if args.expression in db.entries:
+                filt = db.compile(args.expression)  # library filter by name
+            else:
+                filt = compile_source(args.expression, main=args.filter_name)
     except MMError as exc:
         print(exc.format(), file=sys.stderr)
         return 1

@@ -1,0 +1,337 @@
+"""Fused Pallas sampling kernel — origVal gathers as MXU contractions.
+
+Why: XLA's TPU gather runs at ~6ns/element (scalar-unit bound), making
+bilinear warps ~250x slower than roofline (measured: 1.4s per 4K frame).
+Mosaic has no vectorized in-VMEM gather either (probed: "Only 2D gather is
+supported" / compiler crashes). The TPU-idiomatic replacement (SURVEY.md
+§2.3 item 3) expresses interpolation itself as dense contractions that ride
+the MXU:
+
+    tmp[(r,c), p] = sum_s win[s, (r,c)] * OX[s, p]      (MXU matmul)
+    out[c, p]     = sum_r OY[r, p] * tmp[(r,c), p]      (VPU mul-reduce)
+
+OX (win_w, TW) carries each output pixel's x-tap weights (one-hot rows
+scaled by the interpolation weights — nearest: 1 tap, bilinear: 2, bicubic:
+4 Catmull-Rom); OY the y-tap weights. The padded image is stored x-major as
+(Wp, Hp*4) so the window slice (win_w, win_h*4) feeds the matmul directly:
+M = win_h*4 = 128, N = TW, K = win_w — a full-utilization MXU shape, all 4
+channels in one matmul, and the result lands in the orientation the y-stage
+needs (pixels in lanes). Cost is O(window area) FLOPs per pixel instead of
+O(taps) scalar gathers — a large win on this hardware.
+
+Pipeline (all inside one jit):
+  1. XLA: map world -> source coords, apply the edge behavior as a float
+     coordinate map (wrap: mod; reflect: mirror; color: clamp into the pad
+     apron), and build a PADDED x-major image whose apron encodes the edge
+     behavior — the kernel then needs no edge logic.
+  2. XLA: per output tile (8 rows x TW cols), compute the source bounding
+     box -> aligned window origins (ox mult-of-8 sublanes, oy mult-of-32 so
+     oy*4 is lane-aligned) + a scalar overflow flag.
+  3. Pallas (PrefetchScalarGridSpec): per tile, async-DMA the window
+     HBM->VMEM once, then 8 sub-row passes of weight-matmul + mul-reduce.
+  4. lax.cond on the overflow flag falls back to the XLA gather path for
+     the whole frame (window too small for this warp) — results stay
+     correct for arbitrary displacement.
+"""
+
+from __future__ import annotations
+
+#: default window (rows, cols): rows mult of 32, cols mult of 8
+DEFAULT_WIN = (32, 640)
+TILE_H = 8
+TILE_W = 256
+PAD_L = 8  # left/top apron
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA-side: edge mapping + padded x-major image
+# ---------------------------------------------------------------------------
+
+def _edge_map_coord(jnp, p, n: int, behavior: str):
+    """Map a float source coordinate onto [-3, n+2] so that all interp taps
+    fall inside the padded apron. The apron CONTENT (built by _pad_xmajor)
+    encodes the behavior, so taps need no further logic."""
+    if behavior == "wrap":
+        return jnp.mod(p, float(n))
+    if behavior == "reflect":
+        m = jnp.mod(p, float(2 * n))
+        return jnp.where(m < n, m, 2.0 * n - 1.0 - m)
+    return jnp.clip(p, -3.0, float(n) + 2.0)
+
+
+def _apron(jnp, img, axis: int, n: int, behavior: str, edge_color, pad_l: int, pad_r: int):
+    """Extend `img` along `axis` by pad_l before and pad_r after with
+    behavior-encoded content ((H,W,4) channel-last layout)."""
+    def take(sl):
+        idx = [slice(None)] * img.ndim
+        idx[axis] = sl
+        return img[tuple(idx)]
+
+    if behavior == "wrap":
+        left = take(slice(n - pad_l, None))
+        right = jnp.concatenate([img, img], axis=axis)
+        right = jnp.take(right, jnp.arange(pad_r), axis=axis)
+    elif behavior == "reflect":
+        left = jnp.flip(take(slice(0, pad_l)), axis=axis)
+        right = jnp.concatenate([jnp.flip(img, axis=axis), img], axis=axis)
+        right = jnp.take(right, jnp.arange(pad_r), axis=axis)
+    else:
+        col = jnp.asarray(edge_color, dtype=img.dtype).reshape((1,) * (img.ndim - 1) + (4,))
+        shape_l = list(img.shape)
+        shape_l[axis] = pad_l
+        shape_r = list(img.shape)
+        shape_r[axis] = pad_r
+        left = jnp.broadcast_to(col, shape_l)
+        right = jnp.broadcast_to(col, shape_r)
+    return jnp.concatenate([left, img, right], axis=axis)
+
+
+def _pad_xmajor(jnp, pixels, edge_x: str, edge_y: str, edge_color, hp: int, wp: int):
+    """(H, W, 4) -> x-major (Wp, Hp*4) with behavior-encoded aprons.
+    Layout: out[s, r*4 + c] = padded[r, s, c]."""
+    h, w, _ = pixels.shape
+    img = _apron(jnp, pixels, 1, w, edge_x, edge_color, PAD_L, wp - w - PAD_L)
+    img = _apron(jnp, img, 0, h, edge_y, edge_color, PAD_L, hp - h - PAD_L)
+    return jnp.transpose(img, (1, 0, 2)).reshape(wp, hp * 4)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _tap_range(interpolation: str):
+    """(lo, n_taps) relative to floor(p)."""
+    if interpolation == "nearest":
+        return 0, 1
+    if interpolation == "bilinear":
+        return 0, 2
+    return -1, 4  # bicubic
+
+
+def _weights(jnp, frac, interpolation: str):
+    if interpolation == "nearest":
+        return [jnp.ones_like(frac)]
+    if interpolation == "bilinear":
+        return [1.0 - frac, frac]
+    f = frac
+    f2 = f * f
+    f3 = f2 * f
+    return [
+        -0.5 * f3 + f2 - 0.5 * f,
+        1.5 * f3 - 2.5 * f2 + 1.0,
+        -1.5 * f3 + 2.0 * f2 + 0.5 * f,
+        0.5 * f3 - 0.5 * f2,
+    ]
+
+
+def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tap_lo, n_taps = _tap_range(interpolation)
+    dn = (((0,), (0,)), ((), ()))  # contract sublane dim of both operands
+
+    def kernel(oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        oy = pl.multiple_of(oy_ref[i, j], 32)
+        ox = pl.multiple_of(ox_ref[i, j], 8)
+        # Mosaic must PROVE lane-start divisibility by 128: assert it on the
+        # product (oy mult-of-32 => oy*4 mult-of-128, but the multiply hides it)
+        oy4 = pl.multiple_of(oy * 4, 128)
+        cp = pltpu.make_async_copy(
+            img_ref.at[pl.ds(ox, win_w), pl.ds(oy4, win_h * 4)], win, sem
+        )
+        cp.start()
+
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, tile_w), 0)
+        # interleaved-row index helpers for the (win_h*4, TW) stage-B masks:
+        # row (r*4 + c) holds window row r, channel c
+        iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, tile_w), 0)
+        r_of_row = iota_h4 // 4
+        c_of_row = iota_h4 - r_of_row * 4
+        ch_masks = [c_of_row == c for c in range(4)]
+        cp.wait()
+
+        for rr in range(TILE_H):
+            px = px_ref[rr : rr + 1, :]  # (1, TW)
+            py = py_ref[rr : rr + 1, :]
+            if interpolation == "nearest":
+                x0 = jnp.floor(px + 0.5)
+                y0 = jnp.floor(py + 0.5)
+                fx = jnp.zeros_like(px)
+                fy = jnp.zeros_like(py)
+            else:
+                x0 = jnp.floor(px)
+                y0 = jnp.floor(py)
+                fx = px - x0
+                fy = py - y0
+            lx = x0.astype(jnp.int32) - ox
+            ly = y0.astype(jnp.int32) - oy
+            # clamp so an overflowing tile still reads in-window memory
+            # (result discarded via the overflow fallback)
+            lx = jnp.clip(lx, -tap_lo, win_w - n_taps - tap_lo)
+            ly = jnp.clip(ly, -tap_lo, win_h - n_taps - tap_lo)
+
+            wx = _weights(jnp, fx, interpolation)
+            wy = _weights(jnp, fy, interpolation)
+            ox_mat = jnp.zeros((win_w, tile_w), jnp.float32)
+            for k in range(n_taps):
+                ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + k), wx[k], 0.0)
+            # y weights expanded over interleaved rows (win_h*4, TW)
+            oy_mat4 = jnp.zeros((win_h * 4, tile_w), jnp.float32)
+            for k in range(n_taps):
+                oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + k), wy[k], 0.0)
+
+            # MXU: (win_w, win_h*4) x (win_w, TW) -> (win_h*4, TW)
+            tmp = jax.lax.dot_general(
+                win[:], ox_mat, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            prod = tmp * oy_mat4
+            for c in range(4):
+                # full-leading-dim reduction (Mosaic rejects reductions over
+                # offset layouts, so no mid-dim slicing here)
+                o_ref[c, rr : rr + 1, :] = jnp.sum(
+                    jnp.where(ch_masks[c], prod, 0.0), axis=0, keepdims=True
+                )
+
+    return kernel
+
+
+def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
+                       win_h: int, win_w: int, tile_w: int, interpret: bool = False):
+    """img_xm (Wp, Hp*4) padded x-major; pxp/pyp (Ht, Wt) padded-space coords
+    (Ht mult of 8, Wt mult of tile_w); oy/ox (Ht//8, Wt//tile_w) aligned
+    window origins. Returns (4, Ht, Wt) planar samples."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ht, wt = pxp.shape
+    nty, ntx = ht // TILE_H, wt // tile_w
+    kernel = _make_kernel(interpolation, win_h, win_w, tile_w)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec((TILE_H, tile_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((TILE_H, tile_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
+        ],
+        out_specs=pl.BlockSpec((4, TILE_H, tile_w), lambda i, j, *_: (0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((win_w, win_h * 4), img_xm.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    flops_tile = 2 * win_w * (win_h * 4) * tile_w * TILE_H
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((4, ht, wt), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * nty * ntx,
+            bytes_accessed=(win_w * win_h * 16) * nty * ntx + 16 * ht * wt,
+            transcendentals=0,
+        ),
+    )(oy, ox, pxp, pyp, img_xm)
+
+
+# ---------------------------------------------------------------------------
+# Public entry: planning + fallback
+# ---------------------------------------------------------------------------
+
+def sample_image_pallas(ev, img, x, y, xla_fallback):
+    """Sample InputImage `img` at world coords (x, y) via the Pallas kernel.
+
+    Returns [r, g, b, a] channel arrays. `xla_fallback()` is traced into a
+    lax.cond branch used when any tile's source bbox exceeds the window."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..runtime import sampling as S
+
+    opts = ev.ctx.opts
+    interpolation = opts.interpolation
+    win_h, win_w = getattr(opts, "pallas_window", DEFAULT_WIN)
+    tile_w = TILE_W
+
+    h_img, w_img = img.global_shape
+    h_out, w_out = x.shape
+
+    # padded image dims: hp mult of 32 (so oy*4 lane-aligns), wp mult of 8
+    hp = _round_up(h_img + PAD_L + 8, 32)
+    wp = _round_up(w_img + PAD_L + 8, 8)
+    win_h = min(win_h, hp)
+    win_w = min(win_w, wp)
+
+    # ---- coords + edge mapping (XLA, fused) ----
+    px, py = S.world_to_pixel(jnp, x, y, w_img, h_img)
+    px = _edge_map_coord(jnp, px, w_img, opts.edge_x)
+    py = _edge_map_coord(jnp, py, h_img, opts.edge_y)
+    pxp = px + float(PAD_L)
+    pyp = py + float(PAD_L)
+
+    # ---- padded x-major image (cached per invocation) ----
+    cache = getattr(ev.ctx, "_pallas_pad_cache", None)
+    if cache is None:
+        cache = {}
+        ev.ctx._pallas_pad_cache = cache
+    key = (id(img.pixels), opts.edge_x, opts.edge_y, hp, wp)
+    if key not in cache:
+        cache[key] = _pad_xmajor(
+            jnp, img.pixels, opts.edge_x, opts.edge_y, opts.edge_color, hp, wp
+        )
+    img_xm = cache[key]
+
+    # ---- pad the output grid to tile multiples ----
+    ht = _round_up(h_out, TILE_H)
+    wt = _round_up(w_out, tile_w)
+    if (ht, wt) != (h_out, w_out):
+        pxp_t = jnp.pad(pxp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
+        pyp_t = jnp.pad(pyp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
+    else:
+        pxp_t, pyp_t = pxp, pyp
+
+    # ---- window planning (XLA) ----
+    tap_lo, n_taps = _tap_range(interpolation)
+    if interpolation == "nearest":
+        x0 = jnp.floor(pxp_t + 0.5).astype(jnp.int32)
+        y0 = jnp.floor(pyp_t + 0.5).astype(jnp.int32)
+    else:
+        x0 = jnp.floor(pxp_t).astype(jnp.int32)
+        y0 = jnp.floor(pyp_t).astype(jnp.int32)
+    xt = x0.reshape(ht // TILE_H, TILE_H, wt // tile_w, tile_w)
+    yt = y0.reshape(ht // TILE_H, TILE_H, wt // tile_w, tile_w)
+    min_x = xt.min(axis=(1, 3)) + tap_lo
+    max_x = xt.max(axis=(1, 3)) + tap_lo + n_taps - 1
+    min_y = yt.min(axis=(1, 3)) + tap_lo
+    max_y = yt.max(axis=(1, 3)) + tap_lo + n_taps - 1
+    ox = jnp.clip((min_x // 8) * 8, 0, wp - win_w)
+    oy = jnp.clip((min_y // 32) * 32, 0, hp - win_h)
+    overflow = jnp.any(max_x - ox > win_w - 1) | jnp.any(max_y - oy > win_h - 1)
+
+    interpret = jax.default_backend() != "tpu"
+
+    def fast_path(_):
+        planar = warp_sample_pallas(
+            img_xm, pxp_t, pyp_t, oy, ox,
+            interpolation=interpolation, win_h=win_h, win_w=win_w,
+            tile_w=tile_w, interpret=interpret,
+        )
+        return tuple(planar[c, :h_out, :w_out] for c in range(4))
+
+    def slow_path(_):
+        return tuple(xla_fallback())
+
+    return list(jax.lax.cond(overflow, slow_path, fast_path, operand=None))

@@ -34,6 +34,14 @@ class RenderOptions:
     periodic: bool = True
     #: PRNG seed for rand()
     seed: int = 0
+    #: origVal sampler backend: 'auto' uses the Pallas MXU kernel on TPU
+    #: with whole-frame XLA-gather fallback on window overflow; 'pallas'
+    #: forces the kernel (interpret-mode off-TPU — slow, for tests);
+    #: 'gather' forces the XLA path.
+    sampler: str = "auto"
+    #: Pallas sampling window (rows mult-of-32, cols mult-of-8). Bigger
+    #: windows tolerate stronger warps but cost O(area) MXU FLOPs/pixel.
+    pallas_window: tuple = (32, 640)
 
     def __post_init__(self):
         if self.interpolation not in INTERPOLATIONS:
@@ -42,3 +50,8 @@ class RenderOptions:
             raise ValueError(f"edge behaviors must be one of {EDGE_BEHAVIORS}")
         if self.supersample < 1:
             raise ValueError("supersample must be >= 1")
+        if self.sampler not in ("auto", "pallas", "gather"):
+            raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
+        wh, ww = self.pallas_window
+        if wh % 32 or ww % 8:
+            raise ValueError("pallas_window must be (mult of 32, mult of 8)")

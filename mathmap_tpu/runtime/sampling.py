@@ -82,10 +82,38 @@ def _catmull_rom_weights(be, f):
     return w0, w1, w2, w3
 
 
+def _use_pallas(ev, img) -> bool:
+    """Pallas fast path applies to plain InputImages on the jax backend:
+    'auto' only on real TPU; 'pallas' forces it (interpret mode elsewhere)."""
+    from .value import InputImage, TiledInput
+
+    opts = ev.ctx.opts
+    if not ev.ctx.is_jax or opts.sampler == "gather":
+        return False
+    if type(img) is TiledInput or not isinstance(img, InputImage):
+        return False
+    if opts.sampler == "pallas":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def sample_image(ev, img, x, y):
     """Sample an input image at world coords (x, y) using the invocation's
     interpolation/edge settings. Returns 4 channel arrays (r, g, b, a).
     `img` provides global_shape and make_gather (value.InputImage API)."""
+    if _use_pallas(ev, img) and getattr(x, "ndim", 0) == 2 and x.shape == ev.ctx.shape:
+        from ..pallas_kernels.sample_kernel import sample_image_pallas
+
+        return sample_image_pallas(
+            ev, img, x, y, xla_fallback=lambda: _sample_xla(ev, img, x, y)
+        )
+    return _sample_xla(ev, img, x, y)
+
+
+def _sample_xla(ev, img, x, y):
+    """The XLA gather formulation (always-correct fallback + oracle path)."""
     be = ev.be
     opts = ev.ctx.opts
     h, w = img.global_shape

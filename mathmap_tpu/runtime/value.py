@@ -100,11 +100,13 @@ class InputImage(ImageBase):
     def make_gather(self, be):
         h, w = self.global_shape
         flat = self.pixels.reshape(h * w, 4)
-        channels = [flat[:, c] for c in range(4)]
 
         def gather(iy, ix):
-            lin = iy * w + ix
-            return [be.take(ch, lin) for ch in channels]
+            # one gather of a contiguous (1,4) RGBA slice per tap — 4x fewer
+            # gather ops than per-channel takes (TPU gathers are the
+            # bottleneck; see pallas_kernels/sample_kernel.py)
+            g = be.take(flat, iy * w + ix, axis=0)
+            return [g[..., c] for c in range(4)]
 
         return gather
 
@@ -133,13 +135,12 @@ class TiledInput(InputImage):
     def make_gather(self, be):
         ext_h, w = int(self.pixels.shape[0]), int(self.pixels.shape[1])
         flat = self.pixels.reshape(ext_h * w, 4)
-        channels = [flat[:, c] for c in range(4)]
         row_base = self.row_base
 
         def gather(iy, ix):
             ly = be.clip(iy - row_base, 0, ext_h - 1)
-            lin = ly * w + ix
-            return [be.take(ch, lin) for ch in channels]
+            g = be.take(flat, ly * w + ix, axis=0)
+            return [g[..., c] for c in range(4)]
 
         return gather
 

@@ -120,3 +120,27 @@ def test_multi_image_sampling_uses_own_pixels():
     f = mm.compile("filter f (image p, image q) q(xy) end")
     out = f.render(a, b, interpret=True, options=mm.RenderOptions(interpolation="nearest"))
     np.testing.assert_allclose(out, b, atol=1e-6)
+
+
+def test_pallas_sampler_matrix_matches_gather():
+    """Pallas MXU sampling kernel (interpret mode off-TPU) vs the XLA gather
+    path across interpolations and edge behaviors."""
+    img = _image(7)
+    f = mm.compile("origVal(toXY(ra:[r * 0.8, a + 0.3]))")
+    for interp in ("nearest", "bilinear", "bicubic"):
+        for ex, ey in (("color", "color"), ("wrap", "reflect")):
+            a = f.render(img, options=mm.RenderOptions(
+                interpolation=interp, edge_x=ex, edge_y=ey, sampler="gather"))
+            b = f.render(img, options=mm.RenderOptions(
+                interpolation=interp, edge_x=ex, edge_y=ey, sampler="pallas"))
+            np.testing.assert_allclose(b, a, atol=2e-5, err_msg=f"{interp} {ex}/{ey}")
+
+
+def test_pallas_overflow_falls_back():
+    """Unbounded-displacement warp must trigger the whole-frame fallback and
+    still match the gather path exactly."""
+    img = _image(8)
+    f = mm.compile("origVal(xy * xy)")  # quadratic blowup
+    a = f.render(img, options=mm.RenderOptions(sampler="gather"))
+    b = f.render(img, options=mm.RenderOptions(sampler="pallas", pallas_window=(32, 128)))
+    np.testing.assert_allclose(b, a, atol=2e-5)
