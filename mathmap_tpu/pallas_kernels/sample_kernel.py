@@ -37,7 +37,7 @@ Pipeline (all inside one jit):
 from __future__ import annotations
 
 #: default window (rows, cols): rows mult of 32, cols mult of 8
-DEFAULT_WIN = (32, 640)
+DEFAULT_WIN = (64, 640)
 TILE_H = 8
 TILE_W = 256
 PAD_L = 8  # left/top apron
@@ -128,7 +128,8 @@ def _weights(jnp, frac, interpolation: str):
     ]
 
 
-def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int):
+def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
+                 precision: str = "bf16"):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -136,6 +137,9 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int):
 
     tap_lo, n_taps = _tap_range(interpolation)
     dn = (((0,), (0,)), ((), ()))  # contract sublane dim of both operands
+    # bf16 matmul is native on the MXU (~17x the emulated-f32 rate on v5e,
+    # measured) and loses only ~1 LSB of 8-bit color precision.
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def kernel(oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win, sem):
         i = pl.program_id(0)
@@ -191,7 +195,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int):
 
             # MXU: (win_w, win_h*4) x (win_w, TW) -> (win_h*4, TW)
             tmp = jax.lax.dot_general(
-                win[:], ox_mat, dimension_numbers=dn,
+                win[:].astype(mm_dtype), ox_mat.astype(mm_dtype),
+                dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             )
             prod = tmp * oy_mat4
@@ -206,7 +211,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int):
 
 
 def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
-                       win_h: int, win_w: int, tile_w: int, interpret: bool = False):
+                       win_h: int, win_w: int, tile_w: int,
+                       precision: str = "bf16", interpret: bool = False):
     """img_xm (Wp, Hp*4) padded x-major; pxp/pyp (Ht, Wt) padded-space coords
     (Ht mult of 8, Wt mult of tile_w); oy/ox (Ht//8, Wt//tile_w) aligned
     window origins. Returns (4, Ht, Wt) planar samples."""
@@ -217,7 +223,7 @@ def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
 
     ht, wt = pxp.shape
     nty, ntx = ht // TILE_H, wt // tile_w
-    kernel = _make_kernel(interpolation, win_h, win_w, tile_w)
+    kernel = _make_kernel(interpolation, win_h, win_w, tile_w, precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -327,7 +333,8 @@ def sample_image_pallas(ev, img, x, y, xla_fallback):
         planar = warp_sample_pallas(
             img_xm, pxp_t, pyp_t, oy, ox,
             interpolation=interpolation, win_h=win_h, win_w=win_w,
-            tile_w=tile_w, interpret=interpret,
+            tile_w=tile_w, precision=getattr(opts, "pallas_precision", "bf16"),
+            interpret=interpret,
         )
         return tuple(planar[c, :h_out, :w_out] for c in range(4))
 

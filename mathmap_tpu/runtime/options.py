@@ -41,7 +41,12 @@ class RenderOptions:
     sampler: str = "auto"
     #: Pallas sampling window (rows mult-of-32, cols mult-of-8). Bigger
     #: windows tolerate stronger warps but cost O(area) MXU FLOPs/pixel.
-    pallas_window: tuple = (32, 640)
+    pallas_window: tuple = (64, 640)
+    #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
+    #: is ~17x faster on v5e (f32 matmul is emulated) and accurate to about
+    #: one 8-bit LSB — matching the reference's uint8 output packing;
+    #: 'f32' gives full f32 parity with the gather path.
+    pallas_precision: str = "bf16"
 
     def __post_init__(self):
         if self.interpolation not in INTERPOLATIONS:
@@ -55,3 +60,5 @@ class RenderOptions:
         wh, ww = self.pallas_window
         if wh % 32 or ww % 8:
             raise ValueError("pallas_window must be (mult of 32, mult of 8)")
+        if self.pallas_precision not in ("bf16", "f32"):
+            raise ValueError("pallas_precision must be 'bf16' or 'f32'")

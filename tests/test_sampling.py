@@ -131,9 +131,15 @@ def test_pallas_sampler_matrix_matches_gather():
         for ex, ey in (("color", "color"), ("wrap", "reflect")):
             a = f.render(img, options=mm.RenderOptions(
                 interpolation=interp, edge_x=ex, edge_y=ey, sampler="gather"))
+            # f32 precision: matches the gather path to f32 rounding
             b = f.render(img, options=mm.RenderOptions(
-                interpolation=interp, edge_x=ex, edge_y=ey, sampler="pallas"))
+                interpolation=interp, edge_x=ex, edge_y=ey, sampler="pallas",
+                pallas_precision="f32"))
             np.testing.assert_allclose(b, a, atol=2e-5, err_msg=f"{interp} {ex}/{ey}")
+            # bf16 (default, 17x faster on v5e): within ~1 LSB of 8-bit
+            c = f.render(img, options=mm.RenderOptions(
+                interpolation=interp, edge_x=ex, edge_y=ey, sampler="pallas"))
+            np.testing.assert_allclose(c, a, atol=5e-3, err_msg=f"bf16 {interp} {ex}/{ey}")
 
 
 def test_pallas_overflow_falls_back():
@@ -142,5 +148,6 @@ def test_pallas_overflow_falls_back():
     img = _image(8)
     f = mm.compile("origVal(xy * xy)")  # quadratic blowup
     a = f.render(img, options=mm.RenderOptions(sampler="gather"))
-    b = f.render(img, options=mm.RenderOptions(sampler="pallas", pallas_window=(32, 128)))
+    b = f.render(img, options=mm.RenderOptions(sampler="pallas", pallas_window=(32, 128),
+                                               pallas_precision="f32"))
     np.testing.assert_allclose(b, a, atol=2e-5)
