@@ -59,7 +59,8 @@ class Filter:
 
     def render(self, *inputs, width: int | None = None, height: int | None = None,
                t: float = 0.0, frame: float = 0.0, options: RenderOptions | None = None,
-               params: dict | None = None, interpret: bool = False):
+               params: dict | None = None, interpret: bool = False,
+               precision: str = "f32"):
         """Render one frame -> float32 (H, W, 4) RGBA in [0,1].
 
         inputs: zero or more (H,W,4)-convertible arrays bound to the filter's
@@ -72,7 +73,8 @@ class Filter:
         width, height = self._resolve_size(ins, width, height)
         if interpret:
             return render_oracle(
-                self.filters, self.fdef, ins, params, width, height, options, t=t, frame=frame
+                self.filters, self.fdef, ins, params, width, height, options,
+                t=t, frame=frame, precision=precision,
             )
         renderer = self._renderer(width, height, options, 1)
         return np.asarray(renderer(ins, params, t=t, frame=frame))

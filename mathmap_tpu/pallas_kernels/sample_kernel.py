@@ -129,7 +129,7 @@ def _weights(jnp, frac, interpolation: str):
 
 
 def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
-                 precision: str = "bf16"):
+                 precision: str = "bf16", tile_h: int = TILE_H):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -163,7 +163,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
         ch_masks = [c_of_row == c for c in range(4)]
         cp.wait()
 
-        for rr in range(TILE_H):
+        for rr in range(tile_h):
             px = px_ref[rr : rr + 1, :]  # (1, TW)
             py = py_ref[rr : rr + 1, :]
             if interpolation == "nearest":
@@ -212,34 +212,35 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
 
 def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
                        win_h: int, win_w: int, tile_w: int,
-                       precision: str = "bf16", interpret: bool = False):
+                       precision: str = "bf16", interpret: bool = False,
+                       tile_h: int = TILE_H):
     """img_xm (Wp, Hp*4) padded x-major; pxp/pyp (Ht, Wt) padded-space coords
-    (Ht mult of 8, Wt mult of tile_w); oy/ox (Ht//8, Wt//tile_w) aligned
-    window origins. Returns (4, Ht, Wt) planar samples."""
+    (Ht mult of tile_h, Wt mult of tile_w); oy/ox (Ht//tile_h, Wt//tile_w)
+    aligned window origins. Returns (4, Ht, Wt) planar samples."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ht, wt = pxp.shape
-    nty, ntx = ht // TILE_H, wt // tile_w
-    kernel = _make_kernel(interpolation, win_h, win_w, tile_w, precision)
+    nty, ntx = ht // tile_h, wt // tile_w
+    kernel = _make_kernel(interpolation, win_h, win_w, tile_w, precision, tile_h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec((TILE_H, tile_w), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((TILE_H, tile_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
         ],
-        out_specs=pl.BlockSpec((4, TILE_H, tile_w), lambda i, j, *_: (0, i, j)),
+        out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
         scratch_shapes=[
             pltpu.VMEM((win_w, win_h * 4), img_xm.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    flops_tile = 2 * win_w * (win_h * 4) * tile_w * TILE_H
+    flops_tile = 2 * win_w * (win_h * 4) * tile_w * tile_h
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, ht, wt), jnp.float32),
@@ -300,45 +301,59 @@ def sample_image_pallas(ev, img, x, y, xla_fallback):
         )
     img_xm = cache[key]
 
-    # ---- pad the output grid to tile multiples ----
-    ht = _round_up(h_out, TILE_H)
-    wt = _round_up(w_out, tile_w)
-    if (ht, wt) != (h_out, w_out):
-        pxp_t = jnp.pad(pxp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
-        pyp_t = jnp.pad(pyp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
-    else:
-        pxp_t, pyp_t = pxp, pyp
-
-    # ---- window planning (XLA) ----
-    tap_lo, n_taps = _tap_range(interpolation)
-    if interpolation == "nearest":
-        x0 = jnp.floor(pxp_t + 0.5).astype(jnp.int32)
-        y0 = jnp.floor(pyp_t + 0.5).astype(jnp.int32)
-    else:
-        x0 = jnp.floor(pxp_t).astype(jnp.int32)
-        y0 = jnp.floor(pyp_t).astype(jnp.int32)
-    xt = x0.reshape(ht // TILE_H, TILE_H, wt // tile_w, tile_w)
-    yt = y0.reshape(ht // TILE_H, TILE_H, wt // tile_w, tile_w)
-    min_x = xt.min(axis=(1, 3)) + tap_lo
-    max_x = xt.max(axis=(1, 3)) + tap_lo + n_taps - 1
-    min_y = yt.min(axis=(1, 3)) + tap_lo
-    max_y = yt.max(axis=(1, 3)) + tap_lo + n_taps - 1
-    ox = jnp.clip((min_x // 8) * 8, 0, wp - win_w)
-    oy = jnp.clip((min_y // 32) * 32, 0, hp - win_h)
-    overflow = jnp.any(max_x - ox > win_w - 1) | jnp.any(max_y - oy > win_h - 1)
-
     interpret = jax.default_backend() != "tpu"
+    precision = getattr(opts, "pallas_precision", "bf16")
+    tap_lo, n_taps = _tap_range(interpolation)
 
-    def fast_path(_):
-        planar = warp_sample_pallas(
-            img_xm, pxp_t, pyp_t, oy, ox,
-            interpolation=interpolation, win_h=win_h, win_w=win_w,
-            tile_w=tile_w, precision=getattr(opts, "pallas_precision", "bf16"),
-            interpret=interpret,
-        )
-        return tuple(planar[c, :h_out, :w_out] for c in range(4))
+    def plan(tile_h, tile_w_c, win_h_c, win_w_c):
+        """Tile-pad the coord grids and compute aligned window origins plus
+        the overflow flag for one (tile, window) configuration."""
+        win_h_c = min(win_h_c, hp)
+        win_w_c = min(win_w_c, wp)
+        ht = _round_up(h_out, tile_h)
+        wt = _round_up(w_out, tile_w_c)
+        if (ht, wt) != (h_out, w_out):
+            pxp_t = jnp.pad(pxp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
+            pyp_t = jnp.pad(pyp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
+        else:
+            pxp_t, pyp_t = pxp, pyp
+        if interpolation == "nearest":
+            x0 = jnp.floor(pxp_t + 0.5).astype(jnp.int32)
+            y0 = jnp.floor(pyp_t + 0.5).astype(jnp.int32)
+        else:
+            x0 = jnp.floor(pxp_t).astype(jnp.int32)
+            y0 = jnp.floor(pyp_t).astype(jnp.int32)
+        xt = x0.reshape(ht // tile_h, tile_h, wt // tile_w_c, tile_w_c)
+        yt = y0.reshape(ht // tile_h, tile_h, wt // tile_w_c, tile_w_c)
+        min_x = xt.min(axis=(1, 3)) + tap_lo
+        max_x = xt.max(axis=(1, 3)) + tap_lo + n_taps - 1
+        min_y = yt.min(axis=(1, 3)) + tap_lo
+        max_y = yt.max(axis=(1, 3)) + tap_lo + n_taps - 1
+        ox = jnp.clip((min_x // 8) * 8, 0, wp - win_w_c)
+        oy = jnp.clip((min_y // 32) * 32, 0, hp - win_h_c)
+        overflow = jnp.any(max_x - ox > win_w_c - 1) | jnp.any(max_y - oy > win_h_c - 1)
+
+        def run(_):
+            planar = warp_sample_pallas(
+                img_xm, pxp_t, pyp_t, oy, ox,
+                interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
+                tile_w=tile_w_c, tile_h=tile_h, precision=precision,
+                interpret=interpret,
+            )
+            return tuple(planar[c, :h_out, :w_out] for c in range(4))
+
+        return overflow, run
+
+    # config chain: translational-fast -> rotational (squarer tiles, bigger
+    # windows) -> whole-frame XLA gather; lax.cond picks per frame
+    ov1, run1 = plan(TILE_H, tile_w, win_h, win_w)
+    rot_h, rot_w = getattr(opts, "pallas_window_rot", (320, 328))
+    ov2, run2 = plan(8, 128, rot_h, rot_w)
 
     def slow_path(_):
         return tuple(xla_fallback())
 
-    return list(jax.lax.cond(overflow, slow_path, fast_path, operand=None))
+    def second(_):
+        return jax.lax.cond(ov2, slow_path, run2, operand=None)
+
+    return list(jax.lax.cond(ov1, second, run1, operand=None))

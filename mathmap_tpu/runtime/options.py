@@ -42,6 +42,9 @@ class RenderOptions:
     #: Pallas sampling window (rows mult-of-32, cols mult-of-8). Bigger
     #: windows tolerate stronger warps but cost O(area) MXU FLOPs/pixel.
     pallas_window: tuple = (64, 640)
+    #: second-chance window for rotational warps (fisheye/twirl): squarer
+    #: 8x128 tiles with a window sized for source gradients up to ~2.
+    pallas_window_rot: tuple = (320, 328)
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is ~17x faster on v5e (f32 matmul is emulated) and accurate to about
     #: one 8-bit LSB — matching the reference's uint8 output packing;

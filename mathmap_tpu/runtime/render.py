@@ -32,14 +32,15 @@ def coordinate_grids(ctx: RenderContext, dx: float = 0.0, dy: float = 0.0):
     row/col offsets — coordinates are identical to the unsharded render."""
     be = ctx.be
     h, w = ctx.shape
-    xs = (be.arange(w, dtype=be.float32)
-          + be.asarray(ctx.col_offset, dtype=be.float32)
-          + be.asarray(0.5 + dx, dtype=be.float32)
-          - be.asarray(ctx.width * 0.5, dtype=be.float32))
-    ys = (be.asarray(ctx.height * 0.5, dtype=be.float32)
-          - (be.arange(h, dtype=be.float32)
-             + be.asarray(ctx.row_offset, dtype=be.float32)
-             + be.asarray(0.5 + dy, dtype=be.float32)))
+    dt = ctx.dtype or be.float32
+    xs = (be.arange(w, dtype=dt)
+          + be.asarray(ctx.col_offset, dtype=dt)
+          + be.asarray(0.5 + dx, dtype=dt)
+          - be.asarray(ctx.width * 0.5, dtype=dt))
+    ys = (be.asarray(ctx.height * 0.5, dtype=dt)
+          - (be.arange(h, dtype=dt)
+             + be.asarray(ctx.row_offset, dtype=dt)
+             + be.asarray(0.5 + dy, dtype=dt)))
     x = be.broadcast_to(xs[None, :], (h, w))
     y = be.broadcast_to(ys[:, None], (h, w))
     return x, y
@@ -220,16 +221,18 @@ class JitRenderer:
 
 def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params: dict,
                   width: int, height: int, opts, t: float = 0.0, frame: float = 0.0,
-                  num_frames: int = 1):
+                  num_frames: int = 1, precision: str = "f32"):
     """NumPy oracle render — the semantic spec (reference IR interpreter
     analog, SURVEY §2.3 item 2). Eager, slow, used by tests and
-    `--interpret`."""
+    `--interpret`. precision='f64' runs the whole evaluation in float64
+    (the reference computes in C doubles — SURVEY §7 hard part 2)."""
+    dt = np.float64 if precision == "f64" else np.float32
     ctx = RenderContext(
         be=np, width=width, height=height, opts=opts,
-        inputs=[InputImage(pixels=np.asarray(a, dtype=np.float32), name=f"in{i}")
+        inputs=[InputImage(pixels=np.asarray(a, dtype=dt), name=f"in{i}")
                 for i, a in enumerate(input_arrays)],
-        filters=program_filters, t=np.float32(t), frame=np.float32(frame),
-        num_frames=num_frames, is_jax=False,
+        filters=program_filters, t=dt(t), frame=dt(frame),
+        num_frames=num_frames, is_jax=False, dtype=dt,
     )
     uservals = {}
     for p in fdef.params:

@@ -63,6 +63,9 @@ class RenderContext:
     num_frames: int = 1
     is_jax: bool = True
     rand_counter: int = 0
+    #: component dtype; None = backend float32. The oracle interpreter can
+    #: run in float64 ('1-ulp-equivalent' validation, BASELINE north star).
+    dtype: Any = None
     #: Local tile shape when the grid is sharded over a device mesh
     #: (parallel/shard.py); None = unsharded, full (height, width). The
     #: semantic internals X/Y/W/H/R always use the GLOBAL size.
@@ -90,7 +93,7 @@ class Evaluator:
     # small helpers
     # ------------------------------------------------------------------
     def lit(self, v) -> Any:
-        return self.be.asarray(v, dtype=self.be.float32)
+        return self.be.asarray(v, dtype=self.ctx.dtype or self.be.float32)
 
     def grid(self, arr):
         """Broadcast a component to the full (H, W) grid."""

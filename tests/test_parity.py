@@ -78,3 +78,16 @@ def test_filter_suite_parity(path):
     assert oracle.shape == (H, W, 4)
     np.testing.assert_allclose(jax_out, oracle, rtol=1e-4, atol=1e-5)
     assert np.isfinite(oracle).all()
+
+
+def test_oracle_f64_precision_mode():
+    """float64 oracle (the reference computes in C doubles): f32 jit output
+    stays within f32 tolerance of the f64 spec."""
+    f = mm.compile("grayColor(0.5 + 0.5 * sin(r * 0.3 - a))")
+    img = _image()
+    o64 = f.render(img, interpret=True, precision="f64")
+    assert o64.dtype == np.float64
+    o32 = f.render(img, interpret=True)
+    j32 = f.render(img)
+    np.testing.assert_allclose(o32, o64, atol=2e-6)
+    np.testing.assert_allclose(j32, o64, atol=1e-5)

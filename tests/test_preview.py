@@ -1,0 +1,64 @@
+"""Preview server (GIMP-dialog analog) endpoint tests."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mathmap_tpu.expression_db import default_db
+from mathmap_tpu.preview import PreviewState, _make_handler
+from http.server import ThreadingHTTPServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    img = np.zeros((16, 16, 4), np.float32)
+    img[..., 3] = 1.0
+    state = PreviewState(img, 16, default_db())
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.read()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_page_and_library(server):
+    page = _get(server + "/").decode()
+    assert "mathmap_tpu preview" in page
+    lib = json.loads(_get(server + "/library"))
+    assert "Distorts" in lib and "fisheye" in lib["Distorts"]
+    src = _get(server + "/filter/twirl").decode()
+    assert "filter twirl" in src
+
+
+def test_render_roundtrip_with_params(server):
+    out = _post(server + "/render", {
+        "source": "filter f (float k: 0-1 (0.25)) grayColor(k) end",
+        "t": 0.0, "params": {},
+    })
+    assert "png" in out and len(out["png"]) > 100
+    assert out["params"][0]["name"] == "k"
+    out2 = _post(server + "/render", {
+        "source": "filter f (float k: 0-1 (0.25)) grayColor(k) end",
+        "t": 0.0, "params": {"k": 0.9},
+    })
+    assert out2["png"] != out["png"]
+
+
+def test_render_error_reported(server):
+    out = _post(server + "/render", {"source": "grayColor(1 +", "t": 0.0})
+    assert "error" in out and "MMSyntaxError" in out["error"]
