@@ -92,6 +92,10 @@ def _use_pallas(ev, img) -> bool:
         return False
     if type(img) is TiledInput or not isinstance(img, InputImage):
         return False
+    if ev.ctx.grid_shape is not None:
+        # mesh-sharded render: each device's tile planning inside shard_map
+        # is untested with the pallas kernel — use the gather path
+        return False
     if opts.sampler == "pallas":
         return True
     import jax
