@@ -51,42 +51,53 @@ class ExpressionDB:
     categories: dict = field(default_factory=dict)  # category -> [names]
     errors: list = field(default_factory=list)  # (path, error) skipped files
 
+    def _add_source(self, path: str, category: str, source: str,
+                    only_main: bool = False) -> None:
+        try:
+            program = parse(source)
+        except MMError as exc:
+            self.errors.append((path, str(exc)))
+            return
+        doc = _leading_comment(source)
+        fdefs = program.filters[-1:] if only_main else program.filters
+        for fdef in fdefs:
+            if fdef.name in self.entries:
+                continue
+            self.entries[fdef.name] = DBEntry(
+                name=fdef.name, category=category, path=path,
+                source=source, fdef=fdef, program=program, doc=doc,
+            )
+            self.categories.setdefault(category, []).append(fdef.name)
+
     @classmethod
     def scan(cls, root: str) -> "ExpressionDB":
         db = cls(root=root)
+        mmc_files = []
+        # pass 1: .mm sources populate the name->filter environment
         for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+            category = os.path.relpath(dirpath, root)
+            if category == ".":
+                category = ""
             for fn in sorted(filenames):
                 path = os.path.join(dirpath, fn)
                 if fn.endswith(".mmc"):
-                    # composer graphs compile to generated .mm source
-                    try:
-                        from .designer.graph import load_mmc
-
-                        graph = load_mmc(path, db=None)
-                        source = graph.to_source()
-                    except Exception as exc:  # pragma: no cover - scan robustness
-                        db.errors.append((path, str(exc)))
-                        continue
+                    mmc_files.append((path, category))
                 elif fn.endswith(".mm"):
                     with open(path) as f:
-                        source = f.read()
-                else:
-                    continue
-                category = os.path.relpath(dirpath, root)
-                if category == ".":
-                    category = ""
-                try:
-                    program = parse(source)
-                except MMError as exc:
-                    db.errors.append((path, str(exc)))
-                    continue
-                doc = _leading_comment(source)
-                for fdef in program.filters:
-                    db.entries[fdef.name] = DBEntry(
-                        name=fdef.name, category=category, path=path,
-                        source=source, fdef=fdef, program=program, doc=doc,
-                    )
-                    db.categories.setdefault(category, []).append(fdef.name)
+                        db._add_source(path, category, f.read())
+        # pass 2: composer graphs compile against the scanned library
+        # (nodes reference .mm filters by name — SURVEY §3.4)
+        for path, category in mmc_files:
+            try:
+                from .designer.graph import load_mmc
+
+                graph = load_mmc(path, db=db)
+                name = os.path.splitext(os.path.basename(path))[0]
+                source = graph.to_source(name=name)
+            except Exception as exc:
+                db.errors.append((path, str(exc)))
+                continue
+            db._add_source(path, category, source, only_main=True)
         return db
 
     def names(self):

@@ -1,0 +1,96 @@
+"""CLI front-end tests (mathmap_cmdline.c analog) — subprocess, CPU backend."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+
+ENV = {
+    "PYTHONPATH": ".",
+    "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+    "HOME": os.environ.get("HOME", "/root"),
+    "MMTPU_PLATFORM": "cpu",
+    "JAX_PLATFORMS": "cpu",
+}
+
+
+def run_cli(*args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "mathmap_tpu", *args],
+        capture_output=True, text=True, env=ENV, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def input_png(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli") / "in.png"
+    img = np.random.RandomState(0).rand(20, 24, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    mm.write_image(str(path), img)
+    return str(path)
+
+
+def test_render_expression(input_png, tmp_path):
+    out = tmp_path / "out.png"
+    proc = run_cli("grayColor(gray(origVal(xy)))", input_png, str(out), "--interpret")
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    img = mm.read_image(str(out))
+    assert img.shape == (20, 24, 4)
+    assert np.allclose(img[..., 0], img[..., 1])  # gray
+
+
+def test_render_library_filter_with_param(input_png, tmp_path):
+    out = tmp_path / "o.png"
+    proc = run_cli("invert", input_png, str(out), "--interpret")
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    inverted = mm.read_image(str(out))
+    orig = mm.read_image(input_png)
+    np.testing.assert_allclose(inverted[..., :3], 1 - orig[..., :3], atol=2 / 255)
+
+
+def test_animation_frames_and_resume(input_png, tmp_path):
+    out = tmp_path / "anim.png"
+    proc = run_cli("filters/Distorts/wave.mm", input_png, str(out),
+                   "--frames", "2", "--interpret" if False else "--frames", "2")
+    # note: jit path on CPU; small image so compile is quick
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    assert (tmp_path / "anim_0000.png").exists()
+    assert (tmp_path / "anim_0001.png").exists()
+    proc2 = run_cli("filters/Distorts/wave.mm", input_png, str(out),
+                    "--frames", "2", "--resume", "-v")
+    assert proc2.returncode == 0
+    assert "0 frame(s)" in proc2.stderr
+
+
+def test_list_flag():
+    proc = run_cli("--list")
+    assert proc.returncode == 0
+    assert "Distorts/" in proc.stdout and "fisheye" in proc.stdout
+
+
+def test_syntax_error_exit_code(input_png, tmp_path):
+    proc = run_cli("grayColor(1 +", input_png, str(tmp_path / "x.png"))
+    assert proc.returncode == 1
+    assert "MMSyntaxError" in proc.stderr
+    assert not (tmp_path / "x.png").exists()
+
+
+def test_missing_output():
+    proc = run_cli("grayColor(x)")
+    assert proc.returncode != 0
+
+
+def test_edge_and_interp_flags(input_png, tmp_path):
+    out = tmp_path / "e.png"
+    proc = run_cli("origVal(xy + xy:[30, 0])", input_png, str(out),
+                   "--interpret", "--edge-x", "wrap", "--interpolation", "nearest")
+    assert proc.returncode == 0, proc.stderr[-500:]
+    wrapped = mm.read_image(str(out))
+    orig = mm.read_image(input_png)
+    expected = np.roll(orig, -30 % 24, axis=1)
+    np.testing.assert_allclose(wrapped, np.roll(orig, -(30 % 24), axis=1), atol=2 / 255)

@@ -174,3 +174,17 @@ def test_gaussian_blur_parity():
     oracle = f.render(img, interpret=True, options=opts)
     jax_out = f.render(img, options=opts)
     np.testing.assert_allclose(jax_out, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_db_scans_mmc_compositions():
+    db = default_db()
+    assert not db.errors, db.errors
+    assert "old_photo" in db.entries
+    assert db.entries["old_photo"].category == "Compositions"
+    f = db.compile("old_photo")
+    img = _image()
+    out = f.render(img, interpret=True)
+    assert out.shape == (H, W, 4)
+    assert np.isfinite(out).all()
+    # grain means output differs from plain sepia+vignette chain run without it
+    assert (out[..., 3] == 1).all()
