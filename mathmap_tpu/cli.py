@@ -53,6 +53,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--interpret", action="store_true", help="use the NumPy oracle interpreter")
     p.add_argument("--resume", action="store_true", help="skip animation frames whose output file exists")
     p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
+    p.add_argument("--stats", action="store_true", help="print one JSON line of render statistics")
     p.add_argument("--verbose", "-v", action="store_true", help="print per-phase timing and render stats")
     return p
 
@@ -183,6 +184,15 @@ def main(argv=None) -> int:
             w = width or (inputs[0].shape[1] if inputs else 512)
             mpix = frames_done * h * w / 1e6
             log(f"render: {dt:.3f}s  {frames_done} frame(s)  {mpix / dt:.2f} Mpix/s")
+        if args.stats:
+            from .utils.log import RenderStats
+
+            stats = RenderStats(
+                width=width or (inputs[0].shape[1] if inputs else 512),
+                height=height or (inputs[0].shape[0] if inputs else 512),
+                frames=frames_done, parse_s=t1 - t0, render_s=dt,
+            )
+            print(stats.to_json())
     except MMError as exc:
         print(exc.format(), file=sys.stderr)
         return 1

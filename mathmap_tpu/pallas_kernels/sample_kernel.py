@@ -155,12 +155,16 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
         cp.start()
 
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, tile_w), 0)
-        # interleaved-row index helpers for the (win_h*4, TW) stage-B masks:
+        # interleaved-row index helper for the (win_h*4, TW) stage-B weights:
         # row (r*4 + c) holds window row r, channel c
         iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, tile_w), 0)
         r_of_row = iota_h4 // 4
-        c_of_row = iota_h4 - r_of_row * 4
-        ch_masks = [c_of_row == c for c in range(4)]
+        # constant channel selector (4, win_h*4): sel[c, row] = (row % 4 == c)
+        # — turns the per-channel masked reductions into one tiny MXU matmul
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 1)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 0)
+        sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
+        dn_sel = (((1,), (0,)), ((), ()))
         cp.wait()
 
         for rr in range(tile_h):
@@ -200,12 +204,12 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
                 preferred_element_type=jnp.float32,
             )
             prod = tmp * oy_mat4
-            for c in range(4):
-                # full-leading-dim reduction (Mosaic rejects reductions over
-                # offset layouts, so no mid-dim slicing here)
-                o_ref[c, rr : rr + 1, :] = jnp.sum(
-                    jnp.where(ch_masks[c], prod, 0.0), axis=0, keepdims=True
-                )
+            # stage B: (4, win_h*4) @ (win_h*4, TW) channel-select-and-reduce
+            out4 = jax.lax.dot_general(
+                sel, prod.astype(mm_dtype), dimension_numbers=dn_sel,
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[:, rr : rr + 1, :] = out4.reshape(4, 1, tile_w)
 
     return kernel
 
