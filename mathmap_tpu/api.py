@@ -60,12 +60,14 @@ class Filter:
     def render(self, *inputs, width: int | None = None, height: int | None = None,
                t: float = 0.0, frame: float = 0.0, options: RenderOptions | None = None,
                params: dict | None = None, interpret: bool = False,
-               precision: str = "f32"):
+               precision: str = "f32", on_error: str = "raise"):
         """Render one frame -> float32 (H, W, 4) RGBA in [0,1].
 
         inputs: zero or more (H,W,4)-convertible arrays bound to the filter's
-        image parameters in order. `interpret=True` uses the NumPy oracle
-        (the reference's no-gcc interpreter fallback, SURVEY §5 failure row).
+        image parameters in order. `interpret=True` uses the NumPy oracle.
+        on_error='interpret' falls back to the oracle when the jit path
+        fails to compile/execute — the reference's gcc-failure->interpreter
+        behavior (SURVEY §5 failure row); default 'raise' surfaces the bug.
         """
         options = options or RenderOptions()
         params = params or {}
@@ -76,8 +78,24 @@ class Filter:
                 self.filters, self.fdef, ins, params, width, height, options,
                 t=t, frame=frame, precision=precision,
             )
-        renderer = self._renderer(width, height, options, 1)
-        return np.asarray(renderer(ins, params, t=t, frame=frame))
+        try:
+            renderer = self._renderer(width, height, options, 1)
+            return np.asarray(renderer(ins, params, t=t, frame=frame))
+        except MMError:
+            raise
+        except Exception:
+            if on_error != "interpret":
+                raise
+            import logging
+
+            logging.getLogger("mathmap_tpu").warning(
+                "jit render failed; falling back to the NumPy interpreter",
+                exc_info=True,
+            )
+            return render_oracle(
+                self.filters, self.fdef, ins, params, width, height, options,
+                t=t, frame=frame, precision=precision,
+            )
 
     def render_animation(self, *inputs, num_frames: int, width: int | None = None,
                          height: int | None = None, options: RenderOptions | None = None,
@@ -93,6 +111,34 @@ class Filter:
         denom = num_frames if options.periodic else max(num_frames - 1, 1)
         ts = np.arange(num_frames, dtype=np.float32) / denom
         return np.asarray(renderer.render_all_frames(ins, params, ts))
+
+    def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
+                       width: int | None = None, height: int | None = None,
+                       options: RenderOptions | None = None, ts=None):
+        """Render across a device mesh: frames shard over 'f' (DP), grid
+        rows/cols over 'y'/'x' (parallel/shard.py — the multi-chip analog of
+        the reference's slice threads). `mesh=None` builds a rows-only mesh
+        over all devices. Returns (H,W,4) or (F,H,W,4)."""
+        from .parallel.mesh import make_mesh
+        from .parallel.shard import ShardedRenderer
+
+        options = options or RenderOptions()
+        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        width, height = self._resolve_size(ins, width, height)
+        if mesh is None:
+            mesh = make_mesh()
+        key = ("sharded", width, height, options, num_frames, id(mesh))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = ShardedRenderer(
+                mesh, self.filters, self.fdef, width, height, options, num_frames
+            )
+        renderer = self._jit_cache[key]
+        if num_frames == 1:
+            return np.asarray(renderer(ins))
+        if ts is None:
+            denom = num_frames if options.periodic else max(num_frames - 1, 1)
+            ts = np.arange(num_frames, dtype=np.float32) / denom
+        return np.asarray(renderer(ins, ts=ts))
 
     def render_frames(self, *inputs, num_frames: int, width: int | None = None,
                       height: int | None = None, options: RenderOptions | None = None,

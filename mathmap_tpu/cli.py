@@ -45,12 +45,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--edge-x", choices=EDGE_BEHAVIORS, default="color")
     p.add_argument("--edge-y", choices=EDGE_BEHAVIORS, default="color")
     p.add_argument("--edge-color", default="0,0,0,0", help="RGBA floats for 'color' edge behavior")
-    p.add_argument("--supersample", action="store_true", help="2x2 supersampling AA")
+    p.add_argument("--supersample", nargs="?", type=int, const=2, default=1,
+                   metavar="N", help="NxN supersampling AA (default 2 when given bare)")
     p.add_argument("--filter", dest="filter_name", default=None, help="filter name when the file defines several")
     p.add_argument("--param", action="append", default=[], metavar="NAME=VALUE", help="set a userval")
     p.add_argument("--seed", type=int, default=0, help="rand() seed")
     p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")
     p.add_argument("--interpret", action="store_true", help="use the NumPy oracle interpreter")
+    p.add_argument("--fallback", action="store_true",
+                   help="fall back to the interpreter if the jit path fails")
     p.add_argument("--resume", action="store_true", help="skip animation frames whose output file exists")
     p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
     p.add_argument("--stats", action="store_true", help="print one JSON line of render statistics")
@@ -143,7 +146,7 @@ def main(argv=None) -> int:
         edge_x=args.edge_x,
         edge_y=args.edge_y,
         edge_color=tuple(float(c) for c in args.edge_color.split(",")),
-        supersample=2 if args.supersample else 1,
+        supersample=args.supersample,
         periodic=not args.non_periodic,
         seed=args.seed,
     )
@@ -162,6 +165,7 @@ def main(argv=None) -> int:
             out = filt.render(
                 *inputs, width=width, height=height, t=args.t,
                 options=opts, params=params, interpret=args.interpret,
+                on_error="interpret" if args.fallback else "raise",
             )
             write_image(out_path, out)
             frames_done = 1

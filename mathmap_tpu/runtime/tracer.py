@@ -74,6 +74,11 @@ class RenderContext:
     #: values derived from lax.axis_index under shard_map).
     row_offset: Any = 0
     col_offset: Any = 0
+    #: filter-inlining depth (compile resource limit: the reference bounds
+    #: compile work — SURVEY §2.1 compiler row; recursion would otherwise
+    #: inline forever since composition is trace-time inlining)
+    inline_depth: int = 0
+    max_inline_depth: int = 32
 
     @property
     def shape(self):
@@ -400,11 +405,17 @@ class Evaluator:
 
         max_iters = self.ctx.opts.max_loop_iters
 
-        def step(flat):
-            """One iteration: returns (new_flat, any_active)."""
+        def eval_cond_mask(env):
+            ev = Evaluator(self.ctx, self.x, self.y, env)
+            # cond is a statement sequence; its assignments persist into env
+            return ev._truthy_mask(ev.eval(node.cond), node.span)
+
+        def step(flat, mask):
+            """One iteration under `mask`; returns (new_flat, next_mask).
+            The mask is carried and ANDed monotonically, so the condition is
+            evaluated once per iteration (not again in lax's cond_fn)."""
             env = unpack(flat)
             ev = Evaluator(self.ctx, self.x, self.y, env)
-            mask = ev._truthy_mask(ev.eval(node.cond), node.span)
             ev.eval(node.body)
             new_flat = []
             i = 0
@@ -421,34 +432,34 @@ class Evaluator:
                 for j in range(k):
                     new_flat.append(be.where(mask, new.arrays[j], flat[i + j]))
                 i += k
-            return tuple(new_flat)
-
-        def cond_active(flat):
-            env = unpack(flat)
-            ev = Evaluator(self.ctx, self.x, self.y, env)
-            return be.any(ev._truthy_mask(ev.eval(node.cond), node.span))
+            next_mask = mask & eval_cond_mask(unpack(tuple(new_flat)))
+            return tuple(new_flat), next_mask
 
         flat0 = pack(init_env)
         if node.post:
             flat0 = self._run_body_once(node, flat0, unpack, pack, carried, lengths)
+        mask0 = be.broadcast_to(eval_cond_mask(unpack(flat0)), self.ctx.shape)
 
         if self.ctx.is_jax:
             import jax
 
             def cond_fn(state):
-                i, flat = state
-                return cond_active(flat) & (i < max_iters)
+                i, mask, _flat = state
+                return be.any(mask) & (i < max_iters)
 
             def body_fn(state):
-                i, flat = state
-                return (i + 1, step(flat))
+                i, mask, flat = state
+                new_flat, next_mask = step(flat, mask)
+                return (i + 1, next_mask, new_flat)
 
-            _, flat_out = jax.lax.while_loop(cond_fn, body_fn, (be.asarray(0, be.int32), flat0))
+            _, _, flat_out = jax.lax.while_loop(
+                cond_fn, body_fn, (be.asarray(0, be.int32), mask0, flat0)
+            )
         else:
-            flat = flat0
+            flat, mask = flat0, mask0
             i = 0
-            while bool(cond_active(flat)) and i < max_iters:
-                flat = step(flat)
+            while bool(mask.any()) and i < max_iters:
+                flat, mask = step(flat, mask)
                 i += 1
             flat_out = flat
 
@@ -519,9 +530,19 @@ class Evaluator:
     def eval_filter_at(self, fdef: A.FilterDef, args: tuple, x, y):
         """Evaluate `fdef` at coordinate arrays (x, y) — composition is
         trace-time inlining (SURVEY §3.4: no runtime representation)."""
+        if self.ctx.inline_depth >= self.ctx.max_inline_depth:
+            raise MMRuntimeError(
+                f"filter inlining exceeds depth {self.ctx.max_inline_depth} "
+                f"(recursive filter {fdef.name!r}?)",
+                fdef.span,
+            )
         env = bind_params(self.ctx, fdef, args)
         ev = Evaluator(self.ctx, x, y, env)
-        out = ev.eval(fdef.body)
+        self.ctx.inline_depth += 1
+        try:
+            out = ev.eval(fdef.body)
+        finally:
+            self.ctx.inline_depth -= 1
         return coerce_rgba(ev, out, fdef)
 
 

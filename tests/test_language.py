@@ -256,3 +256,10 @@ def test_render_animation_nonperiodic_reaches_t1():
                                 options=mm.RenderOptions(periodic=False))
     np.testing.assert_allclose(frames[-1][..., 0], np.ones((H, W)))
     np.testing.assert_allclose(frames[0][..., 0], np.zeros((H, W)))
+
+
+def test_recursive_filter_bounded():
+    src = "filter rec (image in) rec(in)(xy) end"
+    f = mm.compile(src)
+    with pytest.raises(mm.MMRuntimeError):
+        f.render(BLANK, interpret=True)

@@ -79,3 +79,15 @@ def test_full_3d_mesh():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(3, 3, 1)  # 9 != 8 devices
+
+
+def test_filter_render_sharded_api():
+    f = mm.compile("grayColor(0.5 + 0.4 * sin(x / 3 + t * 2 * pi))")
+    img = _image()
+    mesh = make_mesh(1, 8, 1)
+    got = f.render_sharded(img, mesh=mesh, width=W, height=H)
+    want = f.render(img, width=W, height=H)
+    np.testing.assert_array_equal(got, want)
+    frames = f.render_sharded(img, mesh=make_mesh(4, 2, 1), num_frames=8,
+                              width=W, height=H)
+    assert frames.shape == (8, H, W, 4)
