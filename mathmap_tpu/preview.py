@@ -81,6 +81,14 @@ function renderParams(params) {
          step="${p.kind==='int'?1:(p.hi-p.lo)/200}" value="${v}"
          oninput="paramState['${p.name}']=parseFloat(this.value); render()">
          <span>${v}</span></label>`);
+    } else if (p.kind === 'color') {
+      const v = paramState[p.name] !== undefined ? paramState[p.name] : [0,0,0,1];
+      const hex = '#' + v.slice(0,3).map(c => Math.round(c*255).toString(16).padStart(2,'0')).join('');
+      div.insertAdjacentHTML('beforeend',
+        `<label>${p.name}: <input type="color" value="${hex}"
+         oninput="paramState['${p.name}']=[parseInt(this.value.substr(1,2),16)/255,
+                  parseInt(this.value.substr(3,2),16)/255,
+                  parseInt(this.value.substr(5,2),16)/255, 1]; render()"></label>`);
     } else if (p.kind === 'bool') {
       const v = paramState[p.name] !== undefined ? paramState[p.name] : p.value;
       div.insertAdjacentHTML('beforeend',
@@ -155,7 +163,7 @@ class PreviewState:
                     ),
                 }
                 for p in filt.params
-                if p.kind in ("float", "int", "bool")
+                if p.kind in ("float", "int", "bool", "color")
             ]
             return out, meta
 
