@@ -11,8 +11,7 @@ from __future__ import annotations
 
 from ..runtime.value import TupleValue
 from ..typesys.tags import NIL
-from ..utils.errors import MMTypeError
-from .registry import builtin, need_args, need_length, need_tag
+from .registry import builtin, need_args, need_length
 
 LUMA_R, LUMA_G, LUMA_B = 0.299, 0.587, 0.114
 

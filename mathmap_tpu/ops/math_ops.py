@@ -20,7 +20,6 @@ from .registry import (
     ew1,
     ew2,
     need_args,
-    need_length,
     result_tag,
 )
 

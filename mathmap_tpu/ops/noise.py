@@ -16,7 +16,7 @@ from __future__ import annotations
 from ..runtime.value import TupleValue
 from ..typesys.tags import NIL
 from ..utils.errors import MMTypeError
-from .registry import builtin, need_args
+from .registry import builtin
 
 # Ken Perlin's reference permutation (256 entries).
 _PERM = [

@@ -73,7 +73,7 @@ class ShardedRenderer:
     def __init__(self, mesh, program_filters, fdef, width, height, opts, num_frames=1):
         import jax
         import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
         self.mesh = mesh
         self.jnp = jnp

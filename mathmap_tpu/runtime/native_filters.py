@@ -19,7 +19,7 @@ import math
 import numpy as np
 
 from ..utils.errors import MMTypeError
-from .value import ImageBase, InputImage
+from .value import InputImage
 
 
 def _gauss_kernel(stddev: float, radius: int) -> np.ndarray:

@@ -13,13 +13,11 @@ trace time so XLA fuses all s² evaluations.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..lang import astnodes as A
 from ..utils.errors import MMRuntimeError
-from .tracer import Evaluator, RenderContext, bind_params, coerce_rgba
+from .tracer import Evaluator, RenderContext, coerce_rgba
 from .uservals import convert_userval, default_userval
 from .value import InputImage, image_value
 

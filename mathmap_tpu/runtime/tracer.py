@@ -29,7 +29,7 @@ from typing import Any
 from ..lang import astnodes as A
 from ..ops import registry as R
 from ..ops.color_ops import apply_curve, apply_gradient
-from ..runtime.value import ClosureImage, Curve, Gradient, TupleValue
+from ..runtime.value import ClosureImage, TupleValue
 from ..typesys import tags as tagmod
 from ..typesys.tags import NIL
 from ..utils.errors import MMNameError, MMRuntimeError, MMTypeError
