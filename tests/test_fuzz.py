@@ -1,0 +1,78 @@
+"""Property-style fuzzing: random expressions must (a) parse+trace+render
+without crashing, (b) agree between the traced-JAX path and the NumPy oracle
+(SURVEY.md §4 item 2). Deterministic seeds — failures reproduce."""
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+
+H, W = 10, 12
+
+
+class ExprGen:
+    """Generate random well-typed scalar expressions over the internals."""
+
+    SCALARS = ["x / 8", "y / 8", "r / 8", "a", "t", "0.3", "1.7", "-0.4",
+               "gray(origVal(xy))", "red(origVal(xy))"]
+    UN = ["sin", "cos", "exp", "tanh", "abs", "floor", "sqrt"]
+    BIN = ["+", "-", "*"]
+
+    def __init__(self, seed):
+        self.rng = np.random.RandomState(seed)
+
+    def scalar(self, depth=0):
+        roll = self.rng.rand()
+        if depth > 3 or roll < 0.3:
+            return self.rng.choice(self.SCALARS)
+        if roll < 0.55:
+            fn = self.rng.choice(self.UN)
+            inner = self.scalar(depth + 1)
+            if fn == "sqrt":
+                inner = f"abs({inner})"
+            return f"{fn}({inner})"
+        if roll < 0.8:
+            op = self.rng.choice(self.BIN)
+            return f"({self.scalar(depth + 1)} {op} {self.scalar(depth + 1)})"
+        if roll < 0.9:
+            return (f"(if {self.scalar(depth + 1)} >= 0 then "
+                    f"{self.scalar(depth + 1)} else {self.scalar(depth + 1)} end)")
+        return f"clamp({self.scalar(depth + 1)}, 0, 1)"
+
+    def program(self):
+        kind = self.rng.rand()
+        body = self.scalar()
+        if kind < 0.6:
+            return f"grayColor(clamp({body}, 0, 1))"
+        if kind < 0.8:
+            return (f"v = {body}; w = {self.scalar()}; "
+                    f"grayColor(clamp(v * 0.5 + w * 0.25, 0, 1))"
+                    )
+        return (f"i = 0; s = 0; while i < 3 do s = s + {body}; i = i + 1 end; "
+                f"grayColor(clamp(s / 3, 0, 1))")
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_expression_parity(seed):
+    src = ExprGen(seed).program()
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    f = mm.compile(src)
+    oracle = f.render(img, interpret=True)
+    jax_out = f.render(img)
+    assert np.isfinite(oracle).all(), src
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-3, atol=1e-4, err_msg=src)
+
+
+@pytest.mark.parametrize("seed", range(40, 60))
+def test_random_expression_supersampled_and_f64(seed):
+    src = ExprGen(seed).program()
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    f = mm.compile(src)
+    o32 = f.render(img, interpret=True,
+                   options=mm.RenderOptions(supersample=2))
+    o64 = f.render(img, interpret=True, precision="f64",
+                   options=mm.RenderOptions(supersample=2))
+    assert np.isfinite(o32).all(), src
+    np.testing.assert_allclose(o32, o64, atol=2e-4, err_msg=src)
