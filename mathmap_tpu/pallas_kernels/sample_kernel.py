@@ -187,15 +187,27 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
             lx = jnp.clip(lx, -tap_lo, win_w - n_taps - tap_lo)
             ly = jnp.clip(ly, -tap_lo, win_h - n_taps - tap_lo)
 
-            wx = _weights(jnp, fx, interpolation)
-            wy = _weights(jnp, fy, interpolation)
-            ox_mat = jnp.zeros((win_w, tile_w), jnp.float32)
-            for k in range(n_taps):
-                ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + k), wx[k], 0.0)
-            # y weights expanded over interleaved rows (win_h*4, TW)
-            oy_mat4 = jnp.zeros((win_h * 4, tile_w), jnp.float32)
-            for k in range(n_taps):
-                oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + k), wy[k], 0.0)
+            if interpolation == "bilinear":
+                # triangle kernel: weight(d) = relu(1 - |d|) hits both taps
+                # in one expression — ~2x fewer VPU ops than per-tap selects
+                px_loc = lx.astype(jnp.float32) + fx
+                py_loc = ly.astype(jnp.float32) + fy
+                ox_mat = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(iota_w.astype(jnp.float32) - px_loc)
+                )
+                oy_mat4 = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(r_of_row.astype(jnp.float32) - py_loc)
+                )
+            else:
+                wx = _weights(jnp, fx, interpolation)
+                wy = _weights(jnp, fy, interpolation)
+                ox_mat = jnp.zeros((win_w, tile_w), jnp.float32)
+                for k in range(n_taps):
+                    ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + k), wx[k], 0.0)
+                # y weights expanded over interleaved rows (win_h*4, TW)
+                oy_mat4 = jnp.zeros((win_h * 4, tile_w), jnp.float32)
+                for k in range(n_taps):
+                    oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + k), wy[k], 0.0)
 
             # MXU: (win_w, win_h*4) x (win_w, TW) -> (win_h*4, TW)
             tmp = jax.lax.dot_general(

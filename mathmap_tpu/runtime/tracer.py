@@ -443,14 +443,21 @@ class Evaluator:
         if self.ctx.is_jax:
             import jax
 
+            # Unroll K masked steps per lax iteration: steps are exact (each
+            # re-ANDs the mask), but the per-iteration any() reduction and
+            # carry round-trip amortize over K — a large win for fractal
+            # loops. The safety cap may overshoot by up to K-1 iterations.
+            K = 4
+
             def cond_fn(state):
                 i, mask, _flat = state
                 return be.any(mask) & (i < max_iters)
 
             def body_fn(state):
                 i, mask, flat = state
-                new_flat, next_mask = step(flat, mask)
-                return (i + 1, next_mask, new_flat)
+                for _ in range(K):
+                    flat, mask = step(flat, mask)
+                return (i + K, mask, flat)
 
             _, _, flat_out = jax.lax.while_loop(
                 cond_fn, body_fn, (be.asarray(0, be.int32), mask0, flat0)
