@@ -10,6 +10,26 @@ README.md for the architecture. Quick start:
     ref = f.render(image, interpret=True)   # NumPy oracle
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: the analog of the reference's compiled-
+# filter cache surviving across runs (cgen.c caches generated .so files).
+# Especially valuable here — remote TPU compiles take minutes. Opt out with
+# MMTPU_NO_COMPILE_CACHE=1; relocate with MMTPU_COMPILE_CACHE=dir.
+if not _os.environ.get("MMTPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "MMTPU_COMPILE_CACHE",
+                _os.path.expanduser("~/.cache/mathmap_tpu/jax"),
+            ),
+        )
+    except Exception:  # pragma: no cover — never block import on cache setup
+        pass
+
 from . import ops as _ops  # noqa: F401  — populate the builtin registry
 from .api import Filter, compile_file, compile_source
 from .imgio.images import read_image, to_float_rgba, to_uint8, write_image

@@ -114,7 +114,8 @@ class Filter:
 
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
                        width: int | None = None, height: int | None = None,
-                       options: RenderOptions | None = None, ts=None):
+                       options: RenderOptions | None = None, ts=None,
+                       params: dict | None = None):
         """Render across a device mesh: frames shard over 'f' (DP), grid
         rows/cols over 'y'/'x' (parallel/shard.py — the multi-chip analog of
         the reference's slice threads). `mesh=None` builds a rows-only mesh
@@ -127,10 +128,12 @@ class Filter:
         width, height = self._resolve_size(ins, width, height)
         if mesh is None:
             mesh = make_mesh()
-        key = ("sharded", width, height, options, num_frames, id(mesh))
+        key = ("sharded", width, height, options, num_frames, id(mesh),
+               tuple(sorted((params or {}).items())) if params else ())
         if key not in self._jit_cache:
             self._jit_cache[key] = ShardedRenderer(
-                mesh, self.filters, self.fdef, width, height, options, num_frames
+                mesh, self.filters, self.fdef, width, height, options,
+                num_frames, params=params,
             )
         renderer = self._jit_cache[key]
         if num_frames == 1:

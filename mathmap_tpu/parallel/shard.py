@@ -70,20 +70,34 @@ class ShardedRenderer:
     collectives end to end.
     """
 
-    def __init__(self, mesh, program_filters, fdef, width, height, opts, num_frames=1):
+    def __init__(self, mesh, program_filters, fdef, width, height, opts,
+                 num_frames=1, params=None):
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
+
+        from ..runtime.render import _userval_pytree
+        from ..runtime.tracer import RenderContext as _Ctx
 
         self.mesh = mesh
         self.jnp = jnp
         nf = axis_size(mesh, FRAME_AXIS)
 
+        # uservals resolved at construction (sharded renders are batch jobs;
+        # changing params rebuilds the renderer)
+        _ctx = _Ctx(be=jnp, width=width, height=height, opts=opts,
+                    filters=program_filters, is_jax=True)
+        uv_arrays, uv_kinds = _userval_pytree(_ctx, fdef, params or {})
+        from ..runtime.render import _rebuild_uservals
+
+        def make_uservals():
+            return _rebuild_uservals(jnp, uv_arrays, uv_kinds)
+
         if num_frames == 1:
             def run(input_arrays, t):
                 return render_frame_sharded(
                     mesh, program_filters, fdef, width, height, opts,
-                    input_arrays, {}, t=t, frame=0.0,
+                    input_arrays, make_uservals(), t=t, frame=0.0,
                 )
             self._jitted = jax.jit(run)
         else:
@@ -112,7 +126,7 @@ class ShardedRenderer:
                             grid_shape=(tile_h, tile_w),
                             row_offset=row_off, col_offset=col_off,
                         )
-                        return render_frame(ctx, fdef, {})
+                        return render_frame(ctx, fdef, make_uservals())
 
                     idx = jnp.arange(frames_per_dev)
                     return jax.lax.map(lambda args: one(*args), (idx, ts_local))

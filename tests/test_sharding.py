@@ -91,3 +91,15 @@ def test_filter_render_sharded_api():
     frames = f.render_sharded(img, mesh=make_mesh(4, 2, 1), num_frames=8,
                               width=W, height=H)
     assert frames.shape == (8, H, W, 4)
+
+
+def test_render_sharded_with_params():
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    img = _image()
+    mesh = make_mesh(1, 8, 1)
+    got = f.render_sharded(img, mesh=mesh, width=W, height=H, params={"angle": 6.0})
+    want = f.render(img, width=W, height=H, params={"angle": 6.0})
+    np.testing.assert_array_equal(got, want)
+    # different params actually change the output
+    other = f.render_sharded(img, mesh=mesh, width=W, height=H, params={"angle": 1.0})
+    assert np.abs(got - other).max() > 0.01
