@@ -43,18 +43,18 @@ def time_tpu(renderer, inputs, iters, t0=0.37):
     # warmup / compile
     out = renderer(inputs, {}, t=t0)
     _ = float(jnp.sum(out))
-    # Fence via an actual host readback: under the axon relay,
-    # block_until_ready acks before execution finishes, fabricating
-    # impossible >HBM-bandwidth numbers. Accumulating a scalar reduction of
-    # every frame and reading it back forces all renders to really run
-    # (costs one extra output read per frame — conservatively slower).
-    start = time.perf_counter()
-    acc = jnp.float32(0)
+    # Fence each iteration via an actual host readback: under the axon
+    # relay, block_until_ready acks before execution finishes (fabricating
+    # impossible >HBM-bandwidth numbers) and the shared queue's throughput
+    # drifts over time — report the MINIMUM per-frame time (true device
+    # capability, robust to queue interference).
+    best = float("inf")
     for i in range(iters):
+        start = time.perf_counter()
         out = renderer(inputs, {}, t=t0 + 0.001 * i)
-        acc = acc + jnp.sum(out)
-    _ = float(acc)
-    return (time.perf_counter() - start) / iters
+        _ = float(jnp.sum(out))
+        best = min(best, time.perf_counter() - start)
+    return best
 
 
 def main(argv=None):
