@@ -47,6 +47,10 @@ _BINOP_NAME = {
 _UNOP_NAME = {"-": "__neg", "!": "__not"}
 
 
+def np_like_u32(be, v):
+    return be.asarray(v, dtype=be.uint32)
+
+
 @dataclass
 class RenderContext:
     """Per-invocation state — the rebuild's `mathmap_invocation_t` +
@@ -86,13 +90,18 @@ class RenderContext:
 
 
 class Evaluator:
-    def __init__(self, ctx: RenderContext, x, y, env: dict):
+    def __init__(self, ctx: RenderContext, x, y, env: dict, salt_extra=None):
         self.ctx = ctx
         self.be = ctx.be
         self.x = x
         self.y = y
         self.env = env
         self._cache: dict = {}
+        #: extra (possibly traced) salt for rand() — the while-loop iteration
+        #: counter, so loop bodies draw fresh randomness every iteration on
+        #: BOTH backends (the jax trace runs once; without this the same
+        #: field would repeat each iteration)
+        self.salt_extra = salt_extra
 
     # ------------------------------------------------------------------
     # small helpers
@@ -121,6 +130,8 @@ class Evaluator:
             & 0xFFFFFFFF
         )
         v = idx ^ be.asarray(salt, dtype=be.uint32)
+        if self.salt_extra is not None:
+            v = v ^ (self.salt_extra.astype(be.uint32) * be.asarray(0x9E3779B9 & 0xFFFFFFFF, dtype=be.uint32))
         v = v ^ (v >> 16)
         v = v * be.asarray(0x7FEB352D, dtype=be.uint32)
         v = v ^ (v >> 15)
@@ -410,12 +421,12 @@ class Evaluator:
             # cond is a statement sequence; its assignments persist into env
             return ev._truthy_mask(ev.eval(node.cond), node.span)
 
-        def step(flat, mask):
+        def step(flat, mask, loop_i=None):
             """One iteration under `mask`; returns (new_flat, next_mask).
             The mask is carried and ANDed monotonically, so the condition is
             evaluated once per iteration (not again in lax's cond_fn)."""
             env = unpack(flat)
-            ev = Evaluator(self.ctx, self.x, self.y, env)
+            ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=loop_i)
             ev.eval(node.body)
             new_flat = []
             i = 0
@@ -455,8 +466,8 @@ class Evaluator:
 
             def body_fn(state):
                 i, mask, flat = state
-                for _ in range(K):
-                    flat, mask = step(flat, mask)
+                for k in range(K):
+                    flat, mask = step(flat, mask, loop_i=i + (k + 1))
                 return (i + K, mask, flat)
 
             _, _, flat_out = jax.lax.while_loop(
@@ -466,7 +477,7 @@ class Evaluator:
             flat, mask = flat0, mask0
             i = 0
             while bool(mask.any()) and i < max_iters:
-                flat, mask = step(flat, mask)
+                flat, mask = step(flat, mask, loop_i=np_like_u32(be, i + 1))
                 i += 1
             flat_out = flat
 

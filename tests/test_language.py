@@ -263,3 +263,19 @@ def test_recursive_filter_bounded():
     f = mm.compile(src)
     with pytest.raises(mm.MMRuntimeError):
         f.render(BLANK, interpret=True)
+
+
+def test_rand_in_while_draws_fresh_each_iteration():
+    # sum of 4 independent draws has higher variance structure than 4x one
+    # draw; more directly: the jit path must match the oracle (which draws
+    # per iteration)
+    src = ("s = 0; i = 0; while i < 4 do s = s + rand(0, 1); i = i + 1 end;"
+           "grayColor(s / 4)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+    # and the draws are actually different across iterations: s/4 of 4
+    # identical draws would reproduce a single rand field exactly
+    single = mm.compile("grayColor(rand(0, 1))").render(BLANK, interpret=True)
+    assert np.abs(o - single).max() > 0.05
