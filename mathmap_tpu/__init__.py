@@ -32,6 +32,7 @@ if not _os.environ.get("MMTPU_NO_COMPILE_CACHE"):
 
 from . import ops as _ops  # noqa: F401  — populate the builtin registry
 from .api import Filter, compile_file, compile_source
+from .expression_db import ExpressionDB, default_db
 from .imgio.images import read_image, to_float_rgba, to_uint8, write_image
 from .runtime.options import RenderOptions
 from .runtime.value import Curve, Gradient, InputImage
@@ -43,6 +44,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Filter",
+    "ExpressionDB",
+    "default_db",
     "compile",
     "compile_source",
     "compile_file",
