@@ -11,6 +11,12 @@ README.md for the architecture. Quick start:
 """
 
 import os as _os
+import sys as _sys
+
+# Deep machine-generated expressions recurse through the parser and tracer;
+# give Python headroom and let utils.errors report a clean failure instead
+# of a bare RecursionError.
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 
 # Persistent XLA compilation cache: the analog of the reference's compiled-
 # filter cache surviving across runs (cgen.c caches generated .so files).

@@ -26,6 +26,18 @@ from ..utils.errors import MMTypeError
 #: name -> callable(ev, args, span) -> TupleValue
 BUILTINS: dict = {}
 
+#: internal operator names -> user-facing spellings for error messages
+DISPLAY_NAMES = {
+    "__add": "+", "__sub": "-", "__mul": "*", "__div": "/", "__mod": "%",
+    "__pow": "^", "__eq": "==", "__ne": "!=", "__lt": "<", "__gt": ">",
+    "__le": "<=", "__ge": ">=", "__and": "&&", "__or": "||",
+    "__xor": "xor", "__neg": "unary -", "__not": "!",
+}
+
+
+def display(name: str) -> str:
+    return DISPLAY_NAMES.get(name, name)
+
 
 def builtin(name: str, *aliases: str):
     def deco(fn):
@@ -69,7 +81,9 @@ def broadcast_pair(a: TupleValue, b: TupleValue, span, opname: str):
     """Yield aligned component pairs under MathMap broadcast rules:
     equal lengths zip; length-1 broadcasts against length-n."""
     if a.is_opaque or b.is_opaque:
-        raise MMTypeError(f"operator {opname!r} not defined on {a.tag}/{b.tag}", span)
+        raise MMTypeError(
+            f"operator {display(opname)!r} not defined on {a.tag}/{b.tag}", span
+        )
     la, lb = a.length, b.length
     if la == lb:
         return list(zip(a.arrays, b.arrays))
@@ -78,7 +92,7 @@ def broadcast_pair(a: TupleValue, b: TupleValue, span, opname: str):
     if lb == 1:
         return [(x, b.arrays[0]) for x in a.arrays]
     raise MMTypeError(
-        f"operator {opname!r}: tuple lengths {la} and {lb} do not match", span
+        f"operator {display(opname)!r}: tuple lengths {la} and {lb} do not match", span
     )
 
 
