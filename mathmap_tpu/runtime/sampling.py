@@ -93,9 +93,12 @@ def _use_pallas(ev, img) -> bool:
     if type(img) is TiledInput or not isinstance(img, InputImage):
         return False
     if ev.ctx.grid_shape is not None:
-        # mesh-sharded render: each device's tile planning inside shard_map
-        # is untested with the pallas kernel — use the gather path
-        return False
+        # mesh-sharded render: per-device planning works (coords are global
+        # values on a local tile), but traced row/col offsets from
+        # lax.axis_index reach world_to_pixel fine — allow it. Column-
+        # sharded tiles narrower than one kernel tile fall back via the
+        # overflow logic naturally.
+        pass
     if opts.sampler == "pallas":
         return True
     import jax

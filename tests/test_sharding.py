@@ -103,3 +103,17 @@ def test_render_sharded_with_params():
     # different params actually change the output
     other = f.render_sharded(img, mesh=mesh, width=W, height=H, params={"angle": 1.0})
     assert np.abs(got - other).max() > 0.01
+
+
+def test_pallas_sampler_under_shard_map():
+    """The Pallas sampling kernel composes with mesh sharding (per-device
+    tile planning inside shard_map); forced via sampler='pallas' so the
+    interpret-mode kernel runs on the CPU mesh."""
+    img = _image()
+    f = mm.compile("origVal(toXY(ra:[r * 0.7, a + 0.4]))")
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    ref = f.render(img, width=W, height=H, options=opts)
+    mesh = make_mesh(1, 8, 1)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, W, H, opts, 1)
+    got = np.asarray(r([img]))
+    np.testing.assert_array_equal(got, ref)
