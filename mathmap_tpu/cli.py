@@ -55,6 +55,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fallback", action="store_true",
                    help="fall back to the interpreter if the jit path fails")
     p.add_argument("--resume", action="store_true", help="skip animation frames whose output file exists")
+    p.add_argument("--batch", action="store_true",
+                   help="render all animation frames in ONE device program (lax.map)")
     p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
     p.add_argument("--stats", action="store_true", help="print one JSON line of render statistics")
     p.add_argument("--verbose", "-v", action="store_true", help="print per-phase timing and render stats")
@@ -169,6 +171,18 @@ def main(argv=None) -> int:
             )
             write_image(out_path, out)
             frames_done = 1
+        elif args.batch:
+            frames = filt.render_animation(
+                *inputs, num_frames=args.frames, width=width, height=height,
+                options=opts, params=params,
+            )
+            frames_done = 0
+            for i in range(args.frames):
+                path = _frame_path(out_path, i, args.frames)
+                if args.resume and os.path.exists(path):
+                    continue
+                write_image(path, frames[i])
+                frames_done += 1
         else:
             frames_done = 0
             for i, frame in enumerate(
