@@ -114,11 +114,27 @@ def main(argv=None):
     cpu_mpix = bw * bh / cpu_dt / 1e6
     print(f"# oracle baseline: {cpu_mpix:.2f} Mpix/s (CPU NumPy interpreter)", file=sys.stderr)
 
+    # Relay-health probe: fenced 132MB elementwise op. Healthy ~0.5-2 ms;
+    # the shared tunnel has been observed degrading 10-100x within a day —
+    # flags when the suite numbers reflect the environment, not the code.
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.device_put(img[:1024, :1024])
+    pf = jax.jit(lambda x: jnp.sum(x * 2.0 + 1.0))
+    _ = float(pf(probe))
+    t0 = time.perf_counter()
+    _ = float(pf(probe) + pf(probe))
+    health_ms = (time.perf_counter() - t0) / 2 * 1e3
+    print(f"# relay health: {health_ms:.1f} ms for a 16MB fenced elementwise op "
+          f"(healthy <5ms)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "distortion_suite_4k_bilinear",
         "value": round(value, 2),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(value / cpu_mpix, 1),
+        "relay_health_ms": round(health_ms, 1),
     }))
 
 
