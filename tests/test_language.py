@@ -279,3 +279,34 @@ def test_rand_in_while_draws_fresh_each_iteration():
     # identical draws would reproduce a single rand field exactly
     single = mm.compile("grayColor(rand(0, 1))").render(BLANK, interpret=True)
     assert np.abs(o - single).max() > 0.05
+
+
+def test_origval_xy_variants():
+    img = np.random.RandomState(2).rand(H, W, 4).astype(np.float32)
+    opts = mm.RenderOptions(interpolation="nearest")
+    a = mm.compile("origVal(xy)").render(img, interpret=True, options=opts)
+    b = mm.compile("origValXY(x, y)").render(img, interpret=True, options=opts)
+    c = mm.compile("origValXY(x, y, 0)").render(img, interpret=True, options=opts)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_image_param_via_params_dict():
+    """An image userval bound through params= instead of a positional input."""
+    src = "filter f (image main_img, image aux) aux(xy) end"
+    f = mm.compile(src)
+    a = np.zeros((H, W, 4), np.float32)
+    b = np.full((H, W, 4), 0.75, np.float32)
+    out = f.render(a, interpret=True, params={"aux": b},
+                   options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(out, b, atol=1e-6)
+
+
+def test_origval_image_builtin():
+    src = "filter f (image p, image q) origValImage(q, xy) end"
+    f = mm.compile(src)
+    a = np.zeros((H, W, 4), np.float32)
+    b = np.full((H, W, 4), 0.25, np.float32)
+    out = f.render(a, b, interpret=True,
+                   options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(out, b, atol=1e-6)
