@@ -281,3 +281,21 @@ def _rand(ev, args, span):
     los, his = lo.scalar(span), hi.scalar(span)
     u = ev.rand_uniform()
     return TupleValue(NIL, (los + u * (his - los),))
+
+
+# -- additional scalar utilities (log bases, C-style fmod, hypot, smoothstep)
+ew1("log2", lambda be, x: be.log2(x))
+ew1("log10", lambda be, x: be.log10(x))
+ew1("exp2", lambda be, x: be.exp2(x))
+# C fmod: sign follows the dividend (unlike '%', which is floored mod)
+ew2("fmod", lambda be, x, y: x - be.trunc(x / y) * y)
+ew2("hypot", lambda be, x, y: be.sqrt(x * x + y * y))
+
+
+@builtin("smoothstep")
+def _smoothstep(ev, args, span):
+    lo, hi, x = need_args(args, 3, "smoothstep", span)
+    be = ev.be
+    los, his, xs = lo.scalar(span), hi.scalar(span), x.scalar(span)
+    t = be.clip((xs - los) / (his - los), 0.0, 1.0)
+    return TupleValue(NIL, (t * t * (3.0 - 2.0 * t),))

@@ -251,3 +251,17 @@ def test_rand_deterministic_in_range():
     np.testing.assert_array_equal(a, b)
     assert a[..., 0].min() >= 0.25 and a[..., 0].max() <= 0.75
     assert a[..., 0].std() > 0.01
+
+
+def test_additional_scalar_utilities():
+    np.testing.assert_allclose(run_gray("log2(8) / 3"), np.ones((H, W)), rtol=1e-6)
+    np.testing.assert_allclose(run_gray("log10(100) / 2"), np.ones((H, W)), rtol=1e-6)
+    np.testing.assert_allclose(run_gray("exp2(3) / 8"), np.ones((H, W)), rtol=1e-6)
+    np.testing.assert_allclose(run_gray("hypot(3, 4) / 5"), np.ones((H, W)), rtol=1e-6)
+    # fmod follows the dividend's sign; % is floored
+    np.testing.assert_allclose(run_gray("fmod(0-7, 3) + 1.5"),
+                               np.full((H, W), 0.5), rtol=1e-5)
+    np.testing.assert_allclose(run_gray("(0-7) % 3 - 1.5"),
+                               np.full((H, W), 0.5), rtol=1e-5)
+    np.testing.assert_allclose(run_gray("smoothstep(0, 4, 2)"),
+                               np.full((H, W), 0.5), rtol=1e-6)
