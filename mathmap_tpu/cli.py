@@ -57,6 +57,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true", help="skip animation frames whose output file exists")
     p.add_argument("--batch", action="store_true",
                    help="render all animation frames in ONE device program (lax.map)")
+    p.add_argument("--fps", type=float, default=25.0, help="GIF animation frame rate")
     p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
     p.add_argument("--stats", action="store_true", help="print one JSON line of render statistics")
     p.add_argument("--verbose", "-v", action="store_true", help="print per-phase timing and render stats")
@@ -171,6 +172,15 @@ def main(argv=None) -> int:
             )
             write_image(out_path, out)
             frames_done = 1
+        elif out_path.lower().endswith(".gif"):
+            from .imgio.images import write_animation
+
+            frames = filt.render_animation(
+                *inputs, num_frames=args.frames, width=width, height=height,
+                options=opts, params=params,
+            )
+            write_animation(out_path, frames, fps=args.fps)
+            frames_done = args.frames
         elif args.batch:
             frames = filt.render_animation(
                 *inputs, num_frames=args.frames, width=width, height=height,

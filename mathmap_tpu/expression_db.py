@@ -133,6 +133,20 @@ class ExpressionDB:
 
 
 def default_db() -> ExpressionDB:
-    """The bundled filter library (repo filters/)."""
+    """The bundled filter library (repo filters/) merged with the user's
+    library (~/.mathmap_tpu/expressions and $MMTPU_FILTER_PATH dirs) — the
+    reference likewise scans both its installed and per-user expression
+    trees [unverified]."""
     root = os.path.join(os.path.dirname(__file__), "..", "filters")
-    return ExpressionDB.scan(os.path.abspath(root))
+    db = ExpressionDB.scan(os.path.abspath(root))
+    extra = [os.path.expanduser("~/.mathmap_tpu/expressions")]
+    extra += [p for p in os.environ.get("MMTPU_FILTER_PATH", "").split(os.pathsep) if p]
+    for path in extra:
+        if os.path.isdir(path):
+            user = ExpressionDB.scan(path)
+            for name, entry in user.entries.items():
+                db.entries[name] = entry  # user filters shadow bundled ones
+                cat = "User/" + entry.category if entry.category else "User"
+                db.categories.setdefault(cat, []).append(name)
+            db.errors.extend(user.errors)
+    return db

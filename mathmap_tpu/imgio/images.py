@@ -61,6 +61,21 @@ def read_image(path: str) -> np.ndarray:
     return to_float_rgba(np.asarray(img))
 
 
+def write_animation(path: str, frames, fps: float = 25.0) -> None:
+    """Write an (F, H, W, 4) float sequence as an animated GIF (or stacked
+    frames for other formats via write_image). The reference emitted one
+    GIMP layer per frame; the headless analog is an animation file."""
+    frames = np.asarray(frames)
+    if not path.lower().endswith(".gif"):
+        raise ValueError("write_animation writes .gif files")
+    pil = _pil()
+    imgs = [pil.fromarray(to_uint8(f), "RGBA").convert("P") for f in frames]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0, disposal=2,
+    )
+
+
 def write_image(path: str, arr) -> None:
     """Write a float (H,W,4) RGBA array in [0,1] to an image file. PPM/PAM
     go through the native codec (fast batch-animation dumps, rwimg analog)."""

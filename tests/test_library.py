@@ -188,3 +188,27 @@ def test_db_scans_mmc_compositions():
     assert np.isfinite(out).all()
     # grain means output differs from plain sepia+vignette chain run without it
     assert (out[..., 3] == 1).all()
+
+
+def test_user_filter_dir_merges(tmp_path, monkeypatch):
+    userdir = tmp_path / "exprs"
+    userdir.mkdir()
+    (userdir / "custom_probe.mm").write_text(
+        "# user filter\nfilter custom_probe (image in) in(xy) end\n"
+    )
+    monkeypatch.setenv("MMTPU_FILTER_PATH", str(userdir))
+    db = default_db()
+    assert "custom_probe" in db.entries
+    assert "custom_probe" in db.tree()
+
+
+def test_write_animation_gif(tmp_path):
+    from PIL import Image
+
+    from mathmap_tpu.imgio.images import write_animation
+
+    frames = np.stack([np.full((8, 10, 4), v, np.float32) for v in (0.2, 0.5, 0.8)])
+    path = str(tmp_path / "a.gif")
+    write_animation(path, frames, fps=10)
+    im = Image.open(path)
+    assert im.n_frames == 3
