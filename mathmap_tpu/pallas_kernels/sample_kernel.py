@@ -138,21 +138,46 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
     tap_lo, n_taps = _tap_range(interpolation)
     dn = (((0,), (0,)), ((), ()))  # contract sublane dim of both operands
     # bf16 matmul is native on the MXU (~17x the emulated-f32 rate on v5e,
-    # measured) and loses only ~1 LSB of 8-bit color precision.
+    # measured) and loses only ~1 LSB of 8-bit color precision. In f32 mode
+    # the MXU still runs bf16 passes unless HIGHEST precision is requested.
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    mm_prec = None if precision == "bf16" else jax.lax.Precision.HIGHEST
 
-    def kernel(oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win, sem):
+    def kernel(oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        oy = pl.multiple_of(oy_ref[i, j], 32)
-        ox = pl.multiple_of(ox_ref[i, j], 8)
-        # Mosaic must PROVE lane-start divisibility by 128: assert it on the
-        # product (oy mult-of-32 => oy*4 mult-of-128, but the multiply hides it)
-        oy4 = pl.multiple_of(oy * 4, 128)
-        cp = pltpu.make_async_copy(
-            img_ref.at[pl.ds(ox, win_w), pl.ds(oy4, win_h * 4)], win, sem
-        )
-        cp.start()
+        nj = pl.num_programs(1)
+        ni = pl.num_programs(0)
+        k = i * nj + j
+        slot = k % 2
+
+        def window_dma(ti, tj, s):
+            """The (reconstructible) HBM->VMEM copy of tile (ti,tj)'s window
+            into slot s. Mosaic must PROVE lane-start divisibility by 128:
+            assert it on the product (oy mult-of-32 => oy*4 mult-of-128)."""
+            oyv = pl.multiple_of(oy_ref[ti, tj], 32)
+            oxv = pl.multiple_of(ox_ref[ti, tj], 8)
+            oy4 = pl.multiple_of(oyv * 4, 128)
+            return pltpu.make_async_copy(
+                img_ref.at[pl.ds(oxv, win_w), pl.ds(oy4, win_h * 4)],
+                win2.at[s], sems.at[s],
+            )
+
+        # double-buffer: tile k's window was started at tile k-1; here we
+        # kick off tile k+1's DMA, then wait on our own (grid is sequential
+        # on the single TensorCore, so the prefetch overlaps this tile's
+        # weight-build + matmul work)
+        @pl.when(k == 0)
+        def _():
+            window_dma(i, j, 0).start()
+
+        @pl.when(k + 1 < ni * nj)
+        def _():
+            nk = k + 1
+            window_dma(nk // nj, nk - (nk // nj) * nj, (k + 1) % 2).start()
+
+        oy = oy_ref[i, j]
+        ox = ox_ref[i, j]
 
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, tile_w), 0)
         # interleaved-row index helper for the (win_h*4, TW) stage-B weights:
@@ -165,7 +190,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
         cidx = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 0)
         sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
         dn_sel = (((1,), (0,)), ((), ()))
-        cp.wait()
+        window_dma(i, j, slot).wait()
+        win = win2[slot]
 
         for rr in range(tile_h):
             px = px_ref[rr : rr + 1, :]  # (1, TW)
@@ -202,24 +228,24 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
                 wx = _weights(jnp, fx, interpolation)
                 wy = _weights(jnp, fy, interpolation)
                 ox_mat = jnp.zeros((win_w, tile_w), jnp.float32)
-                for k in range(n_taps):
-                    ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + k), wx[k], 0.0)
+                for tap in range(n_taps):
+                    ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + tap), wx[tap], 0.0)
                 # y weights expanded over interleaved rows (win_h*4, TW)
                 oy_mat4 = jnp.zeros((win_h * 4, tile_w), jnp.float32)
-                for k in range(n_taps):
-                    oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + k), wy[k], 0.0)
+                for tap in range(n_taps):
+                    oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
 
             # MXU: (win_w, win_h*4) x (win_w, TW) -> (win_h*4, TW)
             tmp = jax.lax.dot_general(
-                win[:].astype(mm_dtype), ox_mat.astype(mm_dtype),
-                dimension_numbers=dn,
+                win.astype(mm_dtype), ox_mat.astype(mm_dtype),
+                dimension_numbers=dn, precision=mm_prec,
                 preferred_element_type=jnp.float32,
             )
             prod = tmp * oy_mat4
             # stage B: (4, win_h*4) @ (win_h*4, TW) channel-select-and-reduce
             out4 = jax.lax.dot_general(
                 sel, prod.astype(mm_dtype), dimension_numbers=dn_sel,
-                preferred_element_type=jnp.float32,
+                precision=mm_prec, preferred_element_type=jnp.float32,
             )
             o_ref[:, rr : rr + 1, :] = out4.reshape(4, 1, tile_w)
 
@@ -252,8 +278,8 @@ def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
         ],
         out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
         scratch_shapes=[
-            pltpu.VMEM((win_w, win_h * 4), img_xm.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win_w, win_h * 4), img_xm.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     flops_tile = 2 * win_w * (win_h * 4) * tile_w * tile_h
@@ -361,13 +387,20 @@ def sample_image_pallas(ev, img, x, y, xla_fallback):
         return overflow, run
 
     # config chain: translational-fast -> rotational (squarer tiles, bigger
-    # windows) -> whole-frame XLA gather; lax.cond picks per frame
+    # windows) -> whole-frame XLA gather; lax.cond picks per frame. The f32
+    # (HIGHEST-precision) mode skips the rotational config: its 3-pass
+    # matmul scratch exceeds the 16MB VMEM with the big window, and the
+    # gather fallback is exact anyway.
     ov1, run1 = plan(TILE_H, tile_w, win_h, win_w)
-    rot_h, rot_w = getattr(opts, "pallas_window_rot", (320, 328))
-    ov2, run2 = plan(8, 128, rot_h, rot_w)
 
     def slow_path(_):
         return tuple(xla_fallback())
+
+    if precision == "f32":
+        return list(jax.lax.cond(ov1, slow_path, run1, operand=None))
+
+    rot_h, rot_w = getattr(opts, "pallas_window_rot", (320, 328))
+    ov2, run2 = plan(8, 128, rot_h, rot_w)
 
     def second(_):
         return jax.lax.cond(ov2, slow_path, run2, operand=None)

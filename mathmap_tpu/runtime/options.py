@@ -46,9 +46,11 @@ class RenderOptions:
     #: 8x128 tiles with a window sized for source gradients up to ~2.
     pallas_window_rot: tuple = (320, 328)
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
-    #: is ~17x faster on v5e (f32 matmul is emulated) and accurate to about
-    #: one 8-bit LSB — matching the reference's uint8 output packing;
-    #: 'f32' gives full f32 parity with the gather path.
+    #: is ~17x faster on v5e (f32 matmul is MXU-emulated) and accurate to
+    #: ~1.5 8-bit LSBs (measured 6e-3 max) — matching the reference's uint8
+    #: output packing; 'f32' uses HIGHEST-precision passes (<=1e-4 of the
+    #: gather path, measured 7e-5) and skips the rotational window config
+    #: (VMEM budget).
     pallas_precision: str = "bf16"
 
     def __post_init__(self):
