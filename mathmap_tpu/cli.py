@@ -37,6 +37,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="list the bundled filter library (expression database) and exit")
     p.add_argument("--library", default=None, metavar="DIR",
                    help="scan DIR as the filter library instead of the bundled one")
+    p.add_argument("--chain", default=None, metavar="SPEC",
+                   help='compose library filters: "grayscale | twirl angle=4" '
+                        "(used instead of the expression argument)")
+    p.add_argument("--save-chain", default=None, metavar="FILE.mmc",
+                   help="with --chain: also save the graph as a composer file")
     p.add_argument("images", nargs="*", help="input image(s)..., then the output image")
     p.add_argument("--size", default=None, help="output WxH (default: first input's size, else 512x512)")
     p.add_argument("--frames", type=int, default=1, help="number of animation frames")
@@ -112,15 +117,24 @@ def main(argv=None) -> int:
             print(f"# skipped {path}: {err}", file=sys.stderr)
         return 0
 
-    if args.expression is None:
-        raise SystemExit("missing expression (or use --list)")
+    if args.expression is None and args.chain is None:
+        raise SystemExit("missing expression (or use --list / --chain)")
+    if args.chain is not None and args.expression is not None:
+        args.images.insert(0, args.expression)  # expression slot was an image
     if not args.images:
         raise SystemExit("missing output image path")
     *input_paths, out_path = args.images
 
     t0 = time.perf_counter()
     try:
-        if args.expression.endswith(".mmc"):
+        if args.chain is not None:
+            from .designer.graph import from_pipeline
+
+            graph = from_pipeline(args.chain, db=get_db())
+            if args.save_chain:
+                graph.save(args.save_chain)
+            filt = graph.compile()
+        elif args.expression.endswith(".mmc"):
             # composer graph -> composite source (SURVEY §3.4)
             from .designer.graph import load_mmc
 

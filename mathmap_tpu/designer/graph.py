@@ -217,3 +217,31 @@ def from_mmc(text: str, db=None) -> DesignerGraph:
 def load_mmc(path: str, db=None) -> DesignerGraph:
     with open(path) as f:
         return from_mmc(f.read(), db=db)
+
+
+def from_pipeline(spec: str, db) -> DesignerGraph:
+    """Build a linear chain graph from pipe syntax:
+
+        "grayscale | twirl angle=4.5 | vignette strength=2"
+
+    Each stage is `filter_name [param=value ...]`; the first stage's image
+    input is invocation input 0, later stages consume the previous stage.
+    """
+    graph = DesignerGraph(db=db)
+    prev = None
+    for stage in spec.split("|"):
+        parts = stage.split()
+        if not parts:
+            raise MMRuntimeError("empty stage in pipeline spec")
+        name, kwargs = parts[0], {}
+        for item in parts[1:]:
+            if "=" not in item:
+                raise MMRuntimeError(f"pipeline param must be name=value, got {item!r}")
+            k, v = item.split("=", 1)
+            kwargs[k] = float(v)
+        entry = graph._filter_def(name) if db else None  # validates name early
+        img_params = [p.name for p in entry.fdef.params if p.kind == "image"] if entry else ["in"]
+        if img_params:
+            kwargs[img_params[0]] = prev if prev is not None else InputRef(0)
+        prev = Ref(graph.add(name, **kwargs))
+    return graph

@@ -212,3 +212,20 @@ def test_write_animation_gif(tmp_path):
     write_animation(path, frames, fps=10)
     im = Image.open(path)
     assert im.n_frames == 3
+
+
+def test_pipeline_chain_builder():
+    from mathmap_tpu.designer.graph import from_pipeline
+
+    db = default_db()
+    g = from_pipeline("grayscale | twirl angle=4.5", db)
+    f = g.compile()
+    img = _image()
+    out = f.render(img, interpret=True)
+    direct = db.compile("twirl").render(
+        mm.compile_file("filters/Colors/grayscale.mm").render(img, interpret=True,
+            options=mm.RenderOptions(interpolation="nearest")),
+        interpret=True, params={"angle": 4.5})
+    np.testing.assert_allclose(out, direct, atol=2e-2)  # resample chain vs composed
+    with pytest.raises(MMNameError):
+        from_pipeline("does_not_exist | twirl", db)
