@@ -89,6 +89,22 @@ function renderParams(params) {
          oninput="paramState['${p.name}']=[parseInt(this.value.substr(1,2),16)/255,
                   parseInt(this.value.substr(3,2),16)/255,
                   parseInt(this.value.substr(5,2),16)/255, 1]; render()"></label>`);
+    } else if (p.kind === 'curve') {
+      div.insertAdjacentHTML('beforeend',
+        `<label>${p.name} (curve): <select onchange="setCurve('${p.name}', this.value)">
+           <option value="identity">identity</option>
+           <option value="invert">invert</option>
+           <option value="gamma22">gamma 2.2</option>
+           <option value="gamma045">gamma 0.45</option>
+           <option value="contrast">contrast S</option>
+         </select></label>`);
+    } else if (p.kind === 'gradient') {
+      div.insertAdjacentHTML('beforeend',
+        `<label>${p.name} (gradient):
+           <input type="color" id="g0_${p.name}" value="#000000"
+                  oninput="setGradient('${p.name}')">
+           <input type="color" id="g1_${p.name}" value="#ffffff"
+                  oninput="setGradient('${p.name}')"></label>`);
     } else if (p.kind === 'bool') {
       const v = paramState[p.name] !== undefined ? paramState[p.name] : p.value;
       div.insertAdjacentHTML('beforeend',
@@ -96,6 +112,31 @@ function renderParams(params) {
          onchange="paramState['${p.name}']=this.checked?1:0; render()"></label>`);
     }
   }
+}
+const CURVES = {
+  identity: t => t,
+  invert: t => 1 - t,
+  gamma22: t => Math.pow(t, 1/2.2),
+  gamma045: t => Math.pow(t, 2.2),
+  contrast: t => t*t*(3-2*t),
+};
+function setCurve(name, kind) {
+  const fn = CURVES[kind];
+  paramState[name] = Array.from({length: 64}, (_, i) => fn(i/63));
+  render();
+}
+function hex2rgb(h) {
+  return [parseInt(h.substr(1,2),16)/255, parseInt(h.substr(3,2),16)/255,
+          parseInt(h.substr(5,2),16)/255];
+}
+function setGradient(name) {
+  const a = hex2rgb(document.getElementById('g0_' + name).value);
+  const b = hex2rgb(document.getElementById('g1_' + name).value);
+  paramState[name] = Array.from({length: 32}, (_, i) => {
+    const t = i / 31;
+    return [a[0]+(b[0]-a[0])*t, a[1]+(b[1]-a[1])*t, a[2]+(b[2]-a[2])*t, 1];
+  });
+  render();
 }
 async function loadLibrary() {
   const res = await fetch('/library');
@@ -163,7 +204,7 @@ class PreviewState:
                     ),
                 }
                 for p in filt.params
-                if p.kind in ("float", "int", "bool", "color")
+                if p.kind in ("float", "int", "bool", "color", "curve", "gradient")
             ]
             return out, meta
 
