@@ -143,6 +143,28 @@ class Filter:
             ts = np.arange(num_frames, dtype=np.float32) / denom
         return np.asarray(renderer(ins, ts=ts))
 
+    def render_tiled(self, input_image, halo: int, mesh=None,
+                     width: int | None = None, height: int | None = None,
+                     options: RenderOptions | None = None, t: float = 0.0):
+        """Render with the INPUT row-sharded across the mesh and halo rows
+        exchanged over ICI (parallel/halo.py) — for canvases whose inputs
+        exceed per-device HBM when replicated. The filter's vertical source
+        displacement must be bounded by `halo` rows."""
+        from .parallel.halo import TiledRenderer
+        from .parallel.mesh import make_mesh
+
+        options = options or RenderOptions()
+        img = to_float_rgba(np.asarray(input_image))
+        width, height = self._resolve_size([img], width, height)
+        if mesh is None:
+            mesh = make_mesh()
+        key = ("tiled", width, height, options, halo, id(mesh))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = TiledRenderer(
+                mesh, self.filters, self.fdef, width, height, options, halo
+            )
+        return np.asarray(self._jit_cache[key](img, t=t))
+
     def render_frames(self, *inputs, num_frames: int, width: int | None = None,
                       height: int | None = None, options: RenderOptions | None = None,
                       params: dict | None = None):

@@ -63,6 +63,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", action="store_true",
                    help="render all animation frames in ONE device program (lax.map)")
     p.add_argument("--fps", type=float, default=25.0, help="GIF animation frame rate")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the render across all local devices (mesh over grid rows)")
     p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
     p.add_argument("--stats", action="store_true", help="print one JSON line of render statistics")
     p.add_argument("--verbose", "-v", action="store_true", help="print per-phase timing and render stats")
@@ -178,7 +180,13 @@ def main(argv=None) -> int:
 
     try:
         t1 = time.perf_counter()
-        if args.frames <= 1:
+        if args.frames <= 1 and args.sharded:
+            out = filt.render_sharded(
+                *inputs, width=width, height=height, options=opts, params=params,
+            )
+            write_image(out_path, out)
+            frames_done = 1
+        elif args.frames <= 1:
             out = filt.render(
                 *inputs, width=width, height=height, t=args.t,
                 options=opts, params=params, interpret=args.interpret,

@@ -65,3 +65,11 @@ def test_halo_too_large_raises():
 
     with pytest.raises(MMRuntimeError):
         TiledRenderer(mesh, f.filters, f.fdef, W, H, mm.RenderOptions(), halo=5)(img)
+
+
+def test_filter_render_tiled_api():
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[0, 2])")
+    got = f.render_tiled(img, halo=3, mesh=make_mesh(1, 8, 1))
+    want = f.render(img, width=W, height=H)
+    np.testing.assert_array_equal(got, want)
