@@ -151,3 +151,14 @@ def test_pallas_overflow_falls_back():
     b = f.render(img, options=mm.RenderOptions(sampler="pallas", pallas_window=(32, 128),
                                                pallas_precision="f32"))
     np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+@pytest.mark.parametrize("hw", [(13, 37), (9, 130), (31, 257)])
+def test_pallas_sampler_odd_sizes(hw):
+    """Non-tile-aligned output sizes pad/slice correctly in the kernel."""
+    h, w = hw
+    img = np.random.RandomState(1).rand(h, w, 4).astype(np.float32)
+    f = mm.compile("origVal(toXY(ra:[r * 0.9, a + 0.2]))")
+    a = f.render(img, options=mm.RenderOptions(sampler="gather"))
+    b = f.render(img, options=mm.RenderOptions(sampler="pallas", pallas_precision="f32"))
+    np.testing.assert_allclose(b, a, atol=2e-5)
