@@ -107,10 +107,18 @@ class Filter:
         params = params or {}
         ins = [to_float_rgba(np.asarray(a)) for a in inputs]
         width, height = self._resolve_size(ins, width, height)
-        renderer = self._renderer(width, height, options, num_frames)
         denom = num_frames if options.periodic else max(num_frames - 1, 1)
         ts = np.arange(num_frames, dtype=np.float32) / denom
-        return np.asarray(renderer.render_all_frames(ins, params, ts))
+        # chunk the sweep so the on-device frame stack stays within a few GB
+        # of HBM (a 120-frame 4K sweep would otherwise be 16 GB)
+        frame_bytes = height * width * 4 * 4
+        chunk = max(1, min(num_frames, int(4e9 // max(frame_bytes, 1))))
+        out = []
+        for start in range(0, num_frames, chunk):
+            ts_c = ts[start : start + chunk]
+            renderer = self._renderer(width, height, options, len(ts_c))
+            out.append(np.asarray(renderer.render_all_frames(ins, params, ts_c)))
+        return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
                        width: int | None = None, height: int | None = None,
