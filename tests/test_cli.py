@@ -94,3 +94,15 @@ def test_edge_and_interp_flags(input_png, tmp_path):
     orig = mm.read_image(input_png)
     expected = np.roll(orig, -30 % 24, axis=1)
     np.testing.assert_allclose(wrapped, np.roll(orig, -(30 % 24), axis=1), atol=2 / 255)
+
+
+def test_two_input_blend_cli(input_png, tmp_path):
+    second = tmp_path / "b.png"
+    out = tmp_path / "blend.png"
+    mm.write_image(str(second), np.ones((20, 24, 4), np.float32))
+    proc = run_cli("blend", input_png, str(second), str(out),
+                   "--param", "factor=0.5", "--interpret")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    blended = mm.read_image(str(out))
+    orig = mm.read_image(input_png)
+    np.testing.assert_allclose(blended[..., :3], (orig[..., :3] + 1) / 2, atol=2 / 255)
