@@ -1,0 +1,83 @@
+"""Sweep Pallas sampling-kernel configurations on the real TPU.
+
+    python benchmarks/kernel_sweep.py [--size WxH] [--iters N]
+
+Prints a table of ms/frame for window-size x precision combinations on a
+bounded-displacement warp (ripple) and a rotational warp (twirl) — use to
+re-tune RenderOptions.pallas_window/_rot when hardware or Mosaic changes.
+Run when `bench.py`'s relay_health_ms is sane (<5ms); the shared relay's
+throughput drifts (docs/PERFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import mathmap_tpu as mm  # noqa: E402
+
+
+def fenced_best(renderer, ins, iters):
+    import jax.numpy as jnp
+
+    _ = float(jnp.sum(renderer(ins, {}, t=0.37)))
+    best = float("inf")
+    for b in range(3):
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for i in range(max(1, iters // 3)):
+            acc = acc + jnp.sum(renderer(ins, {}, t=0.37 + 0.001 * (b * 7 + i)))
+        _ = float(acc)
+        best = min(best, (time.perf_counter() - t0) / max(1, iters // 3))
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1920x1080")
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+    w, h = (int(v) for v in args.size.lower().split("x"))
+
+    import jax
+
+    img = np.random.RandomState(0).rand(h, w, 4).astype(np.float32)
+    ins = [jax.device_put(img)]
+
+    windows = [(32, 384), (64, 640), (96, 896)]
+    rots = [(224, 232), (320, 328), (416, 424)]
+    precisions = ["bf16", "f32"]
+
+    for name, path in (("ripple", "filters/Distorts/ripple.mm"),
+                       ("twirl", "filters/Distorts/twirl.mm")):
+        filt = mm.compile_file(path)
+        print(f"== {name} {w}x{h}")
+        for prec in precisions:
+            for win in windows:
+                for rot in rots:
+                    opts = mm.RenderOptions(
+                        pallas_window=win, pallas_window_rot=rot,
+                        pallas_precision=prec,
+                    )
+                    try:
+                        r = filt._renderer(w, h, opts, 1)
+                        dt = fenced_best(r, ins, args.iters)
+                        print(f"  {prec} win={win} rot={rot}: {dt * 1e3:8.1f} ms",
+                              flush=True)
+                    except Exception as exc:
+                        print(f"  {prec} win={win} rot={rot}: FAIL {str(exc)[:80]}",
+                              flush=True)
+        # gather baseline
+        r = filt._renderer(w, h, mm.RenderOptions(sampler="gather"), 1)
+        dt = fenced_best(r, ins, args.iters)
+        print(f"  gather baseline: {dt * 1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
