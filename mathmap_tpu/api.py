@@ -117,7 +117,9 @@ class Filter:
         for start in range(0, num_frames, chunk):
             ts_c = ts[start : start + chunk]
             renderer = self._renderer(width, height, options, len(ts_c))
-            out.append(np.asarray(renderer.render_all_frames(ins, params, ts_c)))
+            out.append(np.asarray(
+                renderer.render_all_frames(ins, params, ts_c, frame0=float(start))
+            ))
         return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,

@@ -170,12 +170,13 @@ class JitRenderer:
 
         self._jitted = jax.jit(run, static_argnums=(2,))
 
-        def run_frames(input_arrays, userval_arrays, kinds, ts):
+        def run_frames(input_arrays, userval_arrays, kinds, ts, frame0):
             # whole t-sweep in ONE device program: lax.map over frames keeps
             # each frame's fused program and amortizes dispatch + transfer
             # (the reference renders frames in a host loop; SURVEY §7 chose
-            # lax.map/vmap for the TPU path)
-            frames = jnp.arange(ts.shape[0], dtype=jnp.float32)
+            # lax.map/vmap for the TPU path). frame0 offsets the `frame`
+            # internal when the sweep is chunked (api.render_animation).
+            frames = jnp.arange(ts.shape[0], dtype=jnp.float32) + frame0
 
             def one(args):
                 frame, t = args
@@ -201,7 +202,7 @@ class JitRenderer:
         ]
         return self._jitted(ins, arrays, kinds, jnp.float32(t), jnp.float32(frame))
 
-    def render_all_frames(self, input_arrays, params: dict, ts):
+    def render_all_frames(self, input_arrays, params: dict, ts, frame0: float = 0.0):
         """Render every frame of a t-sweep in one device call -> (F,H,W,4)."""
         jnp = self.jnp
         ctx = RenderContext(
@@ -214,7 +215,9 @@ class JitRenderer:
             else jnp.asarray(np.asarray(a, dtype=np.float32))
             for a in input_arrays
         ]
-        return self._jitted_frames(ins, arrays, kinds, jnp.asarray(ts, dtype=jnp.float32))
+        return self._jitted_frames(
+            ins, arrays, kinds, jnp.asarray(ts, dtype=jnp.float32), jnp.float32(frame0)
+        )
 
 
 def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params: dict,

@@ -332,3 +332,13 @@ def test_render_animation_chunked(monkeypatch):
     a = np.asarray(r3.render_all_frames([np.asarray(BLANK)], {}, t6[:3]))
     b = np.asarray(r3.render_all_frames([np.asarray(BLANK)], {}, t6[3:]))
     np.testing.assert_allclose(np.concatenate([a, b]), full, atol=1e-6)
+
+
+def test_render_all_frames_frame_offset():
+    src = "grayColor(frame / 8)"
+    f = mm.compile(src)
+    r = f._renderer(W, H, mm.RenderOptions(), 2)
+    ts = np.zeros(2, np.float32)
+    chunk2 = np.asarray(r.render_all_frames([np.asarray(BLANK)], {}, ts, frame0=4.0))
+    np.testing.assert_allclose(chunk2[0][..., 0], np.full((H, W), 0.5))
+    np.testing.assert_allclose(chunk2[1][..., 0], np.full((H, W), 5 / 8))
