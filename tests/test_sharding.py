@@ -1,6 +1,8 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh
 (SURVEY.md §4 item 4): sharded output must equal unsharded bitwise."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -117,3 +119,22 @@ def test_pallas_sampler_under_shard_map():
     r = ShardedRenderer(mesh, f.filters, f.fdef, W, H, opts, 1)
     got = np.asarray(r([img]))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_dryrun_multichip_self_bootstraps():
+    """Driver-faithful check (VERDICT r1 item 1): dryrun_multichip must
+    bootstrap its own virtual 8-device CPU mesh in a fresh process with NO
+    platform forcing from the caller (MULTICHIP_r01 failed under axon)."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
