@@ -336,12 +336,18 @@ def sample_image_pallas(ev, img, x, y, xla_fallback):
     if cache is None:
         cache = {}
         ev.ctx._pallas_pad_cache = cache
+    # The entry holds a reference to the source array so its id() cannot be
+    # reused by a different array while the entry lives (ADVICE r1 low).
     key = (id(img.pixels), opts.edge_x, opts.edge_y, hp, wp)
-    if key not in cache:
-        cache[key] = _pad_xmajor(
-            jnp, img.pixels, opts.edge_x, opts.edge_y, opts.edge_color, hp, wp
+    entry = cache.get(key)
+    if entry is None or entry[0] is not img.pixels:
+        entry = (
+            img.pixels,
+            _pad_xmajor(jnp, img.pixels, opts.edge_x, opts.edge_y,
+                        opts.edge_color, hp, wp),
         )
-    img_xm = cache[key]
+        cache[key] = entry
+    img_xm = entry[1]
 
     interpret = jax.default_backend() != "tpu"
     precision = getattr(opts, "pallas_precision", "bf16")

@@ -139,6 +139,23 @@ class Evaluator:
         v = v ^ (v >> 16)
         return (v >> 8).astype(be.float32) * (1.0 / 16777216.0)
 
+    def _mix_salt(self, loop_i):
+        """Combine this evaluator's iteration salt (an enclosing loop's) with
+        a nested loop's iteration counter, so rand() in nested loops stays
+        fresh per outer iteration — identically on both backends."""
+        if loop_i is None:
+            return self.salt_extra
+        be = self.be
+        inner = (
+            loop_i.astype(be.uint32)
+            if hasattr(loop_i, "astype")
+            else be.asarray(loop_i, dtype=be.uint32)
+        )
+        if self.salt_extra is None:
+            return inner
+        outer = self.salt_extra.astype(be.uint32)
+        return outer * be.asarray(0x9E3779B9 & 0xFFFFFFFF, dtype=be.uint32) + inner
+
     def _truthy_mask(self, v: TupleValue, span):
         if v.is_opaque or v.length != 1:
             raise MMTypeError("condition must be a single value", span)
@@ -358,6 +375,14 @@ class Evaluator:
         # Probe pass: discover each carried variable's final length/tag by
         # evaluating cond+body once on a scratch env (results discarded;
         # under jit any unused probe computation is dead code for XLA).
+        # rand() trace-consistency: the jit path traces the body a fixed
+        # number of times, baking the then-current rand counters in as
+        # constants, while the oracle runs eagerly per iteration. To keep
+        # the two streams identical the counter is snapshotted at loop
+        # entry and RESET at the start of every step on both backends; the
+        # (traced) iteration index salt_extra supplies per-iteration
+        # freshness instead (ADVICE r1 high finding).
+        counter_entry = self.ctx.rand_counter
         probe_env = dict(self.env)
         probe = Evaluator(self.ctx, self.x, self.y, probe_env)
         for n in names:
@@ -365,6 +390,7 @@ class Evaluator:
                 probe_env[n] = TupleValue(NIL, (self.lit(0.0),))
         probe.eval(node.cond)
         probe.eval(node.body)
+        self.ctx.rand_counter = counter_entry  # probe results are discarded
 
         be = self.be
         shape = self.ctx.shape
@@ -416,18 +442,9 @@ class Evaluator:
 
         max_iters = self.ctx.opts.max_loop_iters
 
-        def eval_cond_mask(env):
-            ev = Evaluator(self.ctx, self.x, self.y, env)
-            # cond is a statement sequence; its assignments persist into env
-            return ev._truthy_mask(ev.eval(node.cond), node.span)
-
-        def step(flat, mask, loop_i=None):
-            """One iteration under `mask`; returns (new_flat, next_mask).
-            The mask is carried and ANDed monotonically, so the condition is
-            evaluated once per iteration (not again in lax's cond_fn)."""
-            env = unpack(flat)
-            ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=loop_i)
-            ev.eval(node.body)
+        def repack(env, flat, mask):
+            """Fold env's carried values back into the flat carry. `mask`
+            selects which pixels take the new value (None = all)."""
             new_flat = []
             i = 0
             for n in carried:
@@ -441,15 +458,41 @@ class Evaluator:
                             f"loop variable {n!r} changes tuple length inside loop", node.span
                         )
                 for j in range(k):
-                    new_flat.append(be.where(mask, new.arrays[j], flat[i + j]))
+                    if mask is None:
+                        new_flat.append(be.broadcast_to(new.arrays[j], self.ctx.shape))
+                    else:
+                        new_flat.append(be.where(mask, new.arrays[j], flat[i + j]))
                 i += k
-            next_mask = mask & eval_cond_mask(unpack(tuple(new_flat)))
-            return tuple(new_flat), next_mask
+            return tuple(new_flat)
+
+        def eval_cond(flat, mask, salt):
+            """Evaluate the condition sequence on the carried env. Its
+            assignments persist (sequential cond-statement semantics) for
+            the pixels that evaluated it, i.e. those active in `mask`."""
+            env = unpack(flat)
+            ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=salt)
+            cond_mask = ev._truthy_mask(ev.eval(node.cond), node.span)
+            return repack(env, flat, mask), cond_mask
+
+        def step(flat, mask, loop_i):
+            """One iteration under `mask`; returns (new_flat, next_mask).
+            The mask is carried and ANDed monotonically, so the condition is
+            evaluated once per iteration (not again in lax's cond_fn)."""
+            self.ctx.rand_counter = counter_loop  # match the baked trace constants
+            salt = self._mix_salt(loop_i)
+            env = unpack(flat)
+            ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=salt)
+            ev.eval(node.body)
+            new_flat = repack(env, flat, mask)
+            new_flat, cond_mask = eval_cond(new_flat, mask, salt)
+            return new_flat, mask & cond_mask
 
         flat0 = pack(init_env)
         if node.post:
             flat0 = self._run_body_once(node, flat0, unpack, pack, carried, lengths)
-        mask0 = be.broadcast_to(eval_cond_mask(unpack(flat0)), self.ctx.shape)
+        flat0, mask0 = eval_cond(flat0, None, self.salt_extra)
+        mask0 = be.broadcast_to(mask0, self.ctx.shape)
+        counter_loop = self.ctx.rand_counter
 
         if self.ctx.is_jax:
             import jax
@@ -481,6 +524,12 @@ class Evaluator:
                 i += 1
             flat_out = flat
 
+        # The number of steps is data-dependent; leave the counter at the
+        # loop-entry state so post-loop rand() draws identically on both
+        # backends (post-loop calls use salt_extra=None / the outer salt,
+        # so they cannot collide with in-loop draws).
+        self.ctx.rand_counter = counter_loop
+
         final_env = unpack(flat_out)
         for n in carried:
             self.env[n] = final_env[n]
@@ -489,7 +538,7 @@ class Evaluator:
     def _run_body_once(self, node, flat0, unpack, pack, carried, lengths):
         """do-while: execute the body unconditionally once before looping."""
         env = unpack(flat0)
-        ev = Evaluator(self.ctx, self.x, self.y, env)
+        ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=self.salt_extra)
         ev.eval(node.body)
         be, shape = self.be, self.ctx.shape
         return tuple(be.broadcast_to(self.lit(c), shape) for c in pack(env))
@@ -555,7 +604,9 @@ class Evaluator:
                 fdef.span,
             )
         env = bind_params(self.ctx, fdef, args)
-        ev = Evaluator(self.ctx, x, y, env)
+        # propagate the loop-iteration salt so rand() inside an inlined
+        # filter stays fresh (and backend-consistent) inside while loops
+        ev = Evaluator(self.ctx, x, y, env, salt_extra=self.salt_extra)
         self.ctx.inline_depth += 1
         try:
             out = ev.eval(fdef.body)

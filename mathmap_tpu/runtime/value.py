@@ -134,11 +134,18 @@ class TiledInput(InputImage):
 
     def make_gather(self, be):
         ext_h, w = int(self.pixels.shape[0]), int(self.pixels.shape[1])
+        gh = self.global_height
         flat = self.pixels.reshape(ext_h * w, 4)
         row_base = self.row_base
 
         def gather(iy, ix):
-            ly = be.clip(iy - row_base, 0, ext_h - 1)
+            # mod-global arithmetic lands wrap-seam indices on the ring-
+            # wrapped halo rows (exchange_halo placed the opposite global
+            # edge there): e.g. device 0 with row_base=-halo sees global
+            # iy=H-1 as (H-1+halo) mod H = halo-1, its top halo. In-range
+            # indices are unchanged (0 <= iy - row_base < H). The final
+            # clip only bounds contract-violating displacements.
+            ly = be.clip((iy - row_base) % gh, 0, ext_h - 1)
             g = be.take(flat, ly * w + ix, axis=0)
             return [g[..., c] for c in range(4)]
 

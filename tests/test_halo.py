@@ -73,3 +73,23 @@ def test_filter_render_tiled_api():
     got = f.render_tiled(img, halo=3, mesh=make_mesh(1, 8, 1))
     want = f.render(img, width=W, height=H)
     np.testing.assert_array_equal(got, want)
+
+def test_wrap_edge_across_global_seam():
+    """edge_y='wrap' sampling across the global top/bottom seam must use the
+    ring-wrapped halo rows (ADVICE r1 medium finding: the local index used
+    to clip into the block, returning wrong rows at the seam)."""
+    img = _image()
+    opts = mm.RenderOptions(edge_y="wrap", edge_x="wrap")
+    src = "origVal(xy + xy:[0, 3])"  # shifts past the top for the top rows
+    got = _tiled(src, img, halo=3, opts=opts)
+    want = mm.compile(src).render(img, width=W, height=H, options=opts)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_reflect_edge_tiled():
+    img = _image()
+    opts = mm.RenderOptions(edge_y="reflect")
+    src = "origVal(xy + xy:[0, 2])"
+    got = _tiled(src, img, halo=3, opts=opts)
+    want = mm.compile(src).render(img, width=W, height=H, options=opts)
+    np.testing.assert_array_equal(got, want)

@@ -281,6 +281,80 @@ def test_rand_in_while_draws_fresh_each_iteration():
     assert np.abs(o - single).max() > 0.05
 
 
+@pytest.mark.parametrize("iters", [5, 11])
+def test_rand_in_while_parity_beyond_unroll(iters):
+    """Parity must hold at trip counts that are not multiples of (and exceed)
+    the jit path's K=4 unroll — the oracle's eager counter stream previously
+    diverged from the baked trace constants there (ADVICE r1 high)."""
+    src = (f"s = 0; i = 0; while i < {iters} do s = s + rand(0, 1); i = i + 1 end;"
+           f"grayColor(s / {iters})")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_rand_after_data_dependent_loop_parity():
+    """rand() AFTER a loop whose trip count is data-dependent (varies per
+    pixel) must agree between jit and oracle: the counter is restored to the
+    loop-entry state on both backends."""
+    src = ("i = 0; while i < 3 + (x > 0) * 4 do i = i + rand(0.5, 1.5) end;"
+           "grayColor(rand(0, 1))")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_rand_in_nested_while_parity():
+    src = ("s = 0; i = 0;"
+           "while i < 5 do"
+           "  k = 0; while k < 3 do s = s + rand(0, 1); k = k + 1 end;"
+           "  i = i + 1 "
+           "end;"
+           "grayColor(s / 15)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+    # inner draws must differ across outer iterations (outer salt mixed in):
+    # otherwise s/15 == (sum of 3 draws)/3 exactly
+    inner = mm.compile(
+        "s = 0; k = 0; while k < 3 do s = s + rand(0, 1); k = k + 1 end;"
+        "grayColor(s / 3)"
+    ).render(BLANK, interpret=True)
+    assert np.abs(o - inner).max() > 0.02
+
+
+def test_rand_in_filter_called_from_loop_parity():
+    """rand() inside an inlined filter called from a loop body inherits the
+    iteration salt (fresh per iteration, identical across backends)."""
+    src = ("filter noisy (image in) grayColor(rand(0, 1)) end "
+           "filter main (image in) "
+           "s = 0; i = 0;"
+           "while i < 6 do s = s + red(noisy(in)(xy)); i = i + 1 end;"
+           "grayColor(s / 6) end")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+    single = mm.compile("grayColor(rand(0, 1))").render(BLANK, interpret=True)
+    assert np.abs(o - single).max() > 0.05
+
+
+def test_while_cond_assignments_persist():
+    """Assignments in the condition sequence execute sequentially and are
+    visible to the body and after the loop (the reference evaluates the
+    cond statements per check; ADVICE r1 low finding)."""
+    src = ("i = 0; n = 0; while n = n + 1; i < 3 do i = i + 1 end;"
+           "grayColor(n / 4)")
+    # n increments once per cond evaluation: 4 checks for 3 iterations
+    out = gray(src)
+    np.testing.assert_allclose(out, np.full((H, W), 1.0))
+    out_jit = gray(src, interpret=False)
+    np.testing.assert_allclose(out_jit, out, atol=1e-6)
+
+
 def test_origval_xy_variants():
     img = np.random.RandomState(2).rand(H, W, 4).astype(np.float32)
     opts = mm.RenderOptions(interpolation="nearest")
