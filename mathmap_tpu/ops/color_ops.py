@@ -142,34 +142,54 @@ def _to_xy(ev, args, span):
 # curve / gradient application (userval.c widgets; LUT sampling per SURVEY §7)
 # ---------------------------------------------------------------------------
 
-def apply_curve(ev, curve, pos: TupleValue, span) -> TupleValue:
-    be = ev.be
-    x = pos.scalar(span)
-    n = curve.lut.shape[0]
-    # Linear interpolation into the LUT, clamped to [0,1].
+def _lut_take(be, lut, x):
+    """take-based linear interpolation into a (N,) or (N, k) LUT, clamped to
+    [0,1] — the oracle semantics (and the XLA fallback on the jax path)."""
+    n = lut.shape[0]
     xf = be.clip(x, 0.0, 1.0) * (n - 1)
     i0 = be.floor(xf)
     frac = xf - i0
     i0 = i0.astype(be.int32)
     i1 = be.minimum(i0 + 1, n - 1)
-    v0 = be.take(curve.lut, i0)
-    v1 = be.take(curve.lut, i1)
-    return TupleValue(NIL, (v0 + frac * (v1 - v0),))
+    if lut.ndim == 1:
+        v0 = be.take(lut, i0)
+        v1 = be.take(lut, i1)
+        return [v0 + frac * (v1 - v0)]
+    out = []
+    for ch in range(lut.shape[1]):
+        col = lut[:, ch]
+        v0 = be.take(col, i0)
+        v1 = be.take(col, i1)
+        out.append(v0 + frac * (v1 - v0))
+    return out
+
+
+def apply_curve(ev, curve, pos: TupleValue, span) -> TupleValue:
+    from ..runtime.sampling import lut_pallas_ok
+
+    be = ev.be
+    x = pos.scalar(span)
+    if lut_pallas_ok(ev, x):
+        from ..pallas_kernels.sample_kernel import apply_lut_pallas
+
+        chans = apply_lut_pallas(
+            ev, curve.lut, x,
+            xla_fallback=lambda: _lut_take(be, curve.lut, x) * 4,
+        )
+        return TupleValue(NIL, (chans[0],))
+    return TupleValue(NIL, (_lut_take(be, curve.lut, x)[0],))
 
 
 def apply_gradient(ev, grad, pos: TupleValue, span) -> TupleValue:
+    from ..runtime.sampling import lut_pallas_ok
+
     be = ev.be
     x = pos.scalar(span)
-    n = grad.lut.shape[0]
-    xf = be.clip(x, 0.0, 1.0) * (n - 1)
-    i0 = be.floor(xf)
-    frac = xf - i0
-    i0 = i0.astype(be.int32)
-    i1 = be.minimum(i0 + 1, n - 1)
-    comps = []
-    for ch in range(4):
-        col = grad.lut[:, ch]
-        v0 = be.take(col, i0)
-        v1 = be.take(col, i1)
-        comps.append(v0 + frac * (v1 - v0))
-    return TupleValue("rgba", tuple(comps))
+    if lut_pallas_ok(ev, x):
+        from ..pallas_kernels.sample_kernel import apply_lut_pallas
+
+        chans = apply_lut_pallas(
+            ev, grad.lut, x, xla_fallback=lambda: _lut_take(be, grad.lut, x)
+        )
+        return TupleValue("rgba", tuple(chans))
+    return TupleValue("rgba", tuple(_lut_take(be, grad.lut, x)))

@@ -8,39 +8,52 @@ supported" / compiler crashes). The TPU-idiomatic replacement (SURVEY.md
 the MXU:
 
     tmp[(r,c), p] = sum_s win[s, (r,c)] * OX[s, p]      (MXU matmul)
-    out[c, p]     = sum_r OY[r, p] * tmp[(r,c), p]      (VPU mul-reduce)
+    out[c, p]     = sum_r OY[r, p] * tmp[(r,c), p]      (VPU mul + MXU reduce)
 
-OX (win_w, TW) carries each output pixel's x-tap weights (one-hot rows
+OX (win_w, N) carries each output pixel's x-tap weights (one-hot rows
 scaled by the interpolation weights — nearest: 1 tap, bilinear: 2, bicubic:
 4 Catmull-Rom); OY the y-tap weights. The padded image is stored x-major as
 (Wp, Hp*4) so the window slice (win_w, win_h*4) feeds the matmul directly:
-M = win_h*4 = 128, N = TW, K = win_w — a full-utilization MXU shape, all 4
-channels in one matmul, and the result lands in the orientation the y-stage
-needs (pixels in lanes). Cost is O(window area) FLOPs per pixel instead of
-O(taps) scalar gathers — a large win on this hardware.
+M = win_h*4, K = win_w, N = ALL pixels of an (8, tile_w) output tile in one
+contraction (N = 2048) — full-utilization MXU shapes, all 4 channels in one
+matmul, and the result lands in the orientation the y-stage needs (pixels
+in lanes). Cost is O(window area) FLOPs per pixel instead of O(taps) scalar
+gathers — a large win on this hardware.
+
+Window-origin alignment: a DMA'd lane slice must start at a multiple of 128
+lanes => window row origin oy multiple of 32, which would waste up to 31
+rows of every window. The image is therefore stored as FOUR row-shifted
+copies concatenated along lanes — copy c starts at row 8c — so origins only
+need 8-row alignment: the kernel picks copy (oy/8 % 4) and a 128-aligned
+lane offset within it. This is what lets the fast tier run a 32-row window.
 
 Pipeline (all inside one jit):
   1. XLA: map world -> source coords, apply the edge behavior as a float
      coordinate map (wrap: mod; reflect: mirror; color: clamp into the pad
-     apron), and build a PADDED x-major image whose apron encodes the edge
-     behavior — the kernel then needs no edge logic.
-  2. XLA: per output tile (8 rows x TW cols), compute the source bounding
-     box -> aligned window origins (ox mult-of-8 sublanes, oy mult-of-32 so
-     oy*4 is lane-aligned) + a scalar overflow flag.
+     apron), and build the padded multi-copy x-major image whose apron
+     encodes the edge behavior — the kernel then needs no edge logic. In
+     bf16 precision mode the copy is stored bf16 (half the DMA bytes; the
+     MXU contracts in bf16 anyway).
+  2. XLA: per output tile, compute the source bounding box -> aligned
+     window origins (ox mult-of-16, oy mult-of-8) + a scalar overflow flag.
   3. Pallas (PrefetchScalarGridSpec): per tile, async-DMA the window
-     HBM->VMEM once, then 8 sub-row passes of weight-matmul + mul-reduce.
-  4. lax.cond on the overflow flag falls back to the XLA gather path for
-     the whole frame (window too small for this warp) — results stay
-     correct for arbitrary displacement.
+     HBM->VMEM once (double-buffered across grid steps), then one batched
+     weight-matmul + mul-reduce over the whole tile.
+  4. lax.cond chain on the overflow flags: fast small window -> main
+     window -> rotational window (squarer tiles) -> XLA gather for the
+     whole frame — results stay correct for arbitrary displacement.
 """
 
 from __future__ import annotations
 
-#: default window (rows, cols): rows mult of 32, cols mult of 8
-DEFAULT_WIN = (64, 640)
+#: fast tier window (rows, cols): near-identity warps (pond, ripple, waves)
+DEFAULT_WIN_FAST = (32, 512)
+#: mid tier (8x64 tiles): moderate warps / magnification
+DEFAULT_WIN = (64, 256)
 TILE_H = 8
 TILE_W = 256
 PAD_L = 8  # left/top apron
+N_COPIES = 4  # row-shifted image copies (8-row origin granularity)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -48,7 +61,7 @@ def _round_up(v: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# XLA-side: edge mapping + padded x-major image
+# XLA-side: edge mapping + padded multi-copy x-major image
 # ---------------------------------------------------------------------------
 
 def _edge_map_coord(jnp, p, n: int, behavior: str):
@@ -90,13 +103,23 @@ def _apron(jnp, img, axis: int, n: int, behavior: str, edge_color, pad_l: int, p
     return jnp.concatenate([left, img, right], axis=axis)
 
 
-def _pad_xmajor(jnp, pixels, edge_x: str, edge_y: str, edge_color, hp: int, wp: int):
-    """(H, W, 4) -> x-major (Wp, Hp*4) with behavior-encoded aprons.
-    Layout: out[s, r*4 + c] = padded[r, s, c]."""
+def _pad_xmajor(jnp, pixels, edge_x: str, edge_y: str, edge_color,
+                hp: int, wp: int, dtype=None):
+    """(H, W, 4) -> x-major multi-copy (Wp, N_COPIES*Hp*4) with behavior-
+    encoded aprons. Copy c holds padded rows [8c, 8c+Hp); within copy c:
+    out[s, c*Hp*4 + r*4 + ch] = padded[8c + r, s, ch]."""
     h, w, _ = pixels.shape
     img = _apron(jnp, pixels, 1, w, edge_x, edge_color, PAD_L, wp - w - PAD_L)
-    img = _apron(jnp, img, 0, h, edge_y, edge_color, PAD_L, hp - h - PAD_L)
-    return jnp.transpose(img, (1, 0, 2)).reshape(wp, hp * 4)
+    # 8*(N_COPIES-1) junk tail rows: copy c's tail is never addressed (the
+    # planner clips oy to hp - win_h, all within copy c's real rows)
+    img = _apron(jnp, img, 0, h, edge_y, edge_color, PAD_L,
+                 hp + 8 * (N_COPIES - 1) - h - PAD_L)
+    if dtype is not None:
+        img = img.astype(dtype)
+    xm = jnp.transpose(img, (1, 0, 2)).reshape(wp, (hp + 8 * (N_COPIES - 1)) * 4)
+    return jnp.concatenate(
+        [xm[:, 32 * c : 32 * c + hp * 4] for c in range(N_COPIES)], axis=1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -128,8 +151,8 @@ def _weights(jnp, frac, interpolation: str):
     ]
 
 
-def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
-                 precision: str = "bf16", tile_h: int = TILE_H):
+def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
+                 hp: int, precision: str = "bf16", chunk: int | None = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -138,10 +161,35 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
     tap_lo, n_taps = _tap_range(interpolation)
     dn = (((0,), (0,)), ((), ()))  # contract sublane dim of both operands
     # bf16 matmul is native on the MXU (~17x the emulated-f32 rate on v5e,
-    # measured) and loses only ~1 LSB of 8-bit color precision. In f32 mode
-    # the MXU still runs bf16 passes unless HIGHEST precision is requested.
-    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    mm_prec = None if precision == "bf16" else jax.lax.Precision.HIGHEST
+    # measured) and loses only ~1 LSB of 8-bit color precision. 'f32' mode
+    # uses split-float (bf16x3) contractions: a = hi(a) + lo(a) in bf16,
+    # a@b ~= hi@hi + hi@lo + lo@hi — ~16-bit mantissa accuracy (measured
+    # <=2e-5 vs the exact gather path) at 3x the bf16 cost instead of the
+    # 17x of MXU-emulated f32 (VERDICT r1 item 5).
+    chunk = chunk or n_pix
+    n_chunks = n_pix // chunk
+    mm_dtype = jnp.bfloat16
+
+    def _dot(dnum, a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dnum, preferred_element_type=jnp.float32
+        )
+
+    def mm(dnum, a, b, split_a=True):
+        """a @ b with `dnum`; f32 operands. In bf16 mode: one bf16 pass.
+        In f32 mode: split-float passes (a may be exact-in-bf16 already,
+        e.g. the 0/1 channel selector — pass split_a=False)."""
+        ahi = a.astype(jnp.bfloat16)
+        bhi = b.astype(jnp.bfloat16)
+        out = _dot(dnum, ahi, bhi)
+        if precision == "bf16":
+            return out
+        blo = (b - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + _dot(dnum, ahi, blo)
+        if split_a:
+            alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = out + _dot(dnum, alo, bhi)
+        return out
 
     def kernel(oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems):
         i = pl.program_id(0)
@@ -154,12 +202,15 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
         def window_dma(ti, tj, s):
             """The (reconstructible) HBM->VMEM copy of tile (ti,tj)'s window
             into slot s. Mosaic must PROVE lane-start divisibility by 128:
-            assert it on the product (oy mult-of-32 => oy*4 mult-of-128)."""
-            oyv = pl.multiple_of(oy_ref[ti, tj], 32)
-            oxv = pl.multiple_of(ox_ref[ti, tj], 8)
-            oy4 = pl.multiple_of(oyv * 4, 128)
+            copy c = (oy/8) % 4 starts at lane c*hp*4 (hp mult of 32) and
+            the in-copy offset (oy - 8c)*4 is 128*floor(oy/32)."""
+            oyv = pl.multiple_of(oy_ref[ti, tj], 8)
+            oxv = pl.multiple_of(ox_ref[ti, tj], 16)
+            m = oyv // 8
+            cc = m % N_COPIES
+            lane = pl.multiple_of(cc * (hp * 4) + (m // N_COPIES) * 128, 128)
             return pltpu.make_async_copy(
-                img_ref.at[pl.ds(oxv, win_w), pl.ds(oy4, win_h * 4)],
+                img_ref.at[pl.ds(oxv, win_w), pl.ds(lane, win_h * 4)],
                 win2.at[s], sems.at[s],
             )
 
@@ -179,10 +230,10 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
         oy = oy_ref[i, j]
         ox = ox_ref[i, j]
 
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, tile_w), 0)
-        # interleaved-row index helper for the (win_h*4, TW) stage-B weights:
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, chunk), 0)
+        # interleaved-row index helper for the (win_h*4, chunk) y weights:
         # row (r*4 + c) holds window row r, channel c
-        iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, tile_w), 0)
+        iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, chunk), 0)
         r_of_row = iota_h4 // 4
         # constant channel selector (4, win_h*4): sel[c, row] = (row % 4 == c)
         # — turns the per-channel masked reductions into one tiny MXU matmul
@@ -193,9 +244,10 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
         window_dma(i, j, slot).wait()
         win = win2[slot]
 
-        for rr in range(tile_h):
-            px = px_ref[rr : rr + 1, :]  # (1, TW)
-            py = py_ref[rr : rr + 1, :]
+        for cn in range(n_chunks):
+            sl = slice(cn * chunk, (cn + 1) * chunk)
+            px = px_ref[0, 0:1, sl]  # (1, chunk)
+            py = py_ref[0, 0:1, sl]
             if interpolation == "nearest":
                 x0 = jnp.floor(px + 0.5)
                 y0 = jnp.floor(py + 0.5)
@@ -227,38 +279,33 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, tile_w: int,
             else:
                 wx = _weights(jnp, fx, interpolation)
                 wy = _weights(jnp, fy, interpolation)
-                ox_mat = jnp.zeros((win_w, tile_w), jnp.float32)
+                ox_mat = jnp.zeros((win_w, chunk), jnp.float32)
                 for tap in range(n_taps):
                     ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + tap), wx[tap], 0.0)
-                # y weights expanded over interleaved rows (win_h*4, TW)
-                oy_mat4 = jnp.zeros((win_h * 4, tile_w), jnp.float32)
+                # y weights expanded over interleaved rows (win_h*4, chunk)
+                oy_mat4 = jnp.zeros((win_h * 4, chunk), jnp.float32)
                 for tap in range(n_taps):
                     oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
 
-            # MXU: (win_w, win_h*4) x (win_w, TW) -> (win_h*4, TW)
-            tmp = jax.lax.dot_general(
-                win.astype(mm_dtype), ox_mat.astype(mm_dtype),
-                dimension_numbers=dn, precision=mm_prec,
-                preferred_element_type=jnp.float32,
-            )
+            # MXU: (win_w, win_h*4) x (win_w, chunk) -> (win_h*4, chunk)
+            tmp = mm(dn, win, ox_mat)
             prod = tmp * oy_mat4
-            # stage B: (4, win_h*4) @ (win_h*4, TW) channel-select-and-reduce
-            out4 = jax.lax.dot_general(
-                sel, prod.astype(mm_dtype), dimension_numbers=dn_sel,
-                precision=mm_prec, preferred_element_type=jnp.float32,
-            )
-            o_ref[:, rr : rr + 1, :] = out4.reshape(4, 1, tile_w)
+            # stage B: (4, win_h*4) @ (win_h*4, chunk) channel-select-reduce
+            # (sel is 0/1 — exact in bf16, no split needed)
+            out4 = mm(dn_sel, sel, prod, split_a=False)
+            o_ref[0, :, sl] = out4
 
     return kernel
 
 
 def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
-                       win_h: int, win_w: int, tile_w: int,
+                       win_h: int, win_w: int, tile_w: int, hp: int,
                        precision: str = "bf16", interpret: bool = False,
-                       tile_h: int = TILE_H):
-    """img_xm (Wp, Hp*4) padded x-major; pxp/pyp (Ht, Wt) padded-space coords
-    (Ht mult of tile_h, Wt mult of tile_w); oy/ox (Ht//tile_h, Wt//tile_w)
-    aligned window origins. Returns (4, Ht, Wt) planar samples."""
+                       tile_h: int = TILE_H, chunk: int | None = None):
+    """img_xm (Wp, N_COPIES*Hp*4) padded multi-copy x-major; pxp/pyp (Ht, Wt)
+    padded-space coords (Ht mult of tile_h, Wt mult of tile_w); oy/ox
+    (Ht//tile_h, Wt//tile_w) aligned window origins (oy mult 8, ox mult 16).
+    Returns (4, Ht, Wt) planar samples."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -266,94 +313,114 @@ def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
 
     ht, wt = pxp.shape
     nty, ntx = ht // tile_h, wt // tile_w
-    kernel = _make_kernel(interpolation, win_h, win_w, tile_w, precision, tile_h)
+    n_pix = tile_h * tile_w
+    kernel = _make_kernel(interpolation, win_h, win_w, n_pix, hp, precision, chunk)
+
+    def flatten_tiles(a):
+        # (ht, wt) -> (nty*ntx, 1, tile_h*tile_w): whole tile in the lane dim
+        return (a.reshape(nty, tile_h, ntx, tile_w)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(nty * ntx, 1, n_pix))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
-            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
+            pl.BlockSpec((1, 1, n_pix), lambda i, j, *_: (i * ntx + j, 0, 0)),
+            pl.BlockSpec((1, 1, n_pix), lambda i, j, *_: (i * ntx + j, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
         ],
-        out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j, *_: (0, i, j)),
+        out_specs=pl.BlockSpec((1, 4, n_pix), lambda i, j, *_: (i * ntx + j, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, win_w, win_h * 4), img_xm.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    flops_tile = 2 * win_w * (win_h * 4) * tile_w * tile_h
-    return pl.pallas_call(
+    flops_tile = 2 * win_w * (win_h * 4) * n_pix
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((4, ht, wt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nty * ntx, 4, n_pix), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * nty * ntx,
-            bytes_accessed=(win_w * win_h * 16) * nty * ntx + 16 * ht * wt,
+            bytes_accessed=(win_w * win_h * 4 * img_xm.dtype.itemsize) * nty * ntx
+            + 16 * ht * wt,
             transcendentals=0,
         ),
-    )(oy, ox, pxp, pyp, img_xm)
+    )(oy, ox, flatten_tiles(pxp), flatten_tiles(pyp), img_xm)
+    return (out.reshape(nty, ntx, 4, tile_h, tile_w)
+               .transpose(2, 0, 3, 1, 4)
+               .reshape(4, ht, wt))
 
 
 # ---------------------------------------------------------------------------
 # Public entry: planning + fallback
 # ---------------------------------------------------------------------------
 
-def sample_image_pallas(ev, img, x, y, xla_fallback):
+def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
+                        edge_x=None, edge_y=None):
     """Sample InputImage `img` at world coords (x, y) via the Pallas kernel.
 
     Returns [r, g, b, a] channel arrays. `xla_fallback()` is traced into a
-    lax.cond branch used when any tile's source bbox exceeds the window."""
+    lax.cond branch used when any tile's source bbox exceeds the window.
+    interpolation/edge_x/edge_y default to the invocation options; callers
+    with fixed semantics (gradient/curve LUTs) override them."""
     import jax
     import jax.numpy as jnp
 
     from ..runtime import sampling as S
 
     opts = ev.ctx.opts
-    interpolation = opts.interpolation
+    interpolation = interpolation or opts.interpolation
+    edge_x = edge_x or opts.edge_x
+    edge_y = edge_y or opts.edge_y
+    win_fast = getattr(opts, "pallas_window_fast", DEFAULT_WIN_FAST)
     win_h, win_w = getattr(opts, "pallas_window", DEFAULT_WIN)
     tile_w = TILE_W
 
     h_img, w_img = img.global_shape
     h_out, w_out = x.shape
 
-    # padded image dims: hp mult of 32 (so oy*4 lane-aligns), wp mult of 8
+    # padded image dims: hp mult of 32 (so the multi-copy lane base c*hp*4
+    # stays 128-aligned), wp mult of 16 (bf16 sublane tiling)
     hp = _round_up(h_img + PAD_L + 8, 32)
-    wp = _round_up(w_img + PAD_L + 8, 8)
+    wp = _round_up(w_img + PAD_L + 8, 16)
     win_h = min(win_h, hp)
     win_w = min(win_w, wp)
 
     # ---- coords + edge mapping (XLA, fused) ----
     px, py = S.world_to_pixel(jnp, x, y, w_img, h_img)
-    px = _edge_map_coord(jnp, px, w_img, opts.edge_x)
-    py = _edge_map_coord(jnp, py, h_img, opts.edge_y)
+    px = _edge_map_coord(jnp, px, w_img, edge_x)
+    py = _edge_map_coord(jnp, py, h_img, edge_y)
     pxp = px + float(PAD_L)
     pyp = py + float(PAD_L)
 
-    # ---- padded x-major image (cached per invocation) ----
+    interpret = jax.default_backend() != "tpu"
+    precision = getattr(opts, "pallas_precision", "bf16")
+    img_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    # ---- padded multi-copy x-major image (cached per invocation) ----
     cache = getattr(ev.ctx, "_pallas_pad_cache", None)
     if cache is None:
         cache = {}
         ev.ctx._pallas_pad_cache = cache
     # The entry holds a reference to the source array so its id() cannot be
     # reused by a different array while the entry lives (ADVICE r1 low).
-    key = (id(img.pixels), opts.edge_x, opts.edge_y, hp, wp)
+    key = (id(img.pixels), edge_x, edge_y, hp, wp, str(img_dtype))
     entry = cache.get(key)
     if entry is None or entry[0] is not img.pixels:
         entry = (
             img.pixels,
-            _pad_xmajor(jnp, img.pixels, opts.edge_x, opts.edge_y,
-                        opts.edge_color, hp, wp),
+            _pad_xmajor(jnp, img.pixels, edge_x, edge_y,
+                        opts.edge_color, hp, wp, dtype=img_dtype),
         )
         cache[key] = entry
     img_xm = entry[1]
 
-    interpret = jax.default_backend() != "tpu"
-    precision = getattr(opts, "pallas_precision", "bf16")
     tap_lo, n_taps = _tap_range(interpolation)
 
-    def plan(tile_h, tile_w_c, win_h_c, win_w_c):
+    def plan(tile_h, tile_w_c, win_h_c, win_w_c, chunk=None):
         """Tile-pad the coord grids and compute aligned window origins plus
         the overflow flag for one (tile, window) configuration."""
         win_h_c = min(win_h_c, hp)
@@ -377,38 +444,82 @@ def sample_image_pallas(ev, img, x, y, xla_fallback):
         max_x = xt.max(axis=(1, 3)) + tap_lo + n_taps - 1
         min_y = yt.min(axis=(1, 3)) + tap_lo
         max_y = yt.max(axis=(1, 3)) + tap_lo + n_taps - 1
-        ox = jnp.clip((min_x // 8) * 8, 0, wp - win_w_c)
-        oy = jnp.clip((min_y // 32) * 32, 0, hp - win_h_c)
-        overflow = jnp.any(max_x - ox > win_w_c - 1) | jnp.any(max_y - oy > win_h_c - 1)
+        ox = jnp.clip((min_x // 16) * 16, 0, wp - win_w_c)
+        oy = jnp.clip((min_y // 8) * 8, 0, hp - win_h_c)
+        if win_h_c >= hp and win_w_c >= wp:
+            # window covers the entire padded image (small inputs, LUTs):
+            # overflow is impossible — signal an unconditional tier
+            overflow = None
+        else:
+            overflow = (jnp.any(max_x - ox > win_w_c - 1)
+                        | jnp.any(max_y - oy > win_h_c - 1))
 
         def run(_):
             planar = warp_sample_pallas(
                 img_xm, pxp_t, pyp_t, oy, ox,
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
-                tile_w=tile_w_c, tile_h=tile_h, precision=precision,
-                interpret=interpret,
+                tile_w=tile_w_c, tile_h=tile_h, hp=hp, precision=precision,
+                interpret=interpret, chunk=chunk,
             )
             return tuple(planar[c, :h_out, :w_out] for c in range(4))
 
         return overflow, run
 
-    # config chain: translational-fast -> rotational (squarer tiles, bigger
-    # windows) -> whole-frame XLA gather; lax.cond picks per frame. The f32
-    # (HIGHEST-precision) mode skips the rotational config: its 3-pass
-    # matmul scratch exceeds the 16MB VMEM with the big window, and the
-    # gather fallback is exact anyway.
-    ov1, run1 = plan(TILE_H, tile_w, win_h, win_w)
+    # Config chain, cheapest first — FLOPs/pixel scale with window area and
+    # narrow (8x64) tiles keep rotational source bands small (measured 4K
+    # bilinear: fast 587, mid 417, rot 320, xrot 150 Mpix/s; gather ~20).
+    # A lax.cond chain on the per-tier overflow flags picks per frame; a
+    # tier whose window covers the whole padded image truncates the chain
+    # (single unconditional pallas program — the LUT/small-image case).
+    rot_h, rot_w = getattr(opts, "pallas_window_rot", (128, 256))
+    xrot = getattr(opts, "pallas_window_xrot", (320, 384))
+    tier_cfgs = [
+        (TILE_H, tile_w, win_fast[0], win_fast[1], None),  # near-identity
+        (8, 64, win_h, win_w, None),        # moderate warp/magnification
+        (8, 64, rot_h, rot_w, None),        # rotational (twirl-class)
+        (8, 128, xrot[0], xrot[1], 512),    # extreme warps (chunked VMEM)
+    ]
 
     def slow_path(_):
         return tuple(xla_fallback())
 
-    if precision == "f32":
-        return list(jax.lax.cond(ov1, slow_path, run1, operand=None))
+    chain = []
+    terminal = slow_path
+    for th, tw, wh, ww, ck in tier_cfgs:
+        ov, run = plan(th, tw, wh, ww, chunk=ck)
+        if ov is None:
+            terminal = run
+            break
+        chain.append((ov, run))
+    branch = terminal
+    for ov, run in reversed(chain):
+        branch = (lambda ov, run, nxt: lambda _: jax.lax.cond(ov, nxt, run, operand=None))(
+            ov, run, branch
+        )
+    return list(branch(None))
 
-    rot_h, rot_w = getattr(opts, "pallas_window_rot", (320, 328))
-    ov2, run2 = plan(8, 128, rot_h, rot_w)
 
-    def second(_):
-        return jax.lax.cond(ov2, slow_path, run2, operand=None)
+def apply_lut_pallas(ev, lut, pos, xla_fallback):
+    """Gather-free LUT application: treat the (K,) or (K, 4) LUT as a 1-row
+    image and sample it with the MXU kernel at bilinear interpolation
+    (= linear interpolation between adjacent entries, exactly the take-lerp
+    semantics). XLA take runs at ~6ns/element on this TPU — one 4K gradient
+    application measured 56 ms; this path runs it in ~6 ms. Returns 4
+    channel arrays ((K,) LUTs are broadcast — read any one channel).
 
-    return list(jax.lax.cond(ov1, second, run1, operand=None))
+    Replaces the reference's per-pixel curve/gradient table lookups
+    (userval.c curve/gradient application [unverified — mount empty])."""
+    import jax.numpy as jnp
+
+    from ..runtime.value import InputImage
+
+    k = int(lut.shape[0])
+    px4 = lut if lut.ndim == 2 else jnp.broadcast_to(lut[:, None], (k, 4))
+    img = InputImage(pixels=px4.reshape(1, k, 4), name="lut")
+    # invert world_to_pixel (w=k, h=1) so the source coord is pos*(k-1)
+    xf = jnp.clip(pos, 0.0, 1.0) * (k - 1)
+    x = xf - (k * 0.5 - 0.5)
+    y = jnp.zeros_like(xf)
+    return sample_image_pallas(ev, img, x, y, xla_fallback,
+                               interpolation="bilinear",
+                               edge_x="color", edge_y="color")

@@ -39,18 +39,23 @@ class RenderOptions:
     #: forces the kernel (interpret-mode off-TPU — slow, for tests);
     #: 'gather' forces the XLA path.
     sampler: str = "auto"
-    #: Pallas sampling window (rows mult-of-32, cols mult-of-8). Bigger
-    #: windows tolerate stronger warps but cost O(area) MXU FLOPs/pixel.
-    pallas_window: tuple = (64, 640)
-    #: second-chance window for rotational warps (fisheye/twirl): squarer
-    #: 8x128 tiles with a window sized for source gradients up to ~2.
-    pallas_window_rot: tuple = (320, 328)
+    #: Pallas sampler tier windows (rows mult-of-8, cols mult-of-16); a
+    #: lax.cond chain tries them cheapest-first per frame, falling back to
+    #: the XLA gather path. FLOPs/pixel scale with window area. Measured 4K
+    #: bilinear Mpix/s per tier: 587 / 417 / 320 / 150 (gather ~20).
+    #: fast: near-identity warps (pond, ripple), 8x256 output tiles.
+    pallas_window_fast: tuple = (32, 512)
+    #: mid: moderate warps / magnification up to ~3.5x, 8x64 tiles.
+    pallas_window: tuple = (64, 256)
+    #: rot: rotational warps (twirl/fisheye class), 8x64 tiles.
+    pallas_window_rot: tuple = (128, 256)
+    #: xrot: extreme warps (source slope up to ~2.4), 8x128 tiles.
+    pallas_window_xrot: tuple = (320, 384)
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
-    #: is ~17x faster on v5e (f32 matmul is MXU-emulated) and accurate to
-    #: ~1.5 8-bit LSBs (measured 6e-3 max) — matching the reference's uint8
-    #: output packing; 'f32' uses HIGHEST-precision passes (<=1e-4 of the
-    #: gather path, measured 7e-5) and skips the rotational window config
-    #: (VMEM budget).
+    #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3
+    #: max) — matching the reference's uint8 output packing; 'f32' uses
+    #: split-float bf16x3 passes (measured <=2e-5 vs the exact gather path)
+    #: at ~3x the bf16 cost — still ~6x faster than MXU-emulated f32.
     pallas_precision: str = "bf16"
 
     def __post_init__(self):
@@ -62,8 +67,11 @@ class RenderOptions:
             raise ValueError("supersample must be >= 1")
         if self.sampler not in ("auto", "pallas", "gather"):
             raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
-        wh, ww = self.pallas_window
-        if wh % 32 or ww % 8:
-            raise ValueError("pallas_window must be (mult of 32, mult of 8)")
+        for win in (self.pallas_window_fast, self.pallas_window,
+                    self.pallas_window_rot, self.pallas_window_xrot):
+            wh, ww = win
+            if wh % 8 or ww % 16:
+                raise ValueError(
+                    "pallas windows must be (mult of 8, mult of 16)")
         if self.pallas_precision not in ("bf16", "f32"):
             raise ValueError("pallas_precision must be 'bf16' or 'f32'")

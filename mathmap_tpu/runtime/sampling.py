@@ -106,6 +106,21 @@ def _use_pallas(ev, img) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def lut_pallas_ok(ev, x) -> bool:
+    """Whether curve/gradient LUT application should use the Pallas MXU
+    kernel (same policy as _use_pallas; pos must be a full-grid array)."""
+    opts = ev.ctx.opts
+    if not ev.ctx.is_jax or opts.sampler == "gather":
+        return False
+    if getattr(x, "ndim", None) != 2 or x.shape != ev.ctx.shape:
+        return False
+    if opts.sampler == "pallas":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def sample_image(ev, img, x, y):
     """Sample an input image at world coords (x, y) using the invocation's
     interpolation/edge settings. Returns 4 channel arrays (r, g, b, a).

@@ -173,7 +173,9 @@ class ClosureImage(ImageBase):
 class Curve:
     """A user-editable 1D function, sampled as a LUT (userval.c curve widget).
 
-    The LUT is a (resolution,) array mapping [0,1] -> [0,1]; application
+    The LUT is a (resolution,) array mapping [0,1] -> [0,1] (256 entries =
+    every uint8 output level; keeps the whole padded LUT inside one Pallas
+    sampler window). Application
     outside [0,1] clamps, matching widget behavior [unverified].
     """
 
@@ -181,11 +183,11 @@ class Curve:
     name: str = "curve"
 
     @staticmethod
-    def identity(be, resolution: int = 1024) -> "Curve":
+    def identity(be, resolution: int = 256) -> "Curve":
         return Curve(lut=be.linspace(0.0, 1.0, resolution, dtype=be.float32))
 
     @staticmethod
-    def from_function(be, fn: Callable[[Any], Any], resolution: int = 1024) -> "Curve":
+    def from_function(be, fn: Callable[[Any], Any], resolution: int = 256) -> "Curve":
         xs = be.linspace(0.0, 1.0, resolution, dtype=be.float32)
         return Curve(lut=be.asarray(fn(xs), dtype=be.float32))
 
@@ -198,7 +200,7 @@ class Gradient:
     name: str = "gradient"
 
     @staticmethod
-    def default(be, resolution: int = 1024) -> "Gradient":
+    def default(be, resolution: int = 256) -> "Gradient":
         """Black->white opaque ramp [unverified default — mount empty]."""
         ramp = be.linspace(0.0, 1.0, resolution, dtype=be.float32)
         ones = be.ones_like(ramp)

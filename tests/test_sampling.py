@@ -162,3 +162,25 @@ def test_pallas_sampler_odd_sizes(hw):
     a = f.render(img, options=mm.RenderOptions(sampler="gather"))
     b = f.render(img, options=mm.RenderOptions(sampler="pallas", pallas_precision="f32"))
     np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+def test_pallas_lut_application_matches_take():
+    """Gradient/curve application routed through the MXU sampler (treating
+    the LUT as a 1-row image) must match the take-lerp path. XLA's gather
+    costs ~6ns/element on TPU — one 4K gradient application measured 56ms —
+    so LUT application is a first-class kernel concern (mandelbrot's
+    coloring was 10x the cost of its fractal loop, r2 profiling)."""
+    src = "filter g (gradient grad) grad((x + X) / W) end"
+    f = mm.compile(src)
+    a = f.render(np.zeros((24, 40, 4), np.float32),
+                 options=mm.RenderOptions(sampler="gather"))
+    b = f.render(np.zeros((24, 40, 4), np.float32),
+                 options=mm.RenderOptions(sampler="pallas", pallas_precision="f32"))
+    np.testing.assert_allclose(b, a, atol=2e-5)
+    csrc = "filter c (curve cv) grayColor(cv((x + X) / W)) end"
+    fc = mm.compile(csrc)
+    a = fc.render(np.zeros((24, 40, 4), np.float32),
+                  options=mm.RenderOptions(sampler="gather"))
+    b = fc.render(np.zeros((24, 40, 4), np.float32),
+                  options=mm.RenderOptions(sampler="pallas", pallas_precision="f32"))
+    np.testing.assert_allclose(b, a, atol=2e-5)
