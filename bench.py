@@ -3,11 +3,12 @@ TPU chip and prints ONE JSON line.
 
 Metric: Mpix/s/chip on the distortion suite (fisheye, twirl, pond — BASELINE
 config 2 filters) at 4K with bilinear origVal sampling, per the north-star
-("distortion suite @ 4K"). vs_baseline: speedup over the C-codegen CPU
-renderer; the reference binary is unavailable (mount empty — SURVEY.md §0),
-so the stand-in baseline is this repo's NumPy oracle interpreter measured on
-this machine's CPU (BASELINE.md table row 3), which overstates our ratio vs
-real C; the absolute Mpix/s number is the durable figure.
+("distortion suite @ 4K"). vs_baseline: speedup over a measured C per-pixel
+CPU renderer (benchmarks/c_baseline/ — the reference's cgen+gcc architecture
+reproduced for these filters: -O3 -march=native, row-slice pthreads) run on
+this machine; the reference binary itself is unavailable (mount empty —
+SURVEY.md §0). NOTE: this box exposes a single CPU core — `c_threads` in
+the JSON records the parallelism the C number actually got.
 
 Usage: python bench.py [--size WxH] [--iters N] [--quick]
 """
@@ -103,16 +104,31 @@ def main(argv=None):
 
     value = float(np.mean(tpu_mpix))
 
-    # CPU-interpreter stand-in baseline at reduced size (Mpix/s is roughly
-    # size-independent for the oracle; 4K oracle renders take minutes).
-    bw, bh = 480, 270
-    bimg = img[:bh, :bw]
-    filt = __import__("mathmap_tpu").compile_file(suite[0])
-    start = time.perf_counter()
-    filt.render(bimg, width=bw, height=bh, t=0.37, options=opts, interpret=True)
-    cpu_dt = time.perf_counter() - start
-    cpu_mpix = bw * bh / cpu_dt / 1e6
-    print(f"# oracle baseline: {cpu_mpix:.2f} Mpix/s (CPU NumPy interpreter)", file=sys.stderr)
+    # Measured C per-pixel baseline (the honest vs_baseline denominator).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "c_baseline_runner",
+        __file__.replace("bench.py", "benchmarks/c_baseline/runner.py"),
+    )
+    c_runner = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(c_runner)
+    bimg = img[:1080, :1920] if not args.quick else img
+    c_result = c_runner.measure(bimg, iters=2)
+    if c_result is not None:
+        cpu_mpix, c_per, c_threads = c_result
+        print(f"# C baseline: {cpu_mpix:.2f} Mpix/s mean on {c_threads} thread(s) "
+              f"({', '.join(f'{k} {v:.1f}' for k, v in c_per.items())})",
+              file=sys.stderr)
+    else:  # no C compiler: NumPy oracle stand-in (overstates our ratio)
+        bw, bh = 480, 270
+        filt = __import__("mathmap_tpu").compile_file(suite[0])
+        start = time.perf_counter()
+        filt.render(img[:bh, :bw], width=bw, height=bh, t=0.37, options=opts,
+                    interpret=True)
+        cpu_mpix = bw * bh / (time.perf_counter() - start) / 1e6
+        c_threads = 0
+        print(f"# oracle stand-in baseline: {cpu_mpix:.2f} Mpix/s", file=sys.stderr)
 
     # Relay-health probe: fenced 132MB elementwise op. Healthy ~0.5-2 ms;
     # the shared tunnel has been observed degrading 10-100x within a day —
@@ -130,10 +146,13 @@ def main(argv=None):
           f"(healthy <5ms)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "distortion_suite_4k_bilinear",
+        "metric": ("distortion_suite_quick" if args.quick
+                   else "distortion_suite_4k_bilinear"),
         "value": round(value, 2),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(value / cpu_mpix, 1),
+        "c_baseline_mpix": round(cpu_mpix, 2),
+        "c_threads": c_threads,
         "relay_health_ms": round(health_ms, 1),
     }))
 
