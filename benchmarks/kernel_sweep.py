@@ -50,8 +50,9 @@ def main():
     img = np.random.RandomState(0).rand(h, w, 4).astype(np.float32)
     ins = [jax.device_put(img)]
 
-    windows = [(32, 384), (64, 640), (96, 896)]
-    rots = [(224, 232), (320, 328), (416, 424)]
+    fasts = [(32, 512), (32, 256)]
+    mids = [(64, 256), (64, 384)]
+    rots = [(96, 256), (128, 256), (192, 256)]
     precisions = ["bf16", "f32"]
 
     for name, path in (("ripple", "filters/Distorts/ripple.mm"),
@@ -59,20 +60,21 @@ def main():
         filt = mm.compile_file(path)
         print(f"== {name} {w}x{h}")
         for prec in precisions:
-            for win in windows:
-                for rot in rots:
-                    opts = mm.RenderOptions(
-                        pallas_window=win, pallas_window_rot=rot,
-                        pallas_precision=prec,
-                    )
-                    try:
-                        r = filt._renderer(w, h, opts, 1)
-                        dt = fenced_best(r, ins, args.iters)
-                        print(f"  {prec} win={win} rot={rot}: {dt * 1e3:8.1f} ms",
-                              flush=True)
-                    except Exception as exc:
-                        print(f"  {prec} win={win} rot={rot}: FAIL {str(exc)[:80]}",
-                              flush=True)
+            for fast in fasts:
+                for mid in mids:
+                    for rot in rots:
+                        opts = mm.RenderOptions(
+                            pallas_window_fast=fast, pallas_window=mid,
+                            pallas_window_rot=rot, pallas_precision=prec,
+                        )
+                        try:
+                            r = filt._renderer(w, h, opts, 1)
+                            dt = fenced_best(r, ins, args.iters)
+                            print(f"  {prec} fast={fast} mid={mid} rot={rot}: "
+                                  f"{dt * 1e3:8.1f} ms", flush=True)
+                        except Exception as exc:
+                            print(f"  {prec} fast={fast} mid={mid} rot={rot}: "
+                                  f"FAIL {str(exc)[:80]}", flush=True)
         # gather baseline
         r = filt._renderer(w, h, mm.RenderOptions(sampler="gather"), 1)
         dt = fenced_best(r, ins, args.iters)

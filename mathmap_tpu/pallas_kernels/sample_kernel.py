@@ -420,30 +420,47 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     tap_lo, n_taps = _tap_range(interpolation)
 
+    # ---- shared per-block source-bbox stats: ONE full-grid pass serves
+    # every tier (tiles are all 8 rows tall and 64|128|256 wide, so stats on
+    # an (8, 64) base grid reduce to any tier's tiling with tiny reductions)
+    BW = 64
+    LCM_W = 256
+    ht0 = _round_up(h_out, TILE_H)
+    wt0 = _round_up(w_out, LCM_W)
+    if (ht0, wt0) != (h_out, w_out):
+        pxp0 = jnp.pad(pxp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
+        pyp0 = jnp.pad(pyp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
+    else:
+        pxp0, pyp0 = pxp, pyp
+    half = 0.5 if interpolation == "nearest" else 0.0
+    x0g = jnp.floor(pxp0 + half).astype(jnp.int32)
+    y0g = jnp.floor(pyp0 + half).astype(jnp.int32)
+    nby, nbx = ht0 // TILE_H, wt0 // BW
+    bx = x0g.reshape(nby, TILE_H, nbx, BW)
+    by = y0g.reshape(nby, TILE_H, nbx, BW)
+    base = (bx.min(axis=(1, 3)), bx.max(axis=(1, 3)),
+            by.min(axis=(1, 3)), by.max(axis=(1, 3)))
+
     def plan(tile_h, tile_w_c, win_h_c, win_w_c, chunk=None):
         """Tile-pad the coord grids and compute aligned window origins plus
         the overflow flag for one (tile, window) configuration."""
+        assert tile_h == TILE_H and tile_w_c % BW == 0 and LCM_W % tile_w_c == 0
         win_h_c = min(win_h_c, hp)
         win_w_c = min(win_w_c, wp)
-        ht = _round_up(h_out, tile_h)
+        ht = ht0
         wt = _round_up(w_out, tile_w_c)
         if (ht, wt) != (h_out, w_out):
             pxp_t = jnp.pad(pxp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
             pyp_t = jnp.pad(pyp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
         else:
             pxp_t, pyp_t = pxp, pyp
-        if interpolation == "nearest":
-            x0 = jnp.floor(pxp_t + 0.5).astype(jnp.int32)
-            y0 = jnp.floor(pyp_t + 0.5).astype(jnp.int32)
-        else:
-            x0 = jnp.floor(pxp_t).astype(jnp.int32)
-            y0 = jnp.floor(pyp_t).astype(jnp.int32)
-        xt = x0.reshape(ht // tile_h, tile_h, wt // tile_w_c, tile_w_c)
-        yt = y0.reshape(ht // tile_h, tile_h, wt // tile_w_c, tile_w_c)
-        min_x = xt.min(axis=(1, 3)) + tap_lo
-        max_x = xt.max(axis=(1, 3)) + tap_lo + n_taps - 1
-        min_y = yt.min(axis=(1, 3)) + tap_lo
-        max_y = yt.max(axis=(1, 3)) + tap_lo + n_taps - 1
+        gw = tile_w_c // BW
+        ntx = wt // tile_w_c
+        group = [b[:, : ntx * gw].reshape(nby, ntx, gw) for b in base]
+        min_x = group[0].min(axis=-1) + tap_lo
+        max_x = group[1].max(axis=-1) + tap_lo + n_taps - 1
+        min_y = group[2].min(axis=-1) + tap_lo
+        max_y = group[3].max(axis=-1) + tap_lo + n_taps - 1
         ox = jnp.clip((min_x // 16) * 16, 0, wp - win_w_c)
         oy = jnp.clip((min_y // 8) * 8, 0, hp - win_h_c)
         if win_h_c >= hp and win_w_c >= wp:
