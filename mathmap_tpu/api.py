@@ -153,13 +153,18 @@ class Filter:
             ts = np.arange(num_frames, dtype=np.float32) / denom
         return np.asarray(renderer(ins, ts=ts))
 
-    def render_tiled(self, input_image, halo: int, mesh=None,
-                     width: int | None = None, height: int | None = None,
-                     options: RenderOptions | None = None, t: float = 0.0):
-        """Render with the INPUT row-sharded across the mesh and halo rows
-        exchanged over ICI (parallel/halo.py) — for canvases whose inputs
-        exceed per-device HBM when replicated. The filter's vertical source
-        displacement must be bounded by `halo` rows."""
+    def render_tiled(self, input_image, halo: int | tuple | str = "auto",
+                     mesh=None, width: int | None = None,
+                     height: int | None = None,
+                     options: RenderOptions | None = None, t: float = 0.0,
+                     check: bool = True):
+        """Render with the INPUT row- (and, on a 2-D mesh, column-) sharded
+        across the mesh and halo rows/cols exchanged over ICI
+        (parallel/halo.py) — for canvases whose inputs exceed per-device HBM
+        when replicated. The filter's source displacement must be bounded by
+        `halo`; halo="auto" infers the bound from the filter AST
+        (parallel/bounds.py) and check=True turns a violated bound into an
+        MMRuntimeError instead of a silent clamp."""
         from .parallel.halo import TiledRenderer
         from .parallel.mesh import make_mesh
 
@@ -168,10 +173,11 @@ class Filter:
         width, height = self._resolve_size([img], width, height)
         if mesh is None:
             mesh = make_mesh()
-        key = ("tiled", width, height, options, halo, id(mesh))
+        key = ("tiled", width, height, options, halo, id(mesh), check)
         if key not in self._jit_cache:
             self._jit_cache[key] = TiledRenderer(
-                mesh, self.filters, self.fdef, width, height, options, halo
+                mesh, self.filters, self.fdef, width, height, options, halo,
+                check=check,
             )
         return np.asarray(self._jit_cache[key](img, t=t))
 

@@ -3,19 +3,24 @@
 Reference has no distributed comm at all (SURVEY.md §2.2) — the structural
 analog of sequence parallelism is large-canvas tiling: when a 4K+ render or
 multi-image composite exceeds HBM with replicated inputs, shard the INPUT
-image rows across devices and exchange `halo` boundary rows with ring
-neighbors over ICI via `lax.ppermute` (SURVEY §2.2 SP row, §5 long-context
-row). Each device then renders its output row block sampling only within its
-extended local block.
+image rows (and optionally columns) across devices and exchange `halo`
+boundary rows/cols with ring neighbors over ICI via `lax.ppermute`
+(SURVEY §2.2 SP row, §5 long-context row). Each device then renders its
+output block sampling only within its extended local block.
 
 Correctness contract: the filter's source displacement must be bounded by
-`halo` rows vertically (the bounded-displacement condition). Horizontal
-access is unrestricted (rows are whole). Displacements beyond the halo clamp
-into the block — callers choose `halo` from the filter's parameters (e.g.
-ripple amplitude).
+`halo` rows (and cols, when column-sharded). Three enforcement layers:
+  - halo="auto" infers the displacement bound from the filter AST
+    (parallel/bounds.py affine-interval analysis) and sizes the halo;
+  - check=True (default) additionally records, per gather, how far past
+    the halo any sample reached and raises MMRuntimeError on violation
+    instead of silently clamping;
+  - out-of-halo displacements clamp into the block when check=False.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -23,86 +28,155 @@ from ..runtime.render import render_frame
 from ..runtime.tracer import RenderContext
 from ..runtime.value import TiledInput
 from ..utils.errors import MMRuntimeError
-from .mesh import ROW_AXIS, axis_size
+from .bounds import infer_displacement_bound
+from .mesh import COL_AXIS, ROW_AXIS, axis_size
 
 
-def exchange_halo(inp_local, halo: int, axis_name: str = ROW_AXIS):
-    """Extend a local row block with `halo` rows from ring neighbors.
-
-    inp_local: (tile_h, W, 4) this device's rows. Returns
-    (tile_h + 2*halo, W, 4); at the global top/bottom the halo wraps around
-    the ring (devices clamp those rows away during sampling)."""
+def exchange_halo(inp_local, halo: int, axis_name: str = ROW_AXIS, axis: int = 0):
+    """Extend a local block with `halo` rows (axis=0) or cols (axis=1) from
+    ring neighbors. Returns the block extended by 2*halo along `axis`; at
+    the global edges the halo wraps around the ring (correct for edge
+    'wrap'; other edge modes never index there)."""
     import jax
     import jax.numpy as jnp
 
     n = jax.lax.axis_size(axis_name)
-    down = [(i, (i + 1) % n) for i in range(n)]  # send to next (rows below)
-    up = [(i, (i - 1) % n) for i in range(n)]  # send to prev (rows above)
-    # my bottom rows become the NEXT device's top halo
-    from_above = jax.lax.ppermute(inp_local[-halo:], axis_name, down)
-    # my top rows become the PREVIOUS device's bottom halo
-    from_below = jax.lax.ppermute(inp_local[:halo], axis_name, up)
-    return jnp.concatenate([from_above, inp_local, from_below], axis=0)
+    down = [(i, (i + 1) % n) for i in range(n)]  # send to next (below/right)
+    up = [(i, (i - 1) % n) for i in range(n)]  # send to prev (above/left)
+    take_lo = [slice(None)] * inp_local.ndim
+    take_lo[axis] = slice(None, halo)
+    take_hi = [slice(None)] * inp_local.ndim
+    take_hi[axis] = slice(-halo, None)
+    # my trailing rows become the NEXT device's leading halo
+    from_before = jax.lax.ppermute(inp_local[tuple(take_hi)], axis_name, down)
+    # my leading rows become the PREVIOUS device's trailing halo
+    from_after = jax.lax.ppermute(inp_local[tuple(take_lo)], axis_name, up)
+    return jnp.concatenate([from_before, inp_local, from_after], axis=axis)
+
+
+def auto_halo(program_filters, fdef, width: int, height: int,
+              opts, uservals=None):
+    """(halo_rows, halo_cols) from the static displacement bound, or raises
+    MMRuntimeError when the filter's displacement is unbounded/unknown."""
+    bound = infer_displacement_bound(program_filters, fdef, width, height,
+                                     uservals)
+    if bound is None or bound[0] >= height or bound[1] >= width:
+        raise MMRuntimeError(
+            f"cannot infer a usable displacement bound for filter "
+            f"{fdef.name!r} ({'unbounded' if bound is None else f'bound {bound}'}"
+            f" at {width}x{height}): pass an explicit halo= (or render "
+            f"unsharded)")
+    dy, dx = bound
+    # interpolation taps extend up to 2 texels past the displaced floor
+    # (bicubic); +1 covers the pixel-center half-texel
+    margin = {"nearest": 1, "bilinear": 2, "bicubic": 3}[opts.interpolation]
+    return int(math.ceil(dy)) + margin, int(math.ceil(dx)) + margin
 
 
 def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
-                       input_array, halo: int, uservals=None, t=0.0, frame=0.0):
-    """One frame with the input row-sharded P(y) and halo exchange.
+                       input_array, halo, uservals=None, t=0.0, frame=0.0,
+                       check: bool = True):
+    """One frame with the input sharded P(y[, x]) and halo exchange.
 
     input_array: (H, W, 4) with H == output height (the common identity-
-    geometry case). Returns (H, W, 4) sharded P(y, None, None)."""
+    geometry case). halo: int (rows; cols derived when column-sharded) or
+    (rows, cols). Returns ((H, W, 4) sharded, max halo excess scalar —
+    <= 0 when the bounded-displacement contract held)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     ny = axis_size(mesh, ROW_AXIS)
+    nx = axis_size(mesh, COL_AXIS)
     if height % ny:
         raise MMRuntimeError(f"height ({height}) must be divisible by mesh rows ({ny})")
+    if width % nx:
+        raise MMRuntimeError(f"width ({width}) must be divisible by mesh cols ({nx})")
     tile_h = height // ny
-    if halo > tile_h:
-        raise MMRuntimeError(f"halo ({halo}) larger than tile height ({tile_h})")
+    tile_w = width // nx
+    halo_y, halo_x = halo if isinstance(halo, tuple) else (halo, halo)
+    if halo_y > tile_h:
+        raise MMRuntimeError(f"halo ({halo_y}) larger than tile height ({tile_h})")
+    if nx > 1 and halo_x > tile_w:
+        raise MMRuntimeError(f"halo ({halo_x}) larger than tile width ({tile_w})")
     uservals = uservals or {}
 
     def tile_render(inp_local):
         row_idx = jax.lax.axis_index(ROW_AXIS)
         row_off = row_idx * tile_h
-        ext = exchange_halo(inp_local, halo)
+        ext = exchange_halo(inp_local, halo_y, ROW_AXIS, axis=0)
+        if nx > 1:
+            col_idx = jax.lax.axis_index(COL_AXIS)
+            col_off = col_idx * tile_w
+            ext = exchange_halo(ext, halo_x, COL_AXIS, axis=1)
+        else:
+            col_off = 0
+        excess = [jnp.float32(-(2 ** 30))]
+
+        def hook(e):
+            excess[0] = jnp.maximum(excess[0], e.astype(jnp.float32))
+
         img = TiledInput(
             pixels=ext, name="in0",
-            global_height=height, row_base=row_off - halo,
+            global_height=height, global_width=width if nx > 1 else 0,
+            row_base=row_off - halo_y,
+            col_base=(col_off - halo_x) if nx > 1 else 0,
+            violation_hook=hook if check else None,
         )
         ctx = RenderContext(
             be=jnp, width=width, height=height, opts=opts,
             inputs=[img], filters=program_filters, t=t, frame=frame,
-            is_jax=True, grid_shape=(tile_h, width), row_offset=row_off,
+            is_jax=True, grid_shape=(tile_h, tile_w),
+            row_offset=row_off, col_offset=col_off,
         )
-        return render_frame(ctx, fdef, uservals)
+        out = render_frame(ctx, fdef, uservals)
+        worst = jax.lax.pmax(jax.lax.pmax(excess[0], ROW_AXIS), COL_AXIS)
+        return out, worst
 
     shard = jax.shard_map(
         tile_render, mesh=mesh,
-        in_specs=P(ROW_AXIS, None, None),
-        out_specs=P(ROW_AXIS, None, None),
+        in_specs=P(ROW_AXIS, COL_AXIS, None),
+        out_specs=(P(ROW_AXIS, COL_AXIS, None), P()),
         check_vma=False,
     )
     return shard(input_array)
 
 
 class TiledRenderer:
-    """jit wrapper for the halo-exchange path."""
+    """jit wrapper for the halo-exchange path.
 
-    def __init__(self, mesh, program_filters, fdef, width, height, opts, halo: int):
+    halo: int, (rows, cols), or "auto" (static displacement inference).
+    check=True raises MMRuntimeError when any sample reached beyond the
+    halo (the silent-clamp hazard, VERDICT r1 item 10)."""
+
+    def __init__(self, mesh, program_filters, fdef, width, height, opts,
+                 halo, uservals=None, check: bool = True):
         import jax
         import jax.numpy as jnp
 
         self.jnp = jnp
+        self.check = check
+        if halo == "auto":
+            halo = auto_halo(program_filters, fdef, width, height, opts,
+                             uservals)
+        self.halo = halo
 
         def run(inp, t):
             return render_frame_tiled(
-                mesh, program_filters, fdef, width, height, opts, inp, halo, t=t
+                mesh, program_filters, fdef, width, height, opts, inp,
+                halo, uservals=uservals, t=t, check=check,
             )
 
         self._jitted = jax.jit(run)
 
     def __call__(self, input_array, t=0.0):
         jnp = self.jnp
-        return self._jitted(jnp.asarray(np.asarray(input_array, np.float32)), jnp.float32(t))
+        out, excess = self._jitted(
+            jnp.asarray(np.asarray(input_array, np.float32)), jnp.float32(t)
+        )
+        if self.check and float(excess) > 0:
+            raise MMRuntimeError(
+                f"tiled render violated the bounded-displacement contract: "
+                f"a sample reached {float(excess):.0f} texel(s) beyond the "
+                f"halo {self.halo}; increase halo= or render unsharded")
+        return out

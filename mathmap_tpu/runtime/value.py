@@ -118,25 +118,34 @@ class InputImage(ImageBase):
 
 @dataclass
 class TiledInput(InputImage):
-    """A row-sharded input: `pixels` is this device's row block PLUS halo
-    rows exchanged from ring neighbors over ICI (parallel/halo.py — the
-    sequence/context-parallel analog, SURVEY §2.2 SP row). Global row index
-    `row_base` maps to local row 0. Sampling beyond the halo clamps into the
-    block — callers must bound the filter's displacement by the halo size.
-    """
+    """A grid-sharded input: `pixels` is this device's row/col block PLUS
+    halo rows/cols exchanged from ring neighbors over ICI (parallel/halo.py
+    — the sequence/context-parallel analog, SURVEY §2.2 SP row). Global
+    index (row_base, col_base) maps to local (0, 0). Sampling beyond the
+    halo clamps into the block — the caller's bounded-displacement contract
+    (recorded when `violation_hook` is set)."""
 
     global_height: int = 0
+    global_width: int = 0  # 0 = not column-sharded (block spans full width)
     row_base: Any = 0  # global row of local row 0 (may be traced)
+    col_base: Any = 0
+    #: optional callable(excess_scalar) recording how far past the halo a
+    #: sample reached (<=0 = contract held) — parallel/halo.py debug check
+    violation_hook: Any = None
 
     @property
     def global_shape(self):
-        return self.global_height, int(self.pixels.shape[1])
+        gw = self.global_width or int(self.pixels.shape[1])
+        return self.global_height, gw
 
     def make_gather(self, be):
-        ext_h, w = int(self.pixels.shape[0]), int(self.pixels.shape[1])
-        gh = self.global_height
-        flat = self.pixels.reshape(ext_h * w, 4)
+        ext_h, ext_w = int(self.pixels.shape[0]), int(self.pixels.shape[1])
+        gh, gw = self.global_shape
+        flat = self.pixels.reshape(ext_h * ext_w, 4)
         row_base = self.row_base
+        col_base = self.col_base
+        col_sharded = bool(self.global_width)
+        hook = self.violation_hook
 
         def gather(iy, ix):
             # mod-global arithmetic lands wrap-seam indices on the ring-
@@ -145,8 +154,19 @@ class TiledInput(InputImage):
             # iy=H-1 as (H-1+halo) mod H = halo-1, its top halo. In-range
             # indices are unchanged (0 <= iy - row_base < H). The final
             # clip only bounds contract-violating displacements.
-            ly = be.clip((iy - row_base) % gh, 0, ext_h - 1)
-            g = be.take(flat, ly * w + ix, axis=0)
+            lym = (iy - row_base) % gh
+            ly = be.clip(lym, 0, ext_h - 1)
+            if col_sharded:
+                lxm = (ix - col_base) % gw
+                lx = be.clip(lxm, 0, ext_w - 1)
+            else:
+                lxm = lx = ix
+            if hook is not None:
+                excess = be.max(lym - (ext_h - 1))
+                if col_sharded:
+                    excess = be.maximum(excess, be.max(lxm - (ext_w - 1)))
+                hook(excess)
+            g = be.take(flat, ly * ext_w + lx, axis=0)
             return [g[..., c] for c in range(4)]
 
         return gather

@@ -93,3 +93,75 @@ def test_reflect_edge_tiled():
     got = _tiled(src, img, halo=3, opts=opts)
     want = mm.compile(src).render(img, width=W, height=H, options=opts)
     np.testing.assert_array_equal(got, want)
+
+def test_auto_halo_inference():
+    """halo='auto' sizes the halo from the static displacement bound
+    (parallel/bounds.py) — VERDICT r1 item 10."""
+    img = _image()
+    src = "origVal(xy + xy:[0, 2 * sin(x / 3 + t)])"
+    f = mm.compile(src)
+    got = f.render_tiled(img, halo="auto", mesh=make_mesh(1, 8, 1), t=0.41)
+    want = f.render(img, width=W, height=H, t=0.41)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_auto_halo_unbounded_raises():
+    from mathmap_tpu.utils.errors import MMRuntimeError
+
+    f = mm.compile("origVal(xy * xy)")
+    with pytest.raises(MMRuntimeError, match="displacement bound"):
+        f.render_tiled(_image(), halo="auto", mesh=make_mesh(1, 8, 1))
+
+
+def test_too_small_halo_raises_not_clamps():
+    """check=True turns an out-of-halo sample into an error instead of the
+    silent clamp (VERDICT r1 item 10 'weak' finding)."""
+    from mathmap_tpu.utils.errors import MMRuntimeError
+
+    img = _image()
+    f = mm.compile("origVal(xy + xy:[0, 3])")  # needs halo >= 4 rows
+    with pytest.raises(MMRuntimeError, match="bounded-displacement"):
+        f.render_tiled(img, halo=1, mesh=make_mesh(1, 8, 1))
+    # same render with check=False silently clamps (legacy behavior)
+    out = f.render_tiled(img, halo=1, mesh=make_mesh(1, 8, 1), check=False)
+    assert np.isfinite(out).all()
+
+
+def test_column_sharded_tiles():
+    img = _image()
+    src = "origVal(xy + xy:[2 * sin(y / 4), 2 * sin(x / 3)])"
+    f = mm.compile(src)
+    got = f.render_tiled(img, halo="auto", mesh=make_mesh(1, 2, 4))
+    want = f.render(img, width=W, height=H)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_column_sharded_wrap_seam():
+    img = _image()
+    opts = mm.RenderOptions(edge_x="wrap", edge_y="wrap")
+    f = mm.compile("origVal(xy + xy:[3, 2])")
+    got = f.render_tiled(img, halo=(3, 4), mesh=make_mesh(1, 2, 4), options=opts)
+    want = f.render(img, width=W, height=H, options=opts)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bounds_inference_cases():
+    from mathmap_tpu.parallel.bounds import infer_displacement_bound
+
+    cases = [
+        ("origVal(xy)", (0.0, 0.0)),
+        ("origVal(xy + xy:[0, 2])", (2.0, 0.0)),
+        ("origVal(xy + xy:[3 * sin(y/5), 2 * sin(x/3 + t)])", (2.0, 3.0)),
+        ("filter f (image in, float amp: 0-5 (2)) in(xy + xy:[0, amp * sin(x)]) end",
+         (5.0, 0.0)),
+        ("v = 1; if x > 0 then v = 4 end; origVal(xy + xy:[0, v])", (4.0, 0.0)),
+        ("origVal(toXY(ra:[r + 5 * sin(r * 0.3), a]))", (5.0, 5.0)),
+    ]
+    for src, want in cases:
+        f = mm.compile(src)
+        got = infer_displacement_bound(f.filters, f.fdef, 320, 200)
+        assert got is not None, src
+        np.testing.assert_allclose(got, want, err_msg=src)
+    f = mm.compile("origVal(xy * xy)")
+    got = infer_displacement_bound(f.filters, f.fdef, 320, 200)
+    assert got is None or got[0] > 200  # unbounded or larger than any tile
