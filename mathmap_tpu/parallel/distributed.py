@@ -34,7 +34,9 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except RuntimeError as exc:  # already initialized
-        if "already" not in str(exc).lower():
+        # jax raises "distributed.initialize should only be called once."
+        msg = str(exc).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 

