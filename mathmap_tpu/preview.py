@@ -1,11 +1,14 @@
 """Interactive preview server — the GIMP-plugin dialog analog.
 
 Reference: `mathmap.c` main dialog: expression editor, filter browser,
-userval widget panel, preview pane with incremental render (SURVEY.md §2.1
-GIMP-plugin row [unverified — mount empty, SURVEY.md §0]). GTK is replaced
-by a localhost HTTP app (stdlib only): a browser page with a source editor,
-the expression-database tree, auto-generated parameter sliders/color/bool
-widgets from the filter signature, and a live-rerendering preview.
+userval widget panel, preview pane with incremental render, and userval.c's
+editable curve widget (SURVEY.md §2.1 GIMP-plugin + userval rows
+[unverified — mount empty, SURVEY.md §0]). GTK is replaced by a localhost
+HTTP app (stdlib only): a browser page with a source editor, the
+expression-database tree, auto-generated parameter widgets from the filter
+signature — including a freehand draggable-control-point curve editor —
+live-rerendering preview, input-image upload, and an animation renderer
+with a frame scrubber (render_animation's one-program t-sweep).
 
     python -m mathmap_tpu.preview [--port 8731] [--input img.png] [--cpu]
 """
@@ -45,6 +48,19 @@ select, button { background: #2a2a33; color: #ddd; border: 1px solid #555; }
   t: <input type="range" id="t" min="0" max="1" step="0.01" value="0"
             oninput="document.getElementById('tv').textContent=this.value; render()">
   <span id="tv">0</span>
+  <div style="margin:6px 0">
+    <button onclick="animate()">Animate</button>
+    frames: <input id="nframes" value="24" size="3">
+    <button id="playbtn" onclick="togglePlay()" style="display:none">&#9654;</button>
+    <input type="range" id="scrub" min="0" max="23" value="0" style="display:none"
+           oninput="showFrame(parseInt(this.value))">
+    <span id="framelabel"></span>
+  </div>
+  <div style="margin:6px 0">
+    input image: <input type="file" id="upload" accept="image/*"
+                        onchange="uploadImage(this)">
+    <span id="inputinfo"></span>
+  </div>
   <div id="params"></div>
   <h4>Filter library</h4><div id="library"></div>
   <div id="error"></div>
@@ -91,13 +107,18 @@ function renderParams(params) {
                   parseInt(this.value.substr(5,2),16)/255, 1]; render()"></label>`);
     } else if (p.kind === 'curve') {
       div.insertAdjacentHTML('beforeend',
-        `<label>${p.name} (curve): <select onchange="setCurve('${p.name}', this.value)">
-           <option value="identity">identity</option>
-           <option value="invert">invert</option>
-           <option value="gamma22">gamma 2.2</option>
-           <option value="gamma045">gamma 0.45</option>
-           <option value="contrast">contrast S</option>
-         </select></label>`);
+        `<label>${p.name} (curve — drag points, click to add, dblclick to remove):
+           <select onchange="setCurvePreset('${p.name}', this.value)">
+             <option value="">preset...</option>
+             <option value="identity">identity</option>
+             <option value="invert">invert</option>
+             <option value="gamma22">gamma 2.2</option>
+             <option value="gamma045">gamma 0.45</option>
+             <option value="contrast">contrast S</option>
+           </select><br>
+           <canvas id="curve_${p.name}" width="256" height="128"
+                   style="border:1px solid #555;background:#15151a"></canvas></label>`);
+      initCurveEditor(p.name);
     } else if (p.kind === 'gradient') {
       div.insertAdjacentHTML('beforeend',
         `<label>${p.name} (gradient):
@@ -120,10 +141,147 @@ const CURVES = {
   gamma045: t => Math.pow(t, 2.2),
   contrast: t => t*t*(3-2*t),
 };
-function setCurve(name, kind) {
+// ---- freehand curve editor: draggable control points -> 64-entry LUT ----
+let curvePoints = {};   // name -> [[x,y], ...] sorted by x, in [0,1]^2
+let curveDrag = null;
+function curveLUT(pts) {
+  return Array.from({length: 64}, (_, i) => {
+    const x = i / 63;
+    let j = 0;
+    while (j < pts.length - 1 && pts[j + 1][0] < x) j++;
+    const [x0, y0] = pts[j], [x1, y1] = pts[Math.min(j + 1, pts.length - 1)];
+    const f = x1 > x0 ? (x - x0) / (x1 - x0) : 0;
+    return Math.min(1, Math.max(0, y0 + (y1 - y0) * Math.min(1, Math.max(0, f))));
+  });
+}
+function drawCurve(name) {
+  const cv = document.getElementById('curve_' + name);
+  if (!cv) return;
+  const ctx = cv.getContext('2d');
+  const pts = curvePoints[name];
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  ctx.strokeStyle = '#333';
+  for (let g = 1; g < 4; g++) {
+    ctx.beginPath(); ctx.moveTo(cv.width * g / 4, 0); ctx.lineTo(cv.width * g / 4, cv.height); ctx.stroke();
+    ctx.beginPath(); ctx.moveTo(0, cv.height * g / 4); ctx.lineTo(cv.width, cv.height * g / 4); ctx.stroke();
+  }
+  const lut = curveLUT(pts);
+  ctx.strokeStyle = '#8cf';
+  ctx.beginPath();
+  lut.forEach((v, i) => {
+    const px = i / 63 * cv.width, py = (1 - v) * cv.height;
+    i ? ctx.lineTo(px, py) : ctx.moveTo(px, py);
+  });
+  ctx.stroke();
+  ctx.fillStyle = '#fc6';
+  for (const [x, y] of pts)
+    ctx.fillRect(x * cv.width - 3, (1 - y) * cv.height - 3, 6, 6);
+}
+function initCurveEditor(name) {
+  if (!curvePoints[name]) curvePoints[name] = [[0, 0], [1, 1]];
+  const cv = document.getElementById('curve_' + name);
+  const pos = e => {
+    const r = cv.getBoundingClientRect();
+    return [Math.min(1, Math.max(0, (e.clientX - r.left) / r.width)),
+            Math.min(1, Math.max(0, 1 - (e.clientY - r.top) / r.height))];
+  };
+  const hit = p => curvePoints[name].findIndex(
+    q => Math.abs(q[0] - p[0]) < 0.05 && Math.abs(q[1] - p[1]) < 0.1);
+  cv.onmousedown = e => {
+    const p = pos(e);
+    let i = hit(p);
+    if (i < 0) {  // click empty space: add a point
+      curvePoints[name].push(p);
+      curvePoints[name].sort((a, b) => a[0] - b[0]);
+      i = hit(p);
+    }
+    curveDrag = {name, i};
+    drawCurve(name);
+  };
+  cv.onmousemove = e => {
+    if (!curveDrag || curveDrag.name !== name) return;
+    const pts = curvePoints[name];
+    const p = pos(e);
+    const i = curveDrag.i;
+    const lo = i > 0 ? pts[i - 1][0] + 0.01 : 0;
+    const hi = i < pts.length - 1 ? pts[i + 1][0] - 0.01 : 1;
+    pts[i] = [Math.min(hi, Math.max(lo, p[0])), p[1]];
+    if (i === 0) pts[i][0] = 0;
+    if (i === pts.length - 1) pts[i][0] = 1;
+    drawCurve(name);
+  };
+  cv.onmouseup = () => {
+    if (!curveDrag) return;
+    paramState[name] = curveLUT(curvePoints[name]);
+    curveDrag = null;
+    render();
+  };
+  cv.ondblclick = e => {
+    const pts = curvePoints[name];
+    const i = hit(pos(e));
+    if (i > 0 && i < pts.length - 1) {  // endpoints stay
+      pts.splice(i, 1);
+      paramState[name] = curveLUT(pts);
+      drawCurve(name);
+      render();
+    }
+  };
+  drawCurve(name);
+}
+function setCurvePreset(name, kind) {
+  if (!kind) return;
   const fn = CURVES[kind];
-  paramState[name] = Array.from({length: 64}, (_, i) => fn(i/63));
+  curvePoints[name] = Array.from({length: 9}, (_, i) => [i / 8, fn(i / 8)]);
+  paramState[name] = curveLUT(curvePoints[name]);
+  drawCurve(name);
   render();
+}
+// ---- input image upload ----
+async function uploadImage(input) {
+  const file = input.files[0];
+  if (!file) return;
+  const buf = await file.arrayBuffer();
+  const b64 = btoa(new Uint8Array(buf).reduce((s, b) => s + String.fromCharCode(b), ''));
+  const res = await fetch('/upload', {method: 'POST',
+                                      body: JSON.stringify({data: b64})});
+  const info = await res.json();
+  document.getElementById('inputinfo').textContent =
+    info.error ? info.error : `${info.width}x${info.height}`;
+  render();
+}
+// ---- animation: one-program t-sweep on the server, scrub client-side ----
+let frames = [];
+let playTimer = null;
+function showFrame(i) {
+  if (!frames.length) return;
+  document.getElementById('preview').src = 'data:image/png;base64,' + frames[i];
+  document.getElementById('framelabel').textContent = `${i + 1}/${frames.length}`;
+  document.getElementById('scrub').value = i;
+}
+function togglePlay() {
+  const btn = document.getElementById('playbtn');
+  if (playTimer) { clearInterval(playTimer); playTimer = null; btn.innerHTML = '&#9654;'; return; }
+  let i = parseInt(document.getElementById('scrub').value);
+  playTimer = setInterval(() => { i = (i + 1) % frames.length; showFrame(i); }, 83);
+  btn.innerHTML = '&#9646;&#9646;';
+}
+async function animate() {
+  const n = Math.min(120, Math.max(2, parseInt(document.getElementById('nframes').value) || 24));
+  const body = JSON.stringify({source: document.getElementById('src').value,
+                               params: paramState, frames: n});
+  document.getElementById('stats').textContent = 'rendering ' + n + ' frames...';
+  const t0 = performance.now();
+  const res = await fetch('/animate', {method: 'POST', body: body});
+  const data = await res.json();
+  if (data.error) { document.getElementById('error').textContent = data.error; return; }
+  frames = data.frames;
+  const scrub = document.getElementById('scrub');
+  scrub.max = frames.length - 1;
+  scrub.style.display = 'inline-block';
+  document.getElementById('playbtn').style.display = 'inline-block';
+  document.getElementById('stats').textContent =
+    n + ' frames in ' + (performance.now() - t0).toFixed(0) + ' ms';
+  showFrame(0);
 }
 function hex2rgb(h) {
   return [parseInt(h.substr(1,2),16)/255, parseInt(h.substr(3,2),16)/255,
@@ -176,18 +334,50 @@ class PreviewState:
         self.lock = threading.Lock()  # one render at a time (single chip)
         self._filter_cache = {}
 
-    def render(self, source: str, t: float, params: dict):
+    def _compile(self, source: str):
         import mathmap_tpu as mm
 
+        filt = self._filter_cache.get(source)
+        if filt is None:
+            filt = mm.compile_source(source)
+            filt.filters.update(
+                {k: v for k, v in self.db.library_defs().items()
+                 if k not in filt.filters}
+            )
+            self._filter_cache[source] = filt
+        return filt
+
+    def set_input(self, png_bytes: bytes):
+        """Replace the input image from uploaded file bytes (any PIL-readable
+        format) — the GIMP dialog's drawable-selection analog."""
+        import io as _io
+
+        from PIL import Image
+
+        from .imgio.images import to_float_rgba
+
+        img = np.asarray(Image.open(_io.BytesIO(png_bytes)).convert("RGBA"))
         with self.lock:
-            filt = self._filter_cache.get(source)
-            if filt is None:
-                filt = mm.compile_source(source)
-                filt.filters.update(
-                    {k: v for k, v in self.db.library_defs().items()
-                     if k not in filt.filters}
-                )
-                self._filter_cache[source] = filt
+            self.input_image = to_float_rgba(img)
+            self._filter_cache.clear()  # cached jits keyed old input sizes
+        return self.input_image.shape[1], self.input_image.shape[0]
+
+    def animate(self, source: str, params: dict, num_frames: int):
+        """One-program t-sweep (render_animation) -> list of (H,W,4)."""
+        with self.lock:
+            filt = self._compile(source)
+            inputs = [self.input_image] if filt.image_params else []
+            w = h = self.size
+            if inputs:
+                h, w = inputs[0].shape[:2]
+            return filt.render_animation(
+                *inputs, num_frames=num_frames, width=w, height=h,
+                params=params,
+            )
+
+    def render(self, source: str, t: float, params: dict):
+        with self.lock:
+            filt = self._compile(source)
             inputs = [self.input_image] if filt.image_params else []
             h = self.size
             w = self.size
@@ -240,27 +430,42 @@ def _make_handler(state: PreviewState):
             else:
                 self._send(404, "not found", "text/plain")
 
+        def _png_b64(self, arr):
+            from PIL import Image
+
+            from .imgio.images import to_uint8
+
+            buf = io.BytesIO()
+            Image.fromarray(to_uint8(np.asarray(arr)), "RGBA").save(buf, "PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
         def do_POST(self):
-            if self.path != "/render":
-                self._send(404, "not found", "text/plain")
-                return
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length))
             try:
-                out, meta = state.render(
-                    req["source"], float(req.get("t", 0.0)), req.get("params", {})
-                )
-                from .imgio.images import to_uint8
-
-                from PIL import Image
-
-                buf = io.BytesIO()
-                Image.fromarray(to_uint8(np.asarray(out)), "RGBA").save(buf, "PNG")
-                self._send(200, json.dumps({
-                    "png": base64.b64encode(buf.getvalue()).decode(),
-                    "width": out.shape[1], "height": out.shape[0],
-                    "params": meta,
-                }))
+                if self.path == "/render":
+                    out, meta = state.render(
+                        req["source"], float(req.get("t", 0.0)),
+                        req.get("params", {}),
+                    )
+                    self._send(200, json.dumps({
+                        "png": self._png_b64(out),
+                        "width": out.shape[1], "height": out.shape[0],
+                        "params": meta,
+                    }))
+                elif self.path == "/upload":
+                    w, h = state.set_input(base64.b64decode(req["data"]))
+                    self._send(200, json.dumps({"width": w, "height": h}))
+                elif self.path == "/animate":
+                    n = max(2, min(120, int(req.get("frames", 24))))
+                    frames = state.animate(
+                        req["source"], req.get("params", {}), n
+                    )
+                    self._send(200, json.dumps({
+                        "frames": [self._png_b64(f) for f in frames],
+                    }))
+                else:
+                    self._send(404, "not found", "text/plain")
             except Exception as exc:  # surface errors in the page
                 msg = exc.format() if hasattr(exc, "format") else traceback.format_exc()
                 self._send(200, json.dumps({"error": str(msg)}))

@@ -62,3 +62,38 @@ def test_render_roundtrip_with_params(server):
 def test_render_error_reported(server):
     out = _post(server + "/render", {"source": "grayColor(1 +", "t": 0.0})
     assert "error" in out and "MMSyntaxError" in out["error"]
+
+
+def test_upload_endpoint(server):
+    """Image upload replaces the input (the drawable-selection analog)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    img = (np.random.RandomState(4).rand(20, 30, 4) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, "PNG")
+    out = _post(server + "/upload", {
+        "data": base64.b64encode(buf.getvalue()).decode()})
+    assert out == {"width": 30, "height": 20}
+    # subsequent renders pick up the new input geometry
+    r = _post(server + "/render", {"source": "origVal(xy)", "t": 0.0})
+    assert (r["width"], r["height"]) == (30, 20)
+
+
+def test_animate_endpoint(server):
+    out = _post(server + "/animate", {
+        "source": "grayColor(t)", "frames": 4})
+    assert len(out["frames"]) == 4
+    # first and last frames differ (t sweeps)
+    assert out["frames"][0] != out["frames"][-1]
+
+
+def test_curve_lut_param_render(server):
+    """A freehand-curve LUT (list of floats) flows through params."""
+    lut = [min(1.0, i / 16) for i in range(64)]
+    out = _post(server + "/render", {
+        "source": "filter f (curve cv) grayColor(cv((x + X) / W)) end",
+        "params": {"cv": lut}})
+    assert "png" in out and not out.get("error")
