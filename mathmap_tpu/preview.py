@@ -326,6 +326,220 @@ render();
 """
 
 
+_COMPOSER_PAGE = """<!DOCTYPE html>
+<html><head><title>mathmap_tpu composer</title><style>
+body { font-family: sans-serif; margin: 0; background: #1e1e24; color: #ddd;
+       display: flex; height: 100vh; }
+#side { width: 320px; padding: 12px; overflow-y: auto; }
+#canvas { flex: 1; background: #15151a; position: relative; }
+svg { width: 100%; height: 100%; }
+.node rect { fill: #2a2a33; stroke: #556; rx: 6; }
+.node.out rect { stroke: #fc6; stroke-width: 2; }
+.node text { fill: #cde; font-size: 12px; pointer-events: none; }
+.port { fill: #8cf; cursor: crosshair; }
+.port.in { fill: #6d6; }
+.edge { stroke: #8cf; stroke-width: 2; fill: none; }
+select, button, input { background: #2a2a33; color: #ddd; border: 1px solid #555; }
+#preview { max-width: 300px; border: 1px solid #444; }
+pre { background: #15151a; color: #9ab; font-size: 11px; white-space: pre-wrap;
+      max-height: 200px; overflow-y: auto; }
+#error { color: #f66; white-space: pre-wrap; font-family: monospace; }
+.pbox { position: absolute; background: #20202a; border: 1px solid #555;
+        padding: 4px; font-size: 11px; }
+.pbox input { width: 60px; }
+</style></head><body>
+<div id="side">
+  <h3>Composer <small style="color:#888"><a href="/" style="color:#888">editor</a></small></h3>
+  <select id="palette"></select>
+  <button onclick="addNode()">Add node</button><br><br>
+  <button onclick="renderGraph()">Render</button>
+  <button onclick="saveMmc()">Save .mmc</button>
+  <div style="color:#888;font-size:12px;margin:6px 0">
+    drag nodes &middot; drag from an <b style="color:#8cf">output</b> port to a
+    green <b style="color:#6d6">image input</b> port to connect &middot;
+    click a node header to make it the output (orange) &middot;
+    double-click a header to delete
+  </div>
+  <img id="preview"><div id="stats" style="color:#888"></div>
+  <h4>Generated source</h4><pre id="source"></pre>
+  <div id="error"></div>
+</div>
+<div id="canvas"><svg id="svg">
+  <g id="edges"></g><g id="nodes"></g>
+  <path id="pending" class="edge" style="display:none"></path>
+</svg></div>
+<script>
+let palette = {};
+let nodes = {};          // id -> {filter, x, y, params:{}, imgrefs:{pname: {ref|input}}}
+let output = null;
+let nid = 0;
+let drag = null;         // {id, dx, dy} node drag
+let wire = null;         // {from} pending connection
+
+async function loadPalette() {
+  palette = await (await fetch('/palette')).json();
+  const sel = document.getElementById('palette');
+  for (const name of Object.keys(palette).sort())
+    sel.insertAdjacentHTML('beforeend', `<option>${name}</option>`);
+}
+function addNode(name, x, y) {
+  name = name || document.getElementById('palette').value;
+  const id = 'n' + (++nid);
+  nodes[id] = {filter: name, x: x || 60 + 30 * (nid % 8), y: y || 40 + 40 * (nid % 6),
+               params: {}, imgrefs: {}};
+  const imgs = palette[name].params.filter(p => p.kind === 'image');
+  if (imgs.length) nodes[id].imgrefs[imgs[0].name] = {input: 0};
+  output = id;
+  draw();
+  return id;
+}
+function del(id) {
+  delete nodes[id];
+  for (const n of Object.values(nodes))
+    for (const [k, v] of Object.entries(n.imgrefs))
+      if (v.ref === id) n.imgrefs[k] = {input: 0};
+  if (output === id) output = Object.keys(nodes).pop() || null;
+  draw();
+}
+function portPos(id, pname) {   // input-port coords
+  const n = nodes[id];
+  const imgs = palette[n.filter].params.filter(p => p.kind === 'image');
+  const i = imgs.findIndex(p => p.name === pname);
+  return [n.x, n.y + 26 + i * 16];
+}
+function outPos(id) {
+  const n = nodes[id];
+  return [n.x + 140, n.y + 26];
+}
+function draw() {
+  const g = document.getElementById('nodes');
+  const eg = document.getElementById('edges');
+  g.innerHTML = ''; eg.innerHTML = '';
+  for (const [id, n] of Object.entries(nodes)) {
+    const imgs = palette[n.filter].params.filter(p => p.kind === 'image');
+    const nums = palette[n.filter].params.filter(p => p.kind === 'float' || p.kind === 'int');
+    const h = 36 + Math.max(imgs.length, 1) * 16 + nums.length * 18;
+    let inner = `<rect width="140" height="${h}"></rect>
+      <rect class="hdr" width="140" height="18" fill="#334" data-id="${id}"></rect>
+      <text x="6" y="13">${id}: ${n.filter}</text>
+      <circle class="port out" data-id="${id}" cx="140" cy="26" r="5"></circle>`;
+    imgs.forEach((p, i) => {
+      inner += `<circle class="port in" data-id="${id}" data-p="${p.name}"
+                  cx="0" cy="${26 + i * 16}" r="5"></circle>
+                <text x="8" y="${30 + i * 16}">${p.name}</text>`;
+    });
+    nums.forEach((p, i) => {
+      const v = n.params[p.name] !== undefined ? n.params[p.name] : p.default;
+      inner += `<text x="6" y="${30 + Math.max(imgs.length,1) * 16 + i * 18 + 12}"
+                 >${p.name} = ${Number(v).toFixed(2)}</text>
+                <rect class="pedit" data-id="${id}" data-p="${p.name}" x="100"
+                  y="${30 + Math.max(imgs.length,1) * 16 + i * 18}" width="36" height="14"
+                  fill="#445" style="cursor:pointer"></rect>
+                <text x="104" y="${30 + Math.max(imgs.length,1) * 16 + i * 18 + 11}"
+                  style="font-size:10px">edit</text>`;
+    });
+    g.insertAdjacentHTML('beforeend',
+      `<g class="node${id === output ? ' out' : ''}" transform="translate(${n.x},${n.y})">${inner}</g>`);
+    for (const [pname, v] of Object.entries(n.imgrefs)) {
+      if (v.ref && nodes[v.ref]) {
+        const [x1, y1] = outPos(v.ref), [x2, y2] = portPos(id, pname);
+        eg.insertAdjacentHTML('beforeend',
+          `<path class="edge" d="M${x1},${y1} C${x1 + 50},${y1} ${x2 - 50},${y2} ${x2},${y2}"></path>`);
+      }
+    }
+  }
+}
+const svg = document.getElementById('svg');
+function evPos(e) {
+  const r = svg.getBoundingClientRect();
+  return [e.clientX - r.left, e.clientY - r.top];
+}
+svg.addEventListener('mousedown', e => {
+  const t = e.target;
+  if (t.classList.contains('hdr')) {
+    const id = t.dataset.id;
+    const [mx, my] = evPos(e);
+    drag = {id, dx: mx - nodes[id].x, dy: my - nodes[id].y, moved: false};
+  } else if (t.classList.contains('out')) {
+    wire = {from: t.dataset.id};
+  } else if (t.classList.contains('pedit')) {
+    const id = t.dataset.id, p = t.dataset.p;
+    const meta = palette[nodes[id].filter].params.find(q => q.name === p);
+    const cur = nodes[id].params[p] !== undefined ? nodes[id].params[p] : meta.default;
+    const v = prompt(`${id}.${p} (${meta.lo}..${meta.hi})`, cur);
+    if (v !== null) { nodes[id].params[p] = parseFloat(v); draw(); }
+  }
+});
+svg.addEventListener('mousemove', e => {
+  const [mx, my] = evPos(e);
+  if (drag) {
+    nodes[drag.id].x = mx - drag.dx; nodes[drag.id].y = my - drag.dy;
+    drag.moved = true;
+    draw();
+  } else if (wire) {
+    const [x1, y1] = outPos(wire.from);
+    const p = document.getElementById('pending');
+    p.style.display = 'block';
+    p.setAttribute('d', `M${x1},${y1} C${x1 + 50},${y1} ${mx - 50},${my} ${mx},${my}`);
+  }
+});
+svg.addEventListener('mouseup', e => {
+  const t = e.target;
+  if (wire && t.classList.contains('in')) {
+    nodes[t.dataset.id].imgrefs[t.dataset.p] = {ref: wire.from};
+    draw();
+  } else if (drag && !drag.moved) {
+    output = drag.id;   // click header: set as output
+    draw();
+  }
+  wire = null; drag = null;
+  document.getElementById('pending').style.display = 'none';
+});
+svg.addEventListener('dblclick', e => {
+  if (e.target.classList.contains('hdr')) del(e.target.dataset.id);
+});
+function graphJson() {
+  return {
+    nodes: Object.entries(nodes).map(([id, n]) => ({
+      id, filter: n.filter,
+      params: Object.assign({}, n.params,
+        Object.fromEntries(Object.entries(n.imgrefs).map(([k, v]) => [k, v]))),
+    })),
+    output,
+  };
+}
+async function renderGraph() {
+  const res = await fetch('/compose', {method: 'POST',
+    body: JSON.stringify(Object.assign(graphJson(), {t: 0}))});
+  const data = await res.json();
+  const err = document.getElementById('error');
+  if (data.error) { err.textContent = data.error; return; }
+  err.textContent = '';
+  document.getElementById('preview').src = 'data:image/png;base64,' + data.png;
+  document.getElementById('source').textContent = data.source;
+}
+async function saveMmc() {
+  const res = await fetch('/compose_mmc', {method: 'POST',
+    body: JSON.stringify(graphJson())});
+  const data = await res.json();
+  if (data.error) { document.getElementById('error').textContent = data.error; return; }
+  const a = document.createElement('a');
+  a.href = 'data:text/plain;base64,' + btoa(data.mmc);
+  a.download = 'composition.mmc';
+  a.click();
+}
+loadPalette().then(() => {
+  const a = addNode('grayscale'), b = addNode('twirl');
+  nodes[b].imgrefs['in'] = {ref: a};
+  nodes[a].x = 60; nodes[a].y = 60; nodes[b].x = 280; nodes[b].y = 120;
+  output = b;
+  draw();
+  renderGraph();
+});
+</script></body></html>
+"""
+
+
 class PreviewState:
     def __init__(self, input_image, size: int, db):
         self.input_image = input_image
@@ -375,6 +589,44 @@ class PreviewState:
                 params=params,
             )
 
+    def build_graph(self, req: dict):
+        """Node-editor JSON -> DesignerGraph (the GTK composer-canvas
+        analog: nodes/edges in the browser, compile-to-one-source here)."""
+        from .designer.graph import DesignerGraph, InputRef, Node, Ref
+
+        graph = DesignerGraph(db=self.db)
+        for n in req.get("nodes", []):
+            params = {}
+            for k, v in n.get("params", {}).items():
+                if isinstance(v, dict) and "ref" in v:
+                    params[k] = Ref(str(v["ref"]))
+                elif isinstance(v, dict) and "input" in v:
+                    params[k] = InputRef(int(v["input"]))
+                else:
+                    params[k] = float(v)
+            graph.nodes[str(n["id"])] = Node(str(n["id"]), str(n["filter"]), params)
+        graph.output = str(req.get("output") or "")
+        return graph
+
+    def compose(self, req: dict):
+        """Compile the node graph to source and render it."""
+        graph = self.build_graph(req)
+        source = graph.to_source()
+        out, _meta = self.render(source, float(req.get("t", 0.0)), {})
+        return source, out
+
+    def palette(self):
+        meta = {}
+        for name, entry in self.db.entries.items():
+            meta[name] = {"params": [
+                {"name": p.name, "kind": p.kind,
+                 "lo": p.lo if p.lo is not None else 0.0,
+                 "hi": p.hi if p.hi is not None else 1.0,
+                 "default": (p.default if isinstance(p.default, (int, float))
+                             else 0.0)}
+                for p in entry.fdef.params]}
+        return meta
+
     def render(self, source: str, t: float, params: dict):
         with self.lock:
             filt = self._compile(source)
@@ -415,6 +667,10 @@ def _make_handler(state: PreviewState):
         def do_GET(self):
             if self.path == "/":
                 self._send(200, _PAGE, "text/html")
+            elif self.path == "/composer":
+                self._send(200, _COMPOSER_PAGE, "text/html")
+            elif self.path == "/palette":
+                self._send(200, json.dumps(state.palette()))
             elif self.path == "/library":
                 lib = {
                     cat: sorted(names)
@@ -456,6 +712,15 @@ def _make_handler(state: PreviewState):
                 elif self.path == "/upload":
                     w, h = state.set_input(base64.b64decode(req["data"]))
                     self._send(200, json.dumps({"width": w, "height": h}))
+                elif self.path == "/compose":
+                    source, out = state.compose(req)
+                    self._send(200, json.dumps({
+                        "source": source, "png": self._png_b64(out),
+                    }))
+                elif self.path == "/compose_mmc":
+                    graph = state.build_graph(req)
+                    graph._topo()  # validate (cycles, unknown refs)
+                    self._send(200, json.dumps({"mmc": graph.to_mmc()}))
                 elif self.path == "/animate":
                     n = max(2, min(120, int(req.get("frames", 24))))
                     frames = state.animate(
@@ -503,6 +768,7 @@ def main(argv=None) -> int:
     state = PreviewState(img, args.size, default_db())
     server = ThreadingHTTPServer(("127.0.0.1", args.port), _make_handler(state))
     print(f"mathmap_tpu preview on http://127.0.0.1:{args.port}/")
+    print(f"node-graph composer on http://127.0.0.1:{args.port}/composer")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

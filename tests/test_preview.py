@@ -97,3 +97,42 @@ def test_curve_lut_param_render(server):
         "source": "filter f (curve cv) grayColor(cv((x + X) / W)) end",
         "params": {"cv": lut}})
     assert "png" in out and not out.get("error")
+
+
+def test_composer_page_and_palette(server):
+    page = _get(server + "/composer").decode()
+    assert "Composer" in page and "addNode" in page
+    pal = json.loads(_get(server + "/palette"))
+    assert "twirl" in pal
+    assert any(p["kind"] == "image" for p in pal["twirl"]["params"])
+
+
+def test_compose_endpoint_renders_graph(server):
+    """Node-editor JSON -> composite source -> render (GTK composer-canvas
+    analog; composition stays source-level inlining, SURVEY §3.4)."""
+    req = {
+        "nodes": [
+            {"id": "a", "filter": "grayscale", "params": {"in": {"input": 0}}},
+            {"id": "b", "filter": "twirl",
+             "params": {"in": {"ref": "a"}, "angle": 5.0}},
+        ],
+        "output": "b",
+    }
+    out = _post(server + "/compose", req)
+    assert not out.get("error"), out.get("error")
+    assert "filter composed" in out["source"] and "img_b(xy)" in out["source"]
+    assert "png" in out
+    mmc = _post(server + "/compose_mmc", req)
+    assert "(composer" in mmc["mmc"] and '"twirl"' in mmc["mmc"]
+
+
+def test_compose_cycle_error(server):
+    req = {
+        "nodes": [
+            {"id": "a", "filter": "twirl", "params": {"in": {"ref": "b"}}},
+            {"id": "b", "filter": "twirl", "params": {"in": {"ref": "a"}}},
+        ],
+        "output": "b",
+    }
+    out = _post(server + "/compose", req)
+    assert "cycle" in out.get("error", "")
