@@ -137,14 +137,18 @@ def main(argv=None):
     filt, renderer = _build("filters/Distorts/ripple.mm", 1920, 1080, opts)
     n_sweep = 24 if not args.quick else 6
     ts = np.arange(n_sweep, dtype=np.float32) / n_sweep
+    import jax
+
     import jax.numpy as jnp
 
-    out = renderer.render_all_frames([img[:1080, :1920]], {}, ts)
+    sweep_in = [jax.device_put(jnp.asarray(img[:1080, :1920]))]
+    jax.block_until_ready(sweep_in)
+    out = renderer.render_all_frames(sweep_in, {}, ts)
     _ = float(jnp.sum(out))  # warmup+compile, fenced
     best = float("inf")
     for _ in range(3):
         start = time.perf_counter()
-        out = renderer.render_all_frames([img[:1080, :1920]], {}, ts)
+        out = renderer.render_all_frames(sweep_in, {}, ts)
         _ = float(jnp.sum(out))
         best = min(best, time.perf_counter() - start)
     sustained = 1920 * 1080 * n_sweep / best / 1e6
