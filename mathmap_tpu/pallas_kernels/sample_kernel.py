@@ -400,23 +400,32 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     precision = getattr(opts, "pallas_precision", "bf16")
     img_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
-    # ---- padded multi-copy x-major image (cached per invocation) ----
+    # ---- padded multi-copy x-major image ----
+    # Renderer-precomputed pad (runtime/render.py caches it across frames
+    # for device-resident inputs — the pad build costs ~3ms per 4K frame):
+    prepad = getattr(img, "prepad", None)
+    if prepad is not None and tuple(prepad.shape) == (wp, N_COPIES * hp * 4) \
+            and prepad.dtype == img_dtype:
+        img_xm = prepad
+    else:
+        prepad = None
     cache = getattr(ev.ctx, "_pallas_pad_cache", None)
     if cache is None:
         cache = {}
         ev.ctx._pallas_pad_cache = cache
     # The entry holds a reference to the source array so its id() cannot be
     # reused by a different array while the entry lives (ADVICE r1 low).
-    key = (id(img.pixels), edge_x, edge_y, hp, wp, str(img_dtype))
-    entry = cache.get(key)
-    if entry is None or entry[0] is not img.pixels:
-        entry = (
-            img.pixels,
-            _pad_xmajor(jnp, img.pixels, edge_x, edge_y,
-                        opts.edge_color, hp, wp, dtype=img_dtype),
-        )
-        cache[key] = entry
-    img_xm = entry[1]
+    if prepad is None:
+        key = (id(img.pixels), edge_x, edge_y, hp, wp, str(img_dtype))
+        entry = cache.get(key)
+        if entry is None or entry[0] is not img.pixels:
+            entry = (
+                img.pixels,
+                _pad_xmajor(jnp, img.pixels, edge_x, edge_y,
+                            opts.edge_color, hp, wp, dtype=img_dtype),
+            )
+            cache[key] = entry
+        img_xm = entry[1]
 
     tap_lo, n_taps = _tap_range(interpolation)
 

@@ -157,11 +157,37 @@ class JitRenderer:
         self.filters = program_filters
         self.width, self.height, self.opts = width, height, opts
         self.num_frames = num_frames
+        #: id(device input) -> (ref, padded multicopy image): the Pallas
+        #: sampler's padded image costs ~3ms per 4K frame to rebuild; the
+        #: renderer builds it once per device-resident input (the analog of
+        #: the reference's prepared drawable/tile cache)
+        self._prepad_cache = {}
 
-        def run(input_arrays, userval_arrays, kinds, t, frame):
+        def compute_prepads(input_arrays):
+            from ..pallas_kernels import sample_kernel as SK
+
+            pads = []
+            for a in input_arrays:
+                h, w = int(a.shape[0]), int(a.shape[1])
+                hp = SK._round_up(h + SK.PAD_L + 8, 32)
+                wp = SK._round_up(w + SK.PAD_L + 8, 16)
+                dt = (jnp.bfloat16 if opts.pallas_precision == "bf16"
+                      else jnp.float32)
+                pads.append(SK._pad_xmajor(
+                    jnp, a, opts.edge_x, opts.edge_y, opts.edge_color,
+                    hp, wp, dtype=dt))
+            return pads
+
+        self._pad_jit = jax.jit(compute_prepads)
+
+        def run(input_arrays, userval_arrays, kinds, t, frame, prepads=None):
+            inputs = []
+            for i, a in enumerate(input_arrays):
+                pre = prepads[i] if prepads else None
+                inputs.append(InputImage(pixels=a, name=f"in{i}", prepad=pre))
             ctx = RenderContext(
                 be=jnp, width=width, height=height, opts=opts,
-                inputs=[InputImage(pixels=a, name=f"in{i}") for i, a in enumerate(input_arrays)],
+                inputs=inputs,
                 filters=program_filters, t=t, frame=frame,
                 num_frames=num_frames, is_jax=True,
             )
@@ -176,15 +202,52 @@ class JitRenderer:
             # (the reference renders frames in a host loop; SURVEY §7 chose
             # lax.map/vmap for the TPU path). frame0 offsets the `frame`
             # internal when the sweep is chunked (api.render_animation).
+            # The padded sampler images are built BEFORE the frame loop so
+            # no frame repays the build.
             frames = jnp.arange(ts.shape[0], dtype=jnp.float32) + frame0
+            prepads = compute_prepads(input_arrays) if self._prepads_on() else None
 
             def one(args):
                 frame, t = args
-                return run(input_arrays, userval_arrays, kinds, t, frame)
+                return run(input_arrays, userval_arrays, kinds, t, frame,
+                           prepads)
 
             return jax.lax.map(one, (frames, ts))
 
         self._jitted_frames = jax.jit(run_frames, static_argnums=(2,))
+
+    def _prepads_on(self) -> bool:
+        """Mirror sampling._use_pallas's policy: the prepad layout is only
+        consumed by the Pallas sampler."""
+        if self.opts.sampler == "gather":
+            return False
+        if self.opts.sampler == "pallas":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu"
+
+    def _prepads(self, ins):
+        """Padded images for device-resident inputs, cached by identity
+        (None entries for host arrays — they pad inside the trace)."""
+        jnp = self.jnp
+        if not self._prepads_on():
+            return None
+        out = []
+        any_pad = False
+        for a in ins:
+            if not isinstance(a, jnp.ndarray):
+                out.append(None)
+                continue
+            ent = self._prepad_cache.get(id(a))
+            if ent is None or ent[0] is not a:
+                if len(self._prepad_cache) > 8:
+                    self._prepad_cache.clear()
+                ent = (a, self._pad_jit([a])[0])
+                self._prepad_cache[id(a)] = ent
+            out.append(ent[1])
+            any_pad = True
+        return out if any_pad else None
 
     def __call__(self, input_arrays, params: dict, t: float = 0.0, frame: float = 0.0):
         jnp = self.jnp
@@ -200,7 +263,8 @@ class JitRenderer:
             else jnp.asarray(np.asarray(a, dtype=np.float32))
             for a in input_arrays
         ]
-        return self._jitted(ins, arrays, kinds, jnp.float32(t), jnp.float32(frame))
+        return self._jitted(ins, arrays, kinds, jnp.float32(t),
+                            jnp.float32(frame), self._prepads(ins))
 
     def render_all_frames(self, input_arrays, params: dict, ts, frame0: float = 0.0):
         """Render every frame of a t-sweep in one device call -> (F,H,W,4)."""

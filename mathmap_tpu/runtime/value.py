@@ -92,6 +92,11 @@ class InputImage(ImageBase):
 
     pixels: Any  # backend array (H, W, 4), float32, RGBA in [0,1]
     name: str = "in"
+    #: optional precomputed padded multi-copy x-major image for the Pallas
+    #: sampler (pallas_kernels/sample_kernel.py) — lets the renderer build
+    #: it ONCE per input instead of once per frame (the reference keeps its
+    #: drawable prepared in the tile cache similarly)
+    prepad: Any = None
 
     @property
     def global_shape(self):
