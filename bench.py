@@ -46,9 +46,11 @@ def time_tpu(renderer, inputs, iters, t0=0.37):
     _ = float(jnp.sum(out))
     # Fence via host readbacks: under the axon relay, block_until_ready acks
     # before execution finishes (fabricating impossible >HBM-bandwidth
-    # numbers). One readback per BATCH amortizes the ~50ms relay round-trip;
-    # the minimum over batches is robust to the shared queue's drift.
-    batch = max(1, iters // 3)
+    # numbers). Dispatches pipeline through the relay, so one readback per
+    # BATCH amortizes the per-call round-trip (measured: fisheye 4K 47.8
+    # ms/frame fenced per call vs 19.8 at batch 16 — the chip time); the
+    # minimum over batches is robust to the shared queue's drift.
+    batch = max(8, iters // 3)
     best = float("inf")
     for b in range(3):
         start = time.perf_counter()
@@ -64,7 +66,7 @@ def time_tpu(renderer, inputs, iters, t0=0.37):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="3840x2160")
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--quick", action="store_true", help="small size, 2 iters")
     args = ap.parse_args(argv)
 
