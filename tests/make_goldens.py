@@ -17,6 +17,10 @@ FIXTURES = [
     "invert", "grayscale", "sepia", "solarize", "fisheye", "twirl", "pond",
     "ripple", "wave", "blend", "mask", "mandelbrot", "moire", "checkerboard",
     "kaleidoscope", "clouds", "julia", "sharpen",
+    # round-2 additions
+    "whirl_pinch", "water", "voronoi", "superformula", "tricorn",
+    "porter_duff_xor", "soft_light", "chroma_key", "selective_desat",
+    "warp_noise", "offset", "polar_wrap",
 ]
 W, H = 20, 16
 
