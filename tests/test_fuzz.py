@@ -48,8 +48,17 @@ class ExprGen:
             return (f"v = {body}; w = {self.scalar()}; "
                     f"grayColor(clamp(v * 0.5 + w * 0.25, 0, 1))"
                     )
-        return (f"i = 0; s = 0; while i < 3 do s = s + {body}; i = i + 1 end; "
-                f"grayColor(clamp(s / 3, 0, 1))")
+        if kind < 0.9:
+            n = int(self.rng.randint(2, 8))  # NOT pinned to the K=4 unroll
+            return (f"i = 0; s = 0; while i < {n} do s = s + {body}; "
+                    f"i = i + 1 end; grayColor(clamp(s / {n}, 0, 1))")
+        # rand() inside a loop + after it (the r1 divergence class), and
+        # assignments in the loop condition
+        n = int(self.rng.randint(2, 7))
+        return (f"i = 0; s = 0; k = 0; "
+                f"while k = k + 1; i < {n} do "
+                f"s = s + rand(0, 1) * 0.1 + {body} * 0.1; i = i + 1 end; "
+                f"grayColor(clamp(s / {n} + rand(0, 0.25) + k / 100, 0, 1))")
 
 
 @pytest.mark.parametrize("seed", range(40))
