@@ -112,9 +112,15 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
         else:
             col_off = 0
         excess = [jnp.float32(-(2 ** 30))]
+        ctx_cell = []
 
         def hook(e):
-            excess[0] = jnp.maximum(excess[0], e.astype(jnp.float32))
+            # Samples inside while-loop bodies are NOT checked: the traced
+            # excess would leak out of lax.while_loop (it cannot join the
+            # loop carry — it isn't a language-level variable). Top-level
+            # samples — the overwhelmingly common case — are covered.
+            if ctx_cell and ctx_cell[0].loop_depth == 0:
+                excess[0] = jnp.maximum(excess[0], e.astype(jnp.float32))
 
         img = TiledInput(
             pixels=ext, name="in0",
@@ -129,6 +135,7 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
             is_jax=True, grid_shape=(tile_h, tile_w),
             row_offset=row_off, col_offset=col_off,
         )
+        ctx_cell.append(ctx)
         out = render_frame(ctx, fdef, uservals)
         worst = jax.lax.pmax(jax.lax.pmax(excess[0], ROW_AXIS), COL_AXIS)
         return out, worst

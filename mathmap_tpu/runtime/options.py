@@ -70,8 +70,11 @@ class RenderOptions:
         for win in (self.pallas_window_fast, self.pallas_window,
                     self.pallas_window_rot, self.pallas_window_xrot):
             wh, ww = win
-            if wh % 8 or ww % 16:
+            if wh % 32 or ww % 16:
+                # rows mult-of-32: the kernel's window DMA copies a lane
+                # extent of win_h*4, which Mosaic wants in 128-lane units
+                # (origins only need 8-row alignment via the 4-copy layout)
                 raise ValueError(
-                    "pallas windows must be (mult of 8, mult of 16)")
+                    "pallas windows must be (mult of 32, mult of 16)")
         if self.pallas_precision not in ("bf16", "f32"):
             raise ValueError("pallas_precision must be 'bf16' or 'f32'")

@@ -217,31 +217,28 @@ class JitRenderer:
         self._jitted_frames = jax.jit(run_frames, static_argnums=(2,))
 
     def _prepads_on(self) -> bool:
-        """Mirror sampling._use_pallas's policy: the prepad layout is only
-        consumed by the Pallas sampler."""
-        if self.opts.sampler == "gather":
-            return False
-        if self.opts.sampler == "pallas":
-            return True
-        import jax
+        from .sampling import pallas_policy
 
-        return jax.default_backend() == "tpu"
+        return pallas_policy(self.opts)
 
-    def _prepads(self, ins):
-        """Padded images for device-resident inputs, cached by identity
-        (None entries for host arrays — they pad inside the trace)."""
+    def _prepads(self, originals, ins):
+        """Padded images for device-resident inputs, cached by identity.
+        Only inputs the CALLER passed as device arrays are cached — a host
+        array converts to a fresh device array every call, so caching the
+        conversion's id would miss every time while pinning ~400MB per 4K
+        entry in HBM; those pad inside the trace as before (None entry)."""
         jnp = self.jnp
         if not self._prepads_on():
             return None
         out = []
         any_pad = False
-        for a in ins:
-            if not isinstance(a, jnp.ndarray):
+        for orig, a in zip(originals, ins):
+            if orig is not a or not isinstance(a, jnp.ndarray):
                 out.append(None)
                 continue
             ent = self._prepad_cache.get(id(a))
             if ent is None or ent[0] is not a:
-                if len(self._prepad_cache) > 8:
+                if len(self._prepad_cache) >= 4:
                     self._prepad_cache.clear()
                 ent = (a, self._pad_jit([a])[0])
                 self._prepad_cache[id(a)] = ent
@@ -264,7 +261,8 @@ class JitRenderer:
             for a in input_arrays
         ]
         return self._jitted(ins, arrays, kinds, jnp.float32(t),
-                            jnp.float32(frame), self._prepads(ins))
+                            jnp.float32(frame),
+                            self._prepads(input_arrays, ins))
 
     def render_all_frames(self, input_arrays, params: dict, ts, frame0: float = 0.0):
         """Render every frame of a t-sweep in one device call -> (F,H,W,4)."""

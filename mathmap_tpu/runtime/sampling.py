@@ -99,6 +99,15 @@ def _use_pallas(ev, img) -> bool:
         # sharded tiles narrower than one kernel tile fall back via the
         # overflow logic naturally.
         pass
+    return pallas_policy(opts)
+
+
+def pallas_policy(opts) -> bool:
+    """THE sampler-backend policy: 'gather' never, 'pallas' always,
+    'auto' only on a real TPU. Every consumer (image sampling, LUT
+    application, renderer prepads) must route through this predicate."""
+    if opts.sampler == "gather":
+        return False
     if opts.sampler == "pallas":
         return True
     import jax
@@ -108,17 +117,12 @@ def _use_pallas(ev, img) -> bool:
 
 def lut_pallas_ok(ev, x) -> bool:
     """Whether curve/gradient LUT application should use the Pallas MXU
-    kernel (same policy as _use_pallas; pos must be a full-grid array)."""
-    opts = ev.ctx.opts
-    if not ev.ctx.is_jax or opts.sampler == "gather":
+    kernel (pallas_policy + pos must be a full-grid array)."""
+    if not ev.ctx.is_jax:
         return False
     if getattr(x, "ndim", None) != 2 or x.shape != ev.ctx.shape:
         return False
-    if opts.sampler == "pallas":
-        return True
-    import jax
-
-    return jax.default_backend() == "tpu"
+    return pallas_policy(ev.ctx.opts)
 
 
 def sample_image(ev, img, x, y):

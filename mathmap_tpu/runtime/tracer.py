@@ -67,6 +67,14 @@ class RenderContext:
     num_frames: int = 1
     is_jax: bool = True
     rand_counter: int = 0
+    #: per-loop-site nonce mixed into rand() counters so sequential loops
+    #: draw decorrelated streams (reset/restored like rand_counter so jit
+    #: and oracle stay trace-consistent)
+    rand_loop_nonce: int = 0
+    #: >0 while evaluating inside a lax.while_loop body (or the oracle's
+    #: eager loop) — side-channel hooks (halo violation check) must not
+    #: capture traced values from there
+    loop_depth: int = 0
     #: component dtype; None = backend float32. The oracle interpreter can
     #: run in float64 ('1-ulp-equivalent' validation, BASELINE north star).
     dtype: Any = None
@@ -383,6 +391,7 @@ class Evaluator:
         # (traced) iteration index salt_extra supplies per-iteration
         # freshness instead (ADVICE r1 high finding).
         counter_entry = self.ctx.rand_counter
+        nonce_entry = self.ctx.rand_loop_nonce
         probe_env = dict(self.env)
         probe = Evaluator(self.ctx, self.x, self.y, probe_env)
         for n in names:
@@ -391,6 +400,7 @@ class Evaluator:
         probe.eval(node.cond)
         probe.eval(node.body)
         self.ctx.rand_counter = counter_entry  # probe results are discarded
+        self.ctx.rand_loop_nonce = nonce_entry
 
         be = self.be
         shape = self.ctx.shape
@@ -478,7 +488,11 @@ class Evaluator:
             """One iteration under `mask`; returns (new_flat, next_mask).
             The mask is carried and ANDed monotonically, so the condition is
             evaluated once per iteration (not again in lax's cond_fn)."""
-            self.ctx.rand_counter = counter_loop  # match the baked trace constants
+            # match the baked trace constants; the per-loop-site nonce
+            # offsets the counter so two sequential loops draw different
+            # streams (they'd otherwise reset to the same base)
+            self.ctx.rand_counter = counter_loop + nonce * 1000003
+            self.ctx.rand_loop_nonce = nonce_loop
             salt = self._mix_salt(loop_i)
             env = unpack(flat)
             ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=salt)
@@ -493,14 +507,17 @@ class Evaluator:
         flat0, mask0 = eval_cond(flat0, None, self.salt_extra)
         mask0 = be.broadcast_to(mask0, self.ctx.shape)
         counter_loop = self.ctx.rand_counter
+        nonce = self.ctx.rand_loop_nonce
+        self.ctx.rand_loop_nonce = nonce_loop = nonce + 1
 
         if self.ctx.is_jax:
             import jax
 
             # Unroll K masked steps per lax iteration: steps are exact (each
-            # re-ANDs the mask), but the per-iteration any() reduction and
-            # carry round-trip amortize over K — a large win for fractal
-            # loops. The safety cap may overshoot by up to K-1 iterations.
+            # re-ANDs the mask, and steps whose global index reaches
+            # max_iters are gated off so the safety cap stops EXACTLY where
+            # the oracle does), while the per-iteration any() reduction and
+            # carry round-trip amortize over K — a large win for fractals.
             K = 4
 
             def cond_fn(state):
@@ -510,25 +527,37 @@ class Evaluator:
             def body_fn(state):
                 i, mask, flat = state
                 for k in range(K):
-                    flat, mask = step(flat, mask, loop_i=i + (k + 1))
+                    gate = (i + k) < max_iters
+                    flat, mask = step(flat, mask & gate, loop_i=i + (k + 1))
                 return (i + K, mask, flat)
 
-            _, _, flat_out = jax.lax.while_loop(
-                cond_fn, body_fn, (be.asarray(0, be.int32), mask0, flat0)
-            )
+            self.ctx.loop_depth += 1
+            try:
+                _, _, flat_out = jax.lax.while_loop(
+                    cond_fn, body_fn, (be.asarray(0, be.int32), mask0, flat0)
+                )
+            finally:
+                self.ctx.loop_depth -= 1
         else:
             flat, mask = flat0, mask0
             i = 0
-            while bool(mask.any()) and i < max_iters:
-                flat, mask = step(flat, mask, loop_i=np_like_u32(be, i + 1))
-                i += 1
+            self.ctx.loop_depth += 1
+            try:
+                while bool(mask.any()) and i < max_iters:
+                    flat, mask = step(flat, mask, loop_i=np_like_u32(be, i + 1))
+                    i += 1
+            finally:
+                self.ctx.loop_depth -= 1
             flat_out = flat
 
         # The number of steps is data-dependent; leave the counter at the
         # loop-entry state so post-loop rand() draws identically on both
         # backends (post-loop calls use salt_extra=None / the outer salt,
-        # so they cannot collide with in-loop draws).
+        # so they cannot collide with in-loop draws). The nonce is restored
+        # the same way (each step reset it) so nested loops stay
+        # trace-consistent; subsequent sibling loops see nonce_loop.
         self.ctx.rand_counter = counter_loop
+        self.ctx.rand_loop_nonce = nonce_loop
 
         final_env = unpack(flat_out)
         for n in carried:

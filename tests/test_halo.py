@@ -165,3 +165,17 @@ def test_bounds_inference_cases():
     f = mm.compile("origVal(xy * xy)")
     got = infer_displacement_bound(f.filters, f.fdef, 320, 200)
     assert got is None or got[0] > 200  # unbounded or larger than any tile
+
+
+def test_tiled_check_with_sampling_inside_loop():
+    """check=True must not leak the violation tracer out of a while loop
+    (r2 review finding: UnexpectedTracerError); loop-body samples are
+    excluded from the check but the render must succeed and match."""
+    img = _image()
+    src = ("s = 0; i = 0; while i < 3 do "
+           "s = s + red(origVal(xy + xy:[0, i])); i = i + 1 end; "
+           "grayColor(s / 3)")
+    f = mm.compile(src)
+    got = f.render_tiled(img, halo=3, mesh=make_mesh(1, 8, 1))
+    want = f.render(img, width=W, height=H)
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -416,3 +416,29 @@ def test_render_all_frames_frame_offset():
     chunk2 = np.asarray(r.render_all_frames([np.asarray(BLANK)], {}, ts, frame0=4.0))
     np.testing.assert_allclose(chunk2[0][..., 0], np.full((H, W), 0.5))
     np.testing.assert_allclose(chunk2[1][..., 0], np.full((H, W), 5 / 8))
+
+
+def test_sequential_loops_draw_different_rand():
+    """Two sequential while loops must draw decorrelated rand() streams
+    (r2 review finding: both reset to the same counter base) — and still
+    match the oracle."""
+    src = ("s = 0; i = 0; while i < 5 do s = s + rand(0, 1); i = i + 1 end;"
+           "u = 0; j = 0; while j < 5 do u = u + rand(0, 1); j = j + 1 end;"
+           "grayColor(abs(s - u) / 5)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+    assert float(np.abs(np.asarray(o)[..., 0]).max()) > 0.01  # not identical
+
+
+def test_max_loop_iters_cap_exact_parity():
+    """The jit unroll must stop EXACTLY at max_loop_iters like the oracle
+    (r2 review finding: K=4 overshoot when the cap isn't a multiple of 4)."""
+    src = "i = 0; while i < 1000 do i = i + 1 end; grayColor(i / 16)"
+    f = mm.compile(src)
+    opts = mm.RenderOptions(max_loop_iters=10)
+    o = f.render(BLANK, interpret=True, options=opts)
+    j = f.render(BLANK, options=opts)
+    np.testing.assert_allclose(o[..., 0], np.full((H, W), 10 / 16), atol=1e-6)
+    np.testing.assert_allclose(j, o, atol=1e-6)

@@ -184,3 +184,26 @@ def test_pallas_lut_application_matches_take():
     b = fc.render(np.zeros((24, 40, 4), np.float32),
                   options=mm.RenderOptions(sampler="pallas", pallas_precision="f32"))
     np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+def test_prepad_cache_only_for_device_inputs():
+    """Host-array inputs must not populate the renderer prepad cache (r2
+    review finding: id() of the per-call conversion misses every time and
+    pins hundreds of MB per 4K entry)."""
+    import jax.numpy as jnp
+
+    img = np.random.RandomState(1).rand(16, 24, 4).astype(np.float32)
+    f = mm.compile("origVal(xy)")
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    r = f._renderer(24, 16, opts, 1)
+    for k in range(3):
+        r([img], {}, t=0.1 * k)
+    assert len(r._prepad_cache) == 0
+    dimg = jnp.asarray(img)
+    a = r([dimg], {}, t=0.0)
+    b = r([dimg], {}, t=0.0)
+    assert len(r._prepad_cache) == 1
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # device-path output matches the host path
+    c = r([img], {}, t=0.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
