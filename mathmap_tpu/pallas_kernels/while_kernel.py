@@ -1,0 +1,204 @@
+"""In-VMEM per-pixel while loops — the fractal fast path.
+
+The tracer's jit while loop (`runtime/tracer._eval_While`) carries every
+loop variable through HBM on each `lax.while_loop` iteration; for fractal
+loops (mandelbrot: 3 carries + mask over an 8M-pixel grid) that is ~2x the
+4K frame's bandwidth PER ITERATION, and measures ~3x off the in-VMEM bound.
+The TPU-native fix: run the iteration ON-CHIP. A Pallas kernel evaluates
+K_IN=32 masked steps per (8, 256) tile entirely in VMEM (step bodies are
+unrolled Python — Mosaic's scf lowering rejects vector loop carries), and
+an outer `lax.while_loop` keeps the exact convergence/early-exit and
+`max_loop_iters` semantics: carries round-trip HBM once per 32 iterations
+instead of once per 4. Measured: hand-rolled 4K mandelbrot 15.5ms (XLA)
+-> 6.1ms (in-VMEM).
+
+Eligibility is decided statically (`eligible`): the loop body/cond may only
+call elementwise builtins (no image/curve/gradient application, no
+table-based noise or GSL-class specials — Mosaic has no vector gather; no
+rand — its 1-D index vectors don't lower; no nested while — scf again),
+the render must be unsharded, tile-aligned, big enough to amortize the
+launch, and not already inside a Pallas kernel. Everything else falls back
+to the XLA unrolled loop. The step semantics (mask gating, cond-assignment
+persistence, max_iters cap) are the SAME closure the XLA path uses — this
+module only owns the tiling/launch mechanics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from ..lang import astnodes as A
+
+#: masked steps executed per pallas call (per outer lax iteration)
+K_IN = 32
+TILE_H = 8
+TILE_W = 256
+
+#: builtins whose jax implementations lower through Mosaic (elementwise /
+#: VPU only — anything gather-based, jax.scipy-backed, or 1-D-iota-based
+#: is out)
+SAFE_CALLS = frozenset({
+    "__add", "__sub", "__mul", "__div", "__mod", "__pow", "__eq", "__ne",
+    "__lt", "__gt", "__le", "__ge", "__and", "__or", "__xor", "__neg",
+    "__not",
+    "abs", "sign", "min", "max", "clamp", "lerp", "smoothstep", "inintv",
+    "floor", "ceil", "round", "fmod", "hypot",
+    "sqrt", "exp", "exp2", "log", "log2", "log10", "pow",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "deg2rad", "rad2deg",
+    "rgbColor", "rgbaColor", "grayColor", "grayaColor",
+    "red", "green", "blue", "alpha", "gray",
+    "toRA", "toXY", "toHSVA", "toRGBA",
+    "conj", "arg", "length", "dotp", "crossp", "normalize", "scale",
+})
+
+
+def _calls_safe(node) -> bool:
+    for sub in A.walk(node):
+        if isinstance(sub, A.Call):
+            f = sub.func
+            if not isinstance(f, A.Var) or f.name not in SAFE_CALLS:
+                return False
+        if isinstance(sub, A.While) and sub is not node:
+            return False  # nested while: scf lowering limits
+    return True
+
+
+def eligible(ctx, node: A.While) -> bool:
+    from ..runtime.sampling import pallas_policy
+
+    if not ctx.is_jax or getattr(ctx, "in_pallas", False):
+        return False
+    if ctx.grid_shape is not None:  # sharded tiles: keep the XLA path
+        return False
+    mode = getattr(ctx.opts, "pallas_while", "auto")
+    if mode == "off":
+        return False
+    h, w = ctx.shape
+    if h % TILE_H or w % TILE_W:
+        return False  # masked edge tiles not implemented
+    if mode != "on" and h * w < (1 << 20):
+        return False  # tiny grids don't amortize a pallas launch
+    if not pallas_policy(ctx.opts):
+        return False
+    body_ok = _calls_safe(node.body) and _calls_safe(node.cond)
+    return body_ok and not any(
+        isinstance(s, A.While) and s is not node for s in A.walk(node))
+
+
+def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
+           max_iters: int):
+    """Run the loop with in-VMEM step blocks; returns the final flat carry
+    tuple, or None when a dependency's shape/dtype disqualifies the path
+    (caller falls back to the XLA loop)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from ..runtime.value import TupleValue
+
+    ctx = ev.ctx
+    H, W = ctx.shape
+    n_flat = len(flat0)
+    f32 = jnp.float32
+
+    for a in flat0:
+        if getattr(a, "dtype", None) != f32 or getattr(a, "shape", None) != (H, W):
+            return None
+
+    # ---- dependencies: non-carried env values the loop reads ----
+    reads = {s.name for s in A.walk(node) if isinstance(s, A.Var)}
+    dep_names = sorted(
+        n for n in reads
+        if n in init_env and n not in carried and not init_env[n].is_opaque)
+    dep_specs = []  # (name, tag, [is_grid per component])
+    dep_arrays = []
+    dep_is_grid = []
+    for n in dep_names:
+        tv = init_env[n]
+        comps = []
+        for a in tv.arrays:
+            a = jnp.asarray(a)
+            if a.shape == (H, W):
+                comps.append(True)
+                dep_arrays.append(a)
+                dep_is_grid.append(True)
+            elif a.ndim == 0:
+                comps.append(False)
+                dep_arrays.append(a.astype(f32).reshape(1, 1))
+                dep_is_grid.append(False)
+            else:
+                return None  # odd-shaped dependency: fall back
+        dep_specs.append((n, tv.tag, comps))
+    n_dep = len(dep_arrays)
+
+    t_arr = jnp.asarray(ctx.t, f32).reshape(1, 1)
+    fr_arr = jnp.asarray(ctx.frame, f32).reshape(1, 1)
+    x_arr = jnp.asarray(ev.x, f32)
+    y_arr = jnp.asarray(ev.y, f32)
+    if x_arr.shape != (H, W) or y_arr.shape != (H, W):
+        return None
+
+    small = pl.BlockSpec((1, 1), lambda i, j: (0, 0))
+    grid_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))
+
+    def kernel(i_ref, t_ref, fr_ref, x_ref, y_ref, m_ref, *rest):
+        flat_refs = rest[:n_flat]
+        dep_refs = rest[n_flat:n_flat + n_dep]
+        out_refs = rest[n_flat + n_dep:]
+        pi = pl.program_id(0)
+        pj = pl.program_id(1)
+        ctx2 = replace(
+            ctx, grid_shape=(TILE_H, TILE_W),
+            row_offset=pi * TILE_H, col_offset=pj * TILE_W,
+            t=t_ref[0, 0], frame=fr_ref[0, 0], in_pallas=True, inputs=[],
+        )
+        base_env = {}
+        idx = 0
+        for name, tag, comps in dep_specs:
+            arrs = []
+            for is_grid in comps:
+                r = dep_refs[idx]
+                idx += 1
+                arrs.append(r[...] if is_grid else r[0, 0])
+            base_env[name] = TupleValue(tag, tuple(arrs))
+        tile = (ctx2, x_ref[...], y_ref[...], base_env)
+        maskv = m_ref[...] > 0.5
+        flat = tuple(r[...] for r in flat_refs)
+        i0 = i_ref[0, 0]
+        for k in range(K_IN):
+            gate = (i0 + k) < max_iters
+            flat, maskv = step(flat, maskv & gate, loop_i=i0 + (k + 1),
+                               tile=tile)
+        out_refs[0][...] = maskv.astype(f32)
+        for r, a in zip(out_refs[1:], flat):
+            r[...] = a.astype(f32)
+
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        grid=(H // TILE_H, W // TILE_W),
+        in_specs=[small, small, small, grid_spec, grid_spec, grid_spec]
+        + [grid_spec] * n_flat
+        + [grid_spec if g else small for g in dep_is_grid],
+        out_specs=[grid_spec] * (1 + n_flat),
+        out_shape=[jax.ShapeDtypeStruct((H, W), f32)] * (1 + n_flat),
+        interpret=interpret,
+    )
+
+    def cond_fn(state):
+        i, mf, _flat = state
+        return jnp.any(mf > 0) & (i < max_iters)
+
+    def body_fn(state):
+        i, mf, flat = state
+        outs = call(jnp.full((1, 1), i, jnp.int32), t_arr, fr_arr,
+                    x_arr, y_arr, mf, *flat, *dep_arrays)
+        return (i + K_IN, outs[0], tuple(outs[1:]))
+
+    _, _, flat_out = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (jnp.int32(0), mask0.astype(f32), tuple(flat0)),
+    )
+    return flat_out

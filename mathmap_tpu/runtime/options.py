@@ -29,6 +29,16 @@ class RenderOptions:
     #: safety cap on per-pixel `while` trip counts (the reference's compile/
     #: render resource limits, SURVEY §2.1 compiler row).
     max_loop_iters: int = 10000
+    #: in-VMEM while-loop engine (pallas_kernels/while_kernel): 'auto'
+    #: uses it for eligible loops on big grids, 'off' disables, 'on'
+    #: forces it for any tile-aligned grid (tests)
+    pallas_while: str = "auto"
+    #: unrolled masked steps per lax.while_loop iteration on the jit path:
+    #: amortizes the any() convergence check and the HBM carry round-trip
+    #: (semantics are exact — steps past the cap or past convergence are
+    #: masked). Higher helps long fractal loops; short loops pay up to
+    #: while_unroll-1 wasted masked steps.
+    while_unroll: int = 4
     #: periodic animation: t = frame/N (wraps); non-periodic: t = frame/(N-1)
     #: so the last frame reaches t=1 (SURVEY §2.1 render-engine row).
     periodic: bool = True
@@ -76,5 +86,7 @@ class RenderOptions:
                 # (origins only need 8-row alignment via the 4-copy layout)
                 raise ValueError(
                     "pallas windows must be (mult of 32, mult of 16)")
+        if self.pallas_while not in ("auto", "on", "off"):
+            raise ValueError("pallas_while must be 'auto', 'on' or 'off'")
         if self.pallas_precision not in ("bf16", "f32"):
             raise ValueError("pallas_precision must be 'bf16' or 'f32'")

@@ -75,6 +75,10 @@ class RenderContext:
     #: eager loop) — side-channel hooks (halo violation check) must not
     #: capture traced values from there
     loop_depth: int = 0
+    #: True while tracing inside a Pallas kernel (while_kernel fast path):
+    #: gates off anything that would nest a pallas_call or use Mosaic-
+    #: unsupported ops
+    in_pallas: bool = False
     #: component dtype; None = backend float32. The oracle interpreter can
     #: run in float64 ('1-ulp-equivalent' validation, BASELINE north star).
     dtype: Any = None
@@ -441,8 +445,8 @@ class Evaluator:
                 flat.extend(env[n].arrays)
             return tuple(flat)
 
-        def unpack(flat):
-            env = dict(init_env)
+        def unpack(flat, base_env=None):
+            env = dict(init_env if base_env is None else base_env)
             i = 0
             for n in carried:
                 k = lengths[n]
@@ -452,7 +456,7 @@ class Evaluator:
 
         max_iters = self.ctx.opts.max_loop_iters
 
-        def repack(env, flat, mask):
+        def repack(env, flat, mask, grid_shape=None):
             """Fold env's carried values back into the flat carry. `mask`
             selects which pixels take the new value (None = all)."""
             new_flat = []
@@ -469,36 +473,41 @@ class Evaluator:
                         )
                 for j in range(k):
                     if mask is None:
-                        new_flat.append(be.broadcast_to(new.arrays[j], self.ctx.shape))
+                        new_flat.append(be.broadcast_to(
+                            new.arrays[j], grid_shape or self.ctx.shape))
                     else:
                         new_flat.append(be.where(mask, new.arrays[j], flat[i + j]))
                 i += k
             return tuple(new_flat)
 
-        def eval_cond(flat, mask, salt):
+        def eval_cond(flat, mask, salt, tile=None):
             """Evaluate the condition sequence on the carried env. Its
             assignments persist (sequential cond-statement semantics) for
             the pixels that evaluated it, i.e. those active in `mask`."""
-            env = unpack(flat)
-            ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=salt)
+            ctx, x, y, base_env = tile or (self.ctx, self.x, self.y, None)
+            env = unpack(flat, base_env)
+            ev = Evaluator(ctx, x, y, env, salt_extra=salt)
             cond_mask = ev._truthy_mask(ev.eval(node.cond), node.span)
-            return repack(env, flat, mask), cond_mask
+            return repack(env, flat, mask, grid_shape=ctx.shape), cond_mask
 
-        def step(flat, mask, loop_i):
+        def step(flat, mask, loop_i, tile=None):
             """One iteration under `mask`; returns (new_flat, next_mask).
             The mask is carried and ANDed monotonically, so the condition is
-            evaluated once per iteration (not again in lax's cond_fn)."""
+            evaluated once per iteration (not again in lax's cond_fn).
+            `tile` = (ctx, x, y, base_env) runs the step on a Pallas-kernel
+            tile instead of the whole grid (pallas_kernels/while_kernel)."""
             # match the baked trace constants; the per-loop-site nonce
             # offsets the counter so two sequential loops draw different
             # streams (they'd otherwise reset to the same base)
-            self.ctx.rand_counter = counter_loop + nonce * 1000003
-            self.ctx.rand_loop_nonce = nonce_loop
+            ctx, x, y, base_env = tile or (self.ctx, self.x, self.y, None)
+            ctx.rand_counter = counter_loop + nonce * 1000003
+            ctx.rand_loop_nonce = nonce_loop
             salt = self._mix_salt(loop_i)
-            env = unpack(flat)
-            ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=salt)
+            env = unpack(flat, base_env)
+            ev = Evaluator(ctx, x, y, env, salt_extra=salt)
             ev.eval(node.body)
-            new_flat = repack(env, flat, mask)
-            new_flat, cond_mask = eval_cond(new_flat, mask, salt)
+            new_flat = repack(env, flat, mask, grid_shape=ctx.shape)
+            new_flat, cond_mask = eval_cond(new_flat, mask, salt, tile=tile)
             return new_flat, mask & cond_mask
 
         flat0 = pack(init_env)
@@ -513,12 +522,34 @@ class Evaluator:
         if self.ctx.is_jax:
             import jax
 
+            from ..pallas_kernels import while_kernel as WK
+
+            flat_pallas = None
+            if self.salt_extra is None and WK.eligible(self.ctx, node):
+                # in-VMEM fractal fast path (HBM carry traffic 1/8th);
+                # None = a dependency disqualified it, use the XLA loop
+                self.ctx.loop_depth += 1
+                try:
+                    flat_pallas = WK.launch(
+                        self, node, flat0, mask0, init_env=init_env,
+                        carried=carried, step=step, max_iters=max_iters,
+                    )
+                finally:
+                    self.ctx.loop_depth -= 1
+            if flat_pallas is not None:
+                self.ctx.rand_counter = counter_loop
+                self.ctx.rand_loop_nonce = nonce_loop
+                final_env = unpack(flat_pallas)
+                for n in carried:
+                    self.env[n] = final_env[n]
+                return TupleValue(NIL, (self.lit(0.0),))
+
             # Unroll K masked steps per lax iteration: steps are exact (each
             # re-ANDs the mask, and steps whose global index reaches
             # max_iters are gated off so the safety cap stops EXACTLY where
             # the oracle does), while the per-iteration any() reduction and
             # carry round-trip amortize over K — a large win for fractals.
-            K = 4
+            K = int(getattr(self.ctx.opts, "while_unroll", 4))
 
             def cond_fn(state):
                 i, mask, _flat = state

@@ -442,3 +442,63 @@ def test_max_loop_iters_cap_exact_parity():
     j = f.render(BLANK, options=opts)
     np.testing.assert_allclose(o[..., 0], np.full((H, W), 10 / 16), atol=1e-6)
     np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_pallas_while_engine_matches_oracle():
+    """The in-VMEM while engine (pallas_kernels/while_kernel, forced via
+    pallas_while='on' + sampler='pallas' on a tile-aligned grid) must match
+    the oracle exactly — including the max_iters cap, cond assignments,
+    and values computed before the loop (kernel dependencies)."""
+    h, w = 16, 256
+    img = np.zeros((h, w, 4), np.float32)
+    src = ("c = x / W + y / H;"
+           "z = 0; i = 0; n = 0;"
+           "while n = n + 1; z < 4 + c && i < 37 do"
+           "  z = z + 0.2 + 0.1 * sin(c * 9 + i); i = i + 1 "
+           "end;"
+           "grayColor(clamp(z / 8 + i / 100 + n / 1000, 0, 1))")
+    f = mm.compile(src)
+    o = f.render(img, width=w, height=h, interpret=True)
+    opts = mm.RenderOptions(sampler="pallas", pallas_while="on")
+    j = f.render(img, width=w, height=h, options=opts)
+    np.testing.assert_allclose(j, o, atol=1e-5)
+    # the cap applies exactly
+    opts2 = mm.RenderOptions(sampler="pallas", pallas_while="on",
+                             max_loop_iters=9)
+    o2 = f.render(img, width=w, height=h, interpret=True,
+                  options=mm.RenderOptions(max_loop_iters=9))
+    j2 = f.render(img, width=w, height=h, options=opts2)
+    np.testing.assert_allclose(j2, o2, atol=1e-5)
+
+
+def test_pallas_while_engine_mandelbrot_parity():
+    h, w = 16, 256
+    src = ("c = ri:[x / X * 2.4 - 0.5, y / X * 2.4];"
+           "z = ri:[0, 0]; iter = 0;"
+           "while z[0]*z[0] + z[1]*z[1] < 4 && iter < 48 do"
+           "  z = z * z + c; iter = iter + 1 "
+           "end;"
+           "grayColor(iter / 48)")
+    f = mm.compile(src)
+    img = np.zeros((h, w, 4), np.float32)
+    o = f.render(img, width=w, height=h, interpret=True)
+    j = f.render(img, width=w, height=h,
+                 options=mm.RenderOptions(sampler="pallas", pallas_while="on"))
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_pallas_while_engine_scalar_param_dep():
+    """A traced scalar userval read by the loop (mandelbrot's maxiter)
+    reaches the kernel as an SMEM-style (1,1) input."""
+    h, w = 16, 256
+    src = ("filter f (float lim: 1-64 (20), float stepv: 0.01-1 (0.3))"
+           "  z = 0; i = 0;"
+           "  while z < lim && i < 100 do z = z + stepv; i = i + 1 end;"
+           "  grayColor(clamp(i / 100, 0, 1)) end")
+    f = mm.compile(src)
+    img = np.zeros((h, w, 4), np.float32)
+    params = {"lim": 13.0, "stepv": 0.25}
+    o = f.render(img, width=w, height=h, interpret=True, params=params)
+    j = f.render(img, width=w, height=h, params=params,
+                 options=mm.RenderOptions(sampler="pallas", pallas_while="on"))
+    np.testing.assert_allclose(j, o, atol=1e-6)
