@@ -121,11 +121,13 @@ function renderParams(params) {
       initCurveEditor(p.name);
     } else if (p.kind === 'gradient') {
       div.insertAdjacentHTML('beforeend',
-        `<label>${p.name} (gradient):
-           <input type="color" id="g0_${p.name}" value="#000000"
-                  oninput="setGradient('${p.name}')">
-           <input type="color" id="g1_${p.name}" value="#ffffff"
-                  oninput="setGradient('${p.name}')"></label>`);
+        `<label>${p.name} (gradient — multi-stop):
+           <div id="gstops_${p.name}"></div>
+           <button onclick="addStop('${p.name}')">+ stop</button>
+           <canvas id="gprev_${p.name}" width="256" height="14"
+                   style="border:1px solid #555;vertical-align:middle"></canvas>
+         </label>`);
+      initGradient(p.name);
     } else if (p.kind === 'bool') {
       const v = paramState[p.name] !== undefined ? paramState[p.name] : p.value;
       div.insertAdjacentHTML('beforeend',
@@ -287,12 +289,62 @@ function hex2rgb(h) {
   return [parseInt(h.substr(1,2),16)/255, parseInt(h.substr(3,2),16)/255,
           parseInt(h.substr(5,2),16)/255];
 }
+// ---- multi-stop gradient editor ----
+let gradStops = {};   // name -> [[pos, '#rrggbb'], ...]
+function initGradient(name) {
+  if (!gradStops[name]) gradStops[name] = [[0, '#000000'], [1, '#ffffff']];
+  drawStops(name);
+}
+function addStop(name) {
+  gradStops[name].push([0.5, '#808080']);
+  gradStops[name].sort((a, b) => a[0] - b[0]);
+  drawStops(name);
+  setGradient(name);
+}
+function rmStop(name, i) {
+  if (gradStops[name].length <= 2) return;
+  gradStops[name].splice(i, 1);
+  drawStops(name);
+  setGradient(name);
+}
+function updStop(name, i, pos, col) {
+  const s = gradStops[name][i];
+  if (pos !== null) s[0] = parseFloat(pos);
+  if (col !== null) s[1] = col;
+  gradStops[name].sort((a, b) => a[0] - b[0]);
+  drawStops(name);
+  setGradient(name);
+}
+function drawStops(name) {
+  const div = document.getElementById('gstops_' + name);
+  if (!div) return;
+  div.innerHTML = gradStops[name].map(([pos, col], i) =>
+    `<div style="font-size:12px">
+       <input type="range" min="0" max="1" step="0.01" value="${pos}"
+              style="width:120px" onchange="updStop('${name}',${i},this.value,null)">
+       <input type="color" value="${col}"
+              oninput="updStop('${name}',${i},null,this.value)">
+       <a style="cursor:pointer;color:#f66" onclick="rmStop('${name}',${i})">x</a>
+     </div>`).join('');
+  const cv = document.getElementById('gprev_' + name);
+  if (cv) {
+    const ctx = cv.getContext('2d');
+    const g = ctx.createLinearGradient(0, 0, cv.width, 0);
+    for (const [pos, col] of gradStops[name]) g.addColorStop(pos, col);
+    ctx.fillStyle = g;
+    ctx.fillRect(0, 0, cv.width, cv.height);
+  }
+}
 function setGradient(name) {
-  const a = hex2rgb(document.getElementById('g0_' + name).value);
-  const b = hex2rgb(document.getElementById('g1_' + name).value);
-  paramState[name] = Array.from({length: 32}, (_, i) => {
-    const t = i / 31;
-    return [a[0]+(b[0]-a[0])*t, a[1]+(b[1]-a[1])*t, a[2]+(b[2]-a[2])*t, 1];
+  const stops = gradStops[name].map(([p, c]) => [p, hex2rgb(c)]);
+  paramState[name] = Array.from({length: 64}, (_, i) => {
+    const t = i / 63;
+    let j = 0;
+    while (j < stops.length - 1 && stops[j + 1][0] < t) j++;
+    const [p0, c0] = stops[j], [p1, c1] = stops[Math.min(j + 1, stops.length - 1)];
+    const f = p1 > p0 ? Math.min(1, Math.max(0, (t - p0) / (p1 - p0))) : 0;
+    return [c0[0] + (c1[0] - c0[0]) * f, c0[1] + (c1[1] - c0[1]) * f,
+            c0[2] + (c1[2] - c0[2]) * f, 1];
   });
   render();
 }
