@@ -14,8 +14,9 @@ instead of once per 4. Measured: hand-rolled 4K mandelbrot 15.5ms (XLA)
 
 Eligibility is decided statically (`eligible`): the loop body/cond may only
 call elementwise builtins (no image/curve/gradient application, no
-table-based noise or GSL-class specials — Mosaic has no vector gather; no
-rand — its 1-D index vectors don't lower; no nested while — scf again),
+table-based noise or GSL-class specials — Mosaic has no vector gather;
+rand() IS allowed: its index grid is built from 2-D iotas; no nested
+while — scf again),
 the render must be unsharded, tile-aligned, big enough to amortize the
 launch, and not already inside a Pallas kernel. Everything else falls back
 to the XLA unrolled loop. The step semantics (mask gating, cond-assignment
@@ -46,7 +47,7 @@ SAFE_CALLS = frozenset({
     "sqrt", "exp", "exp2", "log", "log2", "log10", "pow",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
-    "deg2rad", "rad2deg",
+    "deg2rad", "rad2deg", "rand",
     "rgbColor", "rgbaColor", "grayColor", "grayaColor",
     "red", "green", "blue", "alpha", "gray",
     "toRA", "toXY", "toHSVA", "toRGBA",
@@ -76,8 +77,6 @@ def eligible(ctx, node: A.While) -> bool:
     if mode == "off":
         return False
     h, w = ctx.shape
-    if h % TILE_H or w % TILE_W:
-        return False  # masked edge tiles not implemented
     if mode != "on" and h * w < (1 << 20):
         return False  # tiny grids don't amortize a pallas launch
     if not pallas_policy(ctx.opts):
@@ -107,6 +106,15 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
         if getattr(a, "dtype", None) != f32 or getattr(a, "shape", None) != (H, W):
             return None
 
+    # non-tile-aligned grids: pad every grid array with edge values and a
+    # FALSE mask (padding pixels never update), slice the carry back after
+    Ht = -(-H // TILE_H) * TILE_H
+    Wt = -(-W // TILE_W) * TILE_W
+    pad = (Ht, Wt) != (H, W)
+
+    def _pad(a):
+        return jnp.pad(a, ((0, Ht - H), (0, Wt - W)), mode="edge") if pad else a
+
     # ---- dependencies: non-carried env values the loop reads ----
     reads = {s.name for s in A.walk(node) if isinstance(s, A.Var)}
     dep_names = sorted(
@@ -122,7 +130,7 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
             a = jnp.asarray(a)
             if a.shape == (H, W):
                 comps.append(True)
-                dep_arrays.append(a)
+                dep_arrays.append(_pad(a))
                 dep_is_grid.append(True)
             elif a.ndim == 0:
                 comps.append(False)
@@ -139,6 +147,8 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
     y_arr = jnp.asarray(ev.y, f32)
     if x_arr.shape != (H, W) or y_arr.shape != (H, W):
         return None
+    x_arr = _pad(x_arr)
+    y_arr = _pad(y_arr)
 
     small = pl.BlockSpec((1, 1), lambda i, j: (0, 0))
     grid_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))
@@ -178,12 +188,12 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
     interpret = jax.default_backend() != "tpu"
     call = pl.pallas_call(
         kernel,
-        grid=(H // TILE_H, W // TILE_W),
+        grid=(Ht // TILE_H, Wt // TILE_W),
         in_specs=[small, small, small, grid_spec, grid_spec, grid_spec]
         + [grid_spec] * n_flat
         + [grid_spec if g else small for g in dep_is_grid],
         out_specs=[grid_spec] * (1 + n_flat),
-        out_shape=[jax.ShapeDtypeStruct((H, W), f32)] * (1 + n_flat),
+        out_shape=[jax.ShapeDtypeStruct((Ht, Wt), f32)] * (1 + n_flat),
         interpret=interpret,
     )
 
@@ -197,8 +207,16 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
                     x_arr, y_arr, mf, *flat, *dep_arrays)
         return (i + K_IN, outs[0], tuple(outs[1:]))
 
+    mask_init = mask0.astype(f32)
+    if pad:
+        # padding pixels start inactive and their carries are edge copies;
+        # they are sliced away below
+        mask_init = jnp.pad(mask_init, ((0, Ht - H), (0, Wt - W)))
+        flat0 = tuple(_pad(a) for a in flat0)
     _, _, flat_out = jax.lax.while_loop(
         cond_fn, body_fn,
-        (jnp.int32(0), mask0.astype(f32), tuple(flat0)),
+        (jnp.int32(0), mask_init, tuple(flat0)),
     )
+    if pad:
+        flat_out = tuple(a[:H, :W] for a in flat_out)
     return flat_out

@@ -133,10 +133,21 @@ class Evaluator:
         self.ctx.rand_counter += 1
         h, w = self.ctx.shape
         # Linear index in the GLOBAL pixel grid so sharded and unsharded
-        # renders draw identical per-pixel randomness.
-        iy = be.arange(h, dtype=be.uint32) + be.asarray(self.ctx.row_offset, dtype=be.uint32)
-        ix = be.arange(w, dtype=be.uint32) + be.asarray(self.ctx.col_offset, dtype=be.uint32)
-        idx = iy[:, None] * be.asarray(self.ctx.width, dtype=be.uint32) + ix[None, :]
+        # renders draw identical per-pixel randomness. The jax path builds
+        # it from 2-D iotas (1-D vectors don't lower in Mosaic, so this
+        # keeps rand() usable inside the in-VMEM while engine).
+        if self.ctx.is_jax:
+            import jax
+
+            iy = (jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
+                  + be.asarray(self.ctx.row_offset, dtype=be.uint32))
+            ix = (jax.lax.broadcasted_iota(be.uint32, (h, w), 1)
+                  + be.asarray(self.ctx.col_offset, dtype=be.uint32))
+            idx = iy * be.asarray(self.ctx.width, dtype=be.uint32) + ix
+        else:
+            iy = be.arange(h, dtype=be.uint32) + be.asarray(self.ctx.row_offset, dtype=be.uint32)
+            ix = be.arange(w, dtype=be.uint32) + be.asarray(self.ctx.col_offset, dtype=be.uint32)
+            idx = iy[:, None] * be.asarray(self.ctx.width, dtype=be.uint32) + ix[None, :]
         salt = (
             (self.ctx.opts.seed * 0x9E3779B9 + self.ctx.rand_counter * 0x85EBCA6B)
             & 0xFFFFFFFF
@@ -149,7 +160,9 @@ class Evaluator:
         v = v ^ (v >> 15)
         v = v * be.asarray(0x846CA68B, dtype=be.uint32)
         v = v ^ (v >> 16)
-        return (v >> 8).astype(be.float32) * (1.0 / 16777216.0)
+        # cast via int32: the 24-bit value is exact either way, and Mosaic
+        # (the in-VMEM while engine) has no uint32->float32 cast
+        return (v >> 8).astype(be.int32).astype(be.float32) * (1.0 / 16777216.0)
 
     def _mix_salt(self, loop_i):
         """Combine this evaluator's iteration salt (an enclosing loop's) with

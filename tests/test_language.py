@@ -502,3 +502,18 @@ def test_pallas_while_engine_scalar_param_dep():
     j = f.render(img, width=w, height=h, params=params,
                  options=mm.RenderOptions(sampler="pallas", pallas_while="on"))
     np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_pallas_while_engine_rand_and_odd_size():
+    """rand() inside the in-VMEM engine (2-D iota index grid) and a
+    non-tile-aligned grid (masked edge tiles) both match the oracle."""
+    h, w = 13, 100  # not multiples of (8, 256)
+    img = np.zeros((h, w, 4), np.float32)
+    src = ("s = 0; i = 0;"
+           "while i < 6 do s = s + rand(0, 1); i = i + 1 end;"
+           "grayColor(s / 6)")
+    f = mm.compile(src)
+    o = f.render(img, width=w, height=h, interpret=True)
+    j = f.render(img, width=w, height=h,
+                 options=mm.RenderOptions(sampler="pallas", pallas_while="on"))
+    np.testing.assert_allclose(j, o, atol=1e-6)
