@@ -55,6 +55,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter", dest="filter_name", default=None, help="filter name when the file defines several")
     p.add_argument("--param", action="append", default=[], metavar="NAME=VALUE", help="set a userval")
     p.add_argument("--seed", type=int, default=0, help="rand() seed")
+    p.add_argument("--sampler", choices=("auto", "pallas", "gather"), default="auto",
+                   help="origVal backend: Pallas MXU kernel (auto: on TPU) or XLA gather")
+    p.add_argument("--precision", choices=("bf16", "f32"), default="bf16",
+                   help="Pallas sampler precision: bf16 (MXU-native, ~1 LSB of "
+                        "uint8) or f32 (split-float bf16x3, <=2e-5, ~3x cost)")
+    p.add_argument("--pallas-while", choices=("auto", "on", "off"), default="auto",
+                   help="in-VMEM while-loop engine (fractals)")
     p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")
     p.add_argument("--interpret", action="store_true", help="use the NumPy oracle interpreter")
     p.add_argument("--fallback", action="store_true",
@@ -168,6 +175,9 @@ def main(argv=None) -> int:
         supersample=args.supersample,
         periodic=not args.non_periodic,
         seed=args.seed,
+        sampler=args.sampler,
+        pallas_precision=args.precision,
+        pallas_while=args.pallas_while,
     )
     params = _parse_params(args.param)
 
