@@ -64,8 +64,8 @@ class RenderOptions:
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3
     #: max) — matching the reference's uint8 output packing; 'f32' uses
-    #: split-float bf16x3 passes (measured <=2e-5 vs the exact gather path)
-    #: at ~3x the bf16 cost — still ~6x faster than MXU-emulated f32.
+    #: split-float bf16x3 passes (measured <=7e-5 vs the exact gather path
+    #: on the TPU; <=1e-4 target) at ~3x the bf16 cost — still ~6x faster than MXU-emulated f32.
     pallas_precision: str = "bf16"
 
     def __post_init__(self):
