@@ -59,7 +59,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="origVal backend: Pallas MXU kernel (auto: on TPU) or XLA gather")
     p.add_argument("--precision", choices=("bf16", "f32"), default="bf16",
                    help="Pallas sampler precision: bf16 (MXU-native, ~1 LSB of "
-                        "uint8) or f32 (split-float bf16x3, <=2e-5, ~3x cost)")
+                        "uint8) or f32 (split-float bf16x3, <=7e-5 on TPU, ~3x cost)")
     p.add_argument("--pallas-while", choices=("auto", "on", "off"), default="auto",
                    help="in-VMEM while-loop engine (fractals)")
     p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")
