@@ -54,10 +54,20 @@ TILE_H = 8
 TILE_W = 256
 PAD_L = 8  # left/top apron
 N_COPIES = 4  # row-shifted image copies (8-row origin granularity)
+#: minimum compacted-repair-pass capacity (tiles); below this the pass just
+#: hosts every tile, so capacity escalation can't trigger (tests shrink it)
+CAP_FLOOR = 256
 
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+class _Plan:
+    """Per-tier planning result (window origins, per-tile fit, launchers)."""
+
+    __slots__ = ("tile_w", "win_h", "win_w", "chunk", "gw", "ntx", "wt",
+                 "overflow", "fit", "run", "run_compact")
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +162,8 @@ def _weights(jnp, frac, interpolation: str):
 
 
 def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
-                 hp: int, precision: str = "bf16", chunk: int | None = None):
+                 hp: int, precision: str = "bf16", chunk: int | None = None,
+                 masked: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -192,13 +203,21 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
             out = out + _dot(dnum, alo, bhi)
         return out
 
-    def kernel(oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems):
+    def kernel(*refs):
+        if masked:
+            oy_ref, ox_ref, act_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
+        else:
+            oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
+            act_ref = None
         i = pl.program_id(0)
         j = pl.program_id(1)
         nj = pl.num_programs(1)
         ni = pl.num_programs(0)
         k = i * nj + j
         slot = k % 2
+
+        def active(ti, tj):
+            return True if act_ref is None else act_ref[ti, tj] > 0
 
         def window_dma(ti, tj, s):
             """The (reconstructible) HBM->VMEM copy of tile (ti,tj)'s window
@@ -218,113 +237,119 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
         # double-buffer: tile k's window was started at tile k-1; here we
         # kick off tile k+1's DMA, then wait on our own (grid is sequential
         # on the single TensorCore, so the prefetch overlaps this tile's
-        # weight-build + matmul work)
-        @pl.when(k == 0)
+        # weight-build + matmul work). Inactive (masked-off) tiles never
+        # start nor wait a DMA — each start is guarded by ITS OWN tile's
+        # flag, so the pairing holds even across inactive gaps.
+        @pl.when((k == 0) & active(i, j))
         def _():
             window_dma(i, j, 0).start()
 
-        @pl.when(k + 1 < ni * nj)
+        @pl.when((k + 1 < ni * nj)
+                 & active((k + 1) // nj, (k + 1) - ((k + 1) // nj) * nj))
         def _():
             nk = k + 1
             window_dma(nk // nj, nk - (nk // nj) * nj, (k + 1) % 2).start()
 
-        oy = oy_ref[i, j]
-        ox = ox_ref[i, j]
+        def compute():
+            oy = oy_ref[i, j]
+            ox = ox_ref[i, j]
 
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, chunk), 0)
-        # interleaved-row index helper for the (win_h*4, chunk) y weights:
-        # row (r*4 + c) holds window row r, channel c
-        iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, chunk), 0)
-        r_of_row = iota_h4 // 4
-        # constant channel selector (4, win_h*4): sel[c, row] = (row % 4 == c)
-        # — turns the per-channel masked reductions into one tiny MXU matmul
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 1)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 0)
-        sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
-        dn_sel = (((1,), (0,)), ((), ()))
-        window_dma(i, j, slot).wait()
-        win = win2[slot]
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, chunk), 0)
+            # interleaved-row index helper for the (win_h*4, chunk) y
+            # weights: row (r*4 + c) holds window row r, channel c
+            iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, chunk), 0)
+            r_of_row = iota_h4 // 4
+            # constant channel selector (4, win_h*4): sel[c,row] = (row%4==c)
+            # — turns per-channel masked reductions into one tiny MXU matmul
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 1)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 0)
+            sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
+            dn_sel = (((1,), (0,)), ((), ()))
+            window_dma(i, j, slot).wait()
+            win = win2[slot]
+            body(oy, ox, iota_w, r_of_row, sel, dn_sel, win)
 
-        for cn in range(n_chunks):
-            sl = slice(cn * chunk, (cn + 1) * chunk)
-            px = px_ref[0, 0:1, sl]  # (1, chunk)
-            py = py_ref[0, 0:1, sl]
-            if interpolation == "nearest":
-                x0 = jnp.floor(px + 0.5)
-                y0 = jnp.floor(py + 0.5)
-                fx = jnp.zeros_like(px)
-                fy = jnp.zeros_like(py)
-            else:
-                x0 = jnp.floor(px)
-                y0 = jnp.floor(py)
-                fx = px - x0
-                fy = py - y0
-            lx = x0.astype(jnp.int32) - ox
-            ly = y0.astype(jnp.int32) - oy
-            # clamp so an overflowing tile still reads in-window memory
-            # (result discarded via the overflow fallback)
-            lx = jnp.clip(lx, -tap_lo, win_w - n_taps - tap_lo)
-            ly = jnp.clip(ly, -tap_lo, win_h - n_taps - tap_lo)
+        def body(oy, ox, iota_w, r_of_row, sel, dn_sel, win):
+            for cn in range(n_chunks):
+                sl = slice(cn * chunk, (cn + 1) * chunk)
+                px = px_ref[0, 0:1, sl]  # (1, chunk)
+                py = py_ref[0, 0:1, sl]
+                if interpolation == "nearest":
+                    x0 = jnp.floor(px + 0.5)
+                    y0 = jnp.floor(py + 0.5)
+                    fx = jnp.zeros_like(px)
+                    fy = jnp.zeros_like(py)
+                else:
+                    x0 = jnp.floor(px)
+                    y0 = jnp.floor(py)
+                    fx = px - x0
+                    fy = py - y0
+                lx = x0.astype(jnp.int32) - ox
+                ly = y0.astype(jnp.int32) - oy
+                # clamp so an overflowing tile still reads in-window memory
+                # (result discarded via the overflow fallback)
+                lx = jnp.clip(lx, -tap_lo, win_w - n_taps - tap_lo)
+                ly = jnp.clip(ly, -tap_lo, win_h - n_taps - tap_lo)
 
-            if interpolation == "bilinear":
-                # triangle kernel: weight(d) = relu(1 - |d|) hits both taps
-                # in one expression — ~2x fewer VPU ops than per-tap selects
-                px_loc = lx.astype(jnp.float32) + fx
-                py_loc = ly.astype(jnp.float32) + fy
-                ox_mat = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(iota_w.astype(jnp.float32) - px_loc)
-                )
-                oy_mat4 = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(r_of_row.astype(jnp.float32) - py_loc)
-                )
-            else:
-                wx = _weights(jnp, fx, interpolation)
-                wy = _weights(jnp, fy, interpolation)
-                ox_mat = jnp.zeros((win_w, chunk), jnp.float32)
-                for tap in range(n_taps):
-                    ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + tap), wx[tap], 0.0)
-                # y weights expanded over interleaved rows (win_h*4, chunk)
-                oy_mat4 = jnp.zeros((win_h * 4, chunk), jnp.float32)
-                for tap in range(n_taps):
-                    oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
+                if interpolation == "bilinear":
+                    # triangle kernel: weight(d) = relu(1 - |d|) hits both taps
+                    # in one expression — ~2x fewer VPU ops than per-tap selects
+                    px_loc = lx.astype(jnp.float32) + fx
+                    py_loc = ly.astype(jnp.float32) + fy
+                    ox_mat = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(iota_w.astype(jnp.float32) - px_loc)
+                    )
+                    oy_mat4 = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(r_of_row.astype(jnp.float32) - py_loc)
+                    )
+                else:
+                    wx = _weights(jnp, fx, interpolation)
+                    wy = _weights(jnp, fy, interpolation)
+                    ox_mat = jnp.zeros((win_w, chunk), jnp.float32)
+                    for tap in range(n_taps):
+                        ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + tap), wx[tap], 0.0)
+                    # y weights expanded over interleaved rows (win_h*4, chunk)
+                    oy_mat4 = jnp.zeros((win_h * 4, chunk), jnp.float32)
+                    for tap in range(n_taps):
+                        oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
 
-            # MXU: (win_w, win_h*4) x (win_w, chunk) -> (win_h*4, chunk)
-            tmp = mm(dn, win, ox_mat)
-            prod = tmp * oy_mat4
-            # stage B: (4, win_h*4) @ (win_h*4, chunk) channel-select-reduce
-            # (sel is 0/1 — exact in bf16, no split needed)
-            out4 = mm(dn_sel, sel, prod, split_a=False)
-            o_ref[0, :, sl] = out4
+                # MXU: (win_w, win_h*4) x (win_w, chunk) -> (win_h*4, chunk)
+                tmp = mm(dn, win, ox_mat)
+                prod = tmp * oy_mat4
+                # stage B: (4, win_h*4) @ (win_h*4, chunk) channel-select-reduce
+                # (sel is 0/1 — exact in bf16, no split needed)
+                out4 = mm(dn_sel, sel, prod, split_a=False)
+                o_ref[0, :, sl] = out4
+
+        if masked:
+            @pl.when(act_ref[i, j] > 0)
+            def _():
+                compute()
+        else:
+            compute()
 
     return kernel
 
 
-def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
-                       win_h: int, win_w: int, tile_w: int, hp: int,
-                       precision: str = "bf16", interpret: bool = False,
-                       tile_h: int = TILE_H, chunk: int | None = None):
-    """img_xm (Wp, N_COPIES*Hp*4) padded multi-copy x-major; pxp/pyp (Ht, Wt)
-    padded-space coords (Ht mult of tile_h, Wt mult of tile_w); oy/ox
-    (Ht//tile_h, Wt//tile_w) aligned window origins (oy mult 8, ox mult 16).
-    Returns (4, Ht, Wt) planar samples."""
+def _call_kernel_tiles(img_xm, px_t, py_t, oy, ox, active, *, interpolation,
+                       win_h, win_w, n_pix, hp, precision, interpret,
+                       chunk, grid):
+    """Low-level launch over pre-flattened (n_tiles, 1, n_pix) coordinate
+    tiles. oy/ox/active are (grid[0], grid[1]) per-tile scalars; active=None
+    runs every tile, else tiles with active==0 are skipped (their output
+    block is garbage — callers mask it out). Returns (n_tiles, 4, n_pix)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ht, wt = pxp.shape
-    nty, ntx = ht // tile_h, wt // tile_w
-    n_pix = tile_h * tile_w
-    kernel = _make_kernel(interpolation, win_h, win_w, n_pix, hp, precision, chunk)
-
-    def flatten_tiles(a):
-        # (ht, wt) -> (nty*ntx, 1, tile_h*tile_w): whole tile in the lane dim
-        return (a.reshape(nty, tile_h, ntx, tile_w)
-                 .transpose(0, 2, 1, 3)
-                 .reshape(nty * ntx, 1, n_pix))
-
+    nty, ntx = grid
+    masked = active is not None
+    kernel = _make_kernel(interpolation, win_h, win_w, n_pix, hp, precision,
+                          chunk, masked=masked)
+    scalars = (oy, ox) + ((active,) if masked else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(scalars),
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec((1, 1, n_pix), lambda i, j, *_: (i * ntx + j, 0, 0)),
@@ -338,7 +363,7 @@ def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
         ],
     )
     flops_tile = 2 * win_w * (win_h * 4) * n_pix
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nty * ntx, 4, n_pix), jnp.float32),
         grid_spec=grid_spec,
@@ -346,10 +371,41 @@ def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * nty * ntx,
             bytes_accessed=(win_w * win_h * 4 * img_xm.dtype.itemsize) * nty * ntx
-            + 16 * ht * wt,
+            + 16 * nty * ntx * n_pix,
             transcendentals=0,
         ),
-    )(oy, ox, flatten_tiles(pxp), flatten_tiles(pyp), img_xm)
+    )(*scalars, px_t, py_t, img_xm)
+
+
+def _flatten_tiles(a, nty, tile_h, ntx, tile_w):
+    # (ht, wt) -> (nty*ntx, 1, tile_h*tile_w): whole tile in the lane dim
+    return (a.reshape(nty, tile_h, ntx, tile_w)
+             .transpose(0, 2, 1, 3)
+             .reshape(nty * ntx, 1, tile_h * tile_w))
+
+
+def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
+                       win_h: int, win_w: int, tile_w: int, hp: int,
+                       precision: str = "bf16", interpret: bool = False,
+                       tile_h: int = TILE_H, chunk: int | None = None,
+                       active=None):
+    """img_xm (Wp, N_COPIES*Hp*4) padded multi-copy x-major; pxp/pyp (Ht, Wt)
+    padded-space coords (Ht mult of tile_h, Wt mult of tile_w); oy/ox
+    (Ht//tile_h, Wt//tile_w) aligned window origins (oy mult 8, ox mult 16);
+    active optional per-tile skip flags (same shape, int32).
+    Returns (4, Ht, Wt) planar samples (garbage in skipped tiles)."""
+    ht, wt = pxp.shape
+    nty, ntx = ht // tile_h, wt // tile_w
+    n_pix = tile_h * tile_w
+    out = _call_kernel_tiles(
+        img_xm,
+        _flatten_tiles(pxp, nty, tile_h, ntx, tile_w),
+        _flatten_tiles(pyp, nty, tile_h, ntx, tile_w),
+        oy, ox, active,
+        interpolation=interpolation, win_h=win_h, win_w=win_w, n_pix=n_pix,
+        hp=hp, precision=precision, interpret=interpret, chunk=chunk,
+        grid=(nty, ntx),
+    )
     return (out.reshape(nty, ntx, 4, tile_h, tile_w)
                .transpose(2, 0, 3, 1, 4)
                .reshape(4, ht, wt))
@@ -453,7 +509,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     def plan(tile_h, tile_w_c, win_h_c, win_w_c, chunk=None):
         """Tile-pad the coord grids and compute aligned window origins plus
-        the overflow flag for one (tile, window) configuration."""
+        per-tile fit flags for one (tile, window) configuration."""
         assert tile_h == TILE_H and tile_w_c % BW == 0 and LCM_W % tile_w_c == 0
         win_h_c = min(win_h_c, hp)
         win_w_c = min(win_w_c, wp)
@@ -473,30 +529,67 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         max_y = group[3].max(axis=-1) + tap_lo + n_taps - 1
         ox = jnp.clip((min_x // 16) * 16, 0, wp - win_w_c)
         oy = jnp.clip((min_y // 8) * 8, 0, hp - win_h_c)
+        p = _Plan()
+        p.tile_w, p.win_h, p.win_w, p.chunk = tile_w_c, win_h_c, win_w_c, chunk
+        p.gw, p.ntx, p.wt = gw, ntx, wt
         if win_h_c >= hp and win_w_c >= wp:
             # window covers the entire padded image (small inputs, LUTs):
             # overflow is impossible — signal an unconditional tier
-            overflow = None
+            p.overflow = None
+            p.fit = None
         else:
-            overflow = (jnp.any(max_x - ox > win_w_c - 1)
-                        | jnp.any(max_y - oy > win_h_c - 1))
+            p.fit = ((max_x - ox <= win_w_c - 1)
+                     & (max_y - oy <= win_h_c - 1))  # (nby, ntx)
+            p.overflow = ~jnp.all(p.fit)
 
-        def run(_):
-            planar = warp_sample_pallas(
+        def crop(planar):
+            return tuple(planar[c, :h_out, :w_out] for c in range(4))
+
+        def run(_=None, active=None):
+            return crop(warp_sample_pallas(
                 img_xm, pxp_t, pyp_t, oy, ox,
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
                 tile_w=tile_w_c, tile_h=tile_h, hp=hp, precision=precision,
-                interpret=interpret, chunk=chunk,
-            )
-            return tuple(planar[c, :h_out, :w_out] for c in range(4))
+                interpret=interpret, chunk=chunk, active=active,
+            ))
 
-        return overflow, run
+        def run_compact(claim, cap: int):
+            """Run only the `claim`ed tiles, compacted to the front of a
+            static-capacity grid (a skipped grid step still costs ~430ns on
+            this TPU — mostly its block DMAs — so sparse repair passes must
+            not iterate the full tiling)."""
+            n_tiles = nby * ntx
+            n_pix = tile_h * tile_w_c
+            flat = claim.reshape(-1)
+            idx = jnp.nonzero(flat, size=cap, fill_value=n_tiles)[0]
+            count = jnp.sum(flat.astype(jnp.int32))
+            px_t = _flatten_tiles(pxp_t, nby, tile_h, ntx, tile_w_c)
+            py_t = _flatten_tiles(pyp_t, nby, tile_h, ntx, tile_w_c)
+            out_c = _call_kernel_tiles(
+                img_xm,
+                jnp.take(px_t, idx, axis=0),
+                jnp.take(py_t, idx, axis=0),
+                jnp.take(oy.reshape(-1), idx).reshape(1, cap),
+                jnp.take(ox.reshape(-1), idx).reshape(1, cap),
+                (jnp.arange(cap, dtype=jnp.int32) < count)
+                .astype(jnp.int32).reshape(1, cap),
+                interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
+                n_pix=n_pix, hp=hp, precision=precision, interpret=interpret,
+                chunk=chunk, grid=(1, cap),
+            )
+            full = (jnp.zeros((n_tiles, 4, n_pix), jnp.float32)
+                    .at[idx].set(out_c, mode="drop"))
+            planar = (full.reshape(nby, ntx, 4, tile_h, tile_w_c)
+                          .transpose(2, 0, 3, 1, 4).reshape(4, ht, wt))
+            return crop(planar)
+
+        p.run, p.run_compact = run, run_compact
+        return p
 
     # Config chain, cheapest first — FLOPs/pixel scale with window area and
     # narrow (8x64) tiles keep rotational source bands small (measured 4K
     # bilinear: fast 587, mid 417, rot 320, xrot 150 Mpix/s; gather ~20).
-    # A lax.cond chain on the per-tier overflow flags picks per frame; a
-    # tier whose window covers the whole padded image truncates the chain
+    # A tier whose window covers the whole padded image truncates the chain
     # (single unconditional pallas program — the LUT/small-image case).
     rot_h, rot_w = getattr(opts, "pallas_window_rot", (128, 256))
     xrot = getattr(opts, "pallas_window_xrot", (320, 384))
@@ -507,23 +600,97 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         (8, 128, xrot[0], xrot[1], 512),    # extreme warps (chunked VMEM)
     ]
 
-    def slow_path(_):
+    def slow_path(_=None):
         return tuple(xla_fallback())
 
-    chain = []
+    plans = []
     terminal = slow_path
+    truncated = False
     for th, tw, wh, ww, ck in tier_cfgs:
-        ov, run = plan(th, tw, wh, ww, chunk=ck)
-        if ov is None:
-            terminal = run
+        p = plan(th, tw, wh, ww, chunk=ck)
+        if p.overflow is None:
+            terminal = p.run
+            truncated = True
             break
-        chain.append((ov, run))
-    branch = terminal
-    for ov, run in reversed(chain):
-        branch = (lambda ov, run, nxt: lambda _: jax.lax.cond(ov, nxt, run, operand=None))(
-            ov, run, branch
-        )
-    return list(branch(None))
+        plans.append(p)
+
+    # Whole-frame lax.cond chain on per-tier overflow flags (the per-tile
+    # path's escalation target, and the only path when per-tile is off).
+    def chain_from(i):
+        branch = terminal
+        for p in reversed(plans[i:]):
+            branch = (lambda ov, run, nxt: lambda _=None: jax.lax.cond(
+                ov, nxt, run, operand=None))(p.overflow, p.run, branch)
+        return branch
+
+    per_tile_mode = getattr(opts, "pallas_per_tile", "auto")
+    use_per_tile = (per_tile_mode != "off" and not truncated
+                    and len(plans) == len(tier_cfgs)
+                    and (per_tile_mode == "on" or nby * nbx >= 1024))
+    if not use_per_tile:
+        return list(chain_from(0)())
+
+    # ---- per-tile tier selection (mixed-warp frames: twirl/fisheye class).
+    # Claims at base (8,64) granularity, cheapest tier first; each tier runs
+    # only its claimed tiles (fast: masked in place — its tiling is coarse;
+    # mid/rot/xrot: compacted to a static-capacity grid). Escalation to the
+    # whole-frame chain when a capacity would overflow; whole-frame gather
+    # when some tile fits no tier at all.
+    nbx_real = -(-w_out // BW)
+    cheaper = jnp.zeros((nby, nbx), bool)
+    claims_base = []
+    for p in plans:
+        fit_b = jnp.zeros((nby, nbx), bool)
+        fit_rep = jnp.repeat(p.fit, p.gw, axis=1)[:, :nbx]
+        fit_b = fit_b.at[:, : fit_rep.shape[1]].set(fit_rep)
+        claims_base.append(fit_b & ~cheaper)
+        cheaper = cheaper | fit_b
+    unclaimed_any = jnp.any(~cheaper[:, :nbx_real])
+
+    actives = []
+    caps = []
+    esc = None
+    cap_div = (1, 2, 4, 4)  # fast runs masked in place; repair capacities
+    for t, p in enumerate(plans):
+        cb = claims_base[t][:, : p.ntx * p.gw]
+        act = cb.reshape(nby, p.ntx, p.gw).any(axis=-1)
+        actives.append(act)
+        n_tiles = nby * p.ntx
+        cap = n_tiles if t == 0 else min(n_tiles, max(
+            CAP_FLOOR, _round_up(n_tiles // cap_div[t], 8)))
+        caps.append(cap)
+        if t > 0 and cap < n_tiles:
+            over = jnp.sum(act.astype(jnp.int32)) > cap
+            esc = over if esc is None else (esc | over)
+
+    def zeros4():
+        z = jnp.zeros((h_out, w_out), jnp.float32)
+        return (z, z, z, z)
+
+    def multipass(_=None):
+        outs = []
+        for t, p in enumerate(plans):
+            act = actives[t]
+            if t == 0:
+                run_t = (lambda p=p, act=act:
+                         p.run(active=act.astype(jnp.int32)))
+            else:
+                run_t = (lambda p=p, act=act, cap=caps[t]:
+                         p.run_compact(act, cap))
+            outs.append(jax.lax.cond(jnp.any(act), run_t, zeros4))
+        res = outs[-1]
+        for t in reversed(range(len(plans) - 1)):
+            m = jnp.repeat(jnp.repeat(claims_base[t], TILE_H, axis=0),
+                           BW, axis=1)[:h_out, :w_out]
+            res = tuple(jnp.where(m, outs[t][c], res[c]) for c in range(4))
+        return res
+
+    fallback = chain_from(1)
+    esc_or_unclaimed = unclaimed_any if esc is None else (esc | unclaimed_any)
+    mixed = (lambda _=None: jax.lax.cond(
+        esc_or_unclaimed, fallback, multipass, operand=None))
+    top = jax.lax.cond(plans[0].overflow, mixed, plans[0].run, operand=None)
+    return list(top)
 
 
 def apply_lut_pallas(ev, lut, pos, xla_fallback):

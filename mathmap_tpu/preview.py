@@ -406,6 +406,9 @@ pre { background: #15151a; color: #9ab; font-size: 11px; white-space: pre-wrap;
   <button onclick="addNode()">Add node</button><br><br>
   <button onclick="renderGraph()">Render</button>
   <button onclick="saveMmc()">Save .mmc</button>
+  <button onclick="document.getElementById('mmcfile').click()">Load .mmc</button>
+  <input type="file" id="mmcfile" accept=".mmc" style="display:none"
+         onchange="loadMmc(this.files[0])">
   <div style="color:#888;font-size:12px;margin:6px 0">
     drag nodes &middot; drag from an <b style="color:#8cf">output</b> port to a
     green <b style="color:#6d6">image input</b> port to connect &middot;
@@ -580,6 +583,30 @@ async function saveMmc() {
   a.download = 'composition.mmc';
   a.click();
 }
+async function loadMmc(file) {
+  if (!file) return;
+  const text = await file.text();
+  const res = await fetch('/parse_mmc', {method: 'POST',
+    body: JSON.stringify({mmc: text})});
+  const data = await res.json();
+  const err = document.getElementById('error');
+  if (data.error) { err.textContent = data.error; return; }
+  err.textContent = '';
+  nodes = {}; nid = 0;
+  for (const n of data.nodes) {
+    const entry = {filter: n.filter, x: n.x, y: n.y, params: {}, imgrefs: {}};
+    for (const [k, v] of Object.entries(n.params)) {
+      if (v && typeof v === 'object') entry.imgrefs[k] = v;
+      else entry.params[k] = v;
+    }
+    nodes[n.id] = entry;
+    const m = /^n([0-9]+)$/.exec(n.id);
+    if (m) nid = Math.max(nid, parseInt(m[1]));
+  }
+  output = data.output;
+  draw();
+  renderGraph();
+}
 loadPalette().then(() => {
   const a = addNode('grayscale'), b = addNode('twirl');
   nodes[b].imgrefs['in'] = {ref: a};
@@ -666,6 +693,41 @@ class PreviewState:
         source = graph.to_source()
         out, _meta = self.render(source, float(req.get("t", 0.0)), {})
         return source, out
+
+    def parse_mmc(self, text: str) -> dict:
+        """.mmc composer file -> node-editor JSON (inverse of build_graph;
+        the reference composer round-trips .mmc through its GTK canvas —
+        designer/ [unverified — mount empty])."""
+        from .designer.graph import InputRef, Ref, from_mmc
+
+        graph = from_mmc(text, db=self.db)
+        order = graph._topo()  # validates refs/cycles; gives layout depth
+        order += [nid for nid in graph.nodes if nid not in set(order)]
+        depth = {}
+        for nid in order:
+            d = 0
+            for v in graph.nodes[nid].params.values():
+                if isinstance(v, Ref) and v.node_id in depth:
+                    d = max(d, depth[v.node_id] + 1)
+            depth[nid] = d
+        nodes = []
+        lane = {}
+        for nid in order:
+            node = graph.nodes[nid]
+            d = depth[nid]
+            lane[d] = lane.get(d, -1) + 1
+            params = {}
+            for k, v in node.params.items():
+                if isinstance(v, Ref):
+                    params[k] = {"ref": v.node_id}
+                elif isinstance(v, InputRef):
+                    params[k] = {"input": v.index}
+                else:
+                    params[k] = v
+            nodes.append({"id": node.node_id, "filter": node.filter_name,
+                          "params": params,
+                          "x": 60 + 220 * d, "y": 40 + 110 * lane[d]})
+        return {"nodes": nodes, "output": graph.output}
 
     def palette(self):
         meta = {}
@@ -773,6 +835,8 @@ def _make_handler(state: PreviewState):
                     graph = state.build_graph(req)
                     graph._topo()  # validate (cycles, unknown refs)
                     self._send(200, json.dumps({"mmc": graph.to_mmc()}))
+                elif self.path == "/parse_mmc":
+                    self._send(200, json.dumps(state.parse_mmc(req["mmc"])))
                 elif self.path == "/animate":
                     n = max(2, min(120, int(req.get("frames", 24))))
                     frames = state.animate(

@@ -61,6 +61,13 @@ class RenderOptions:
     pallas_window_rot: tuple = (128, 256)
     #: xrot: extreme warps (source slope up to ~2.4), 8x128 tiles.
     pallas_window_xrot: tuple = (320, 384)
+    #: per-tile tier selection in the Pallas sampler: on mixed-warp frames
+    #: (twirl/fisheye class) each tile runs the cheapest tier whose window
+    #: fits ITS source bbox — fast tiles masked in place, mid/rot/xrot tiles
+    #: compacted to static-capacity grids — instead of the whole frame
+    #: paying for the worst tile. 'auto': on for >=1 Mpix frames; 'on':
+    #: whenever the tier chain exists (tests); 'off': whole-frame chain.
+    pallas_per_tile: str = "auto"
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3
     #: max) — matching the reference's uint8 output packing; 'f32' uses
@@ -88,5 +95,7 @@ class RenderOptions:
                     "pallas windows must be (mult of 32, mult of 16)")
         if self.pallas_while not in ("auto", "on", "off"):
             raise ValueError("pallas_while must be 'auto', 'on' or 'off'")
+        if self.pallas_per_tile not in ("auto", "on", "off"):
+            raise ValueError("pallas_per_tile must be 'auto', 'on' or 'off'")
         if self.pallas_precision not in ("bf16", "f32"):
             raise ValueError("pallas_precision must be 'bf16' or 'f32'")

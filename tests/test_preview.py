@@ -136,3 +136,30 @@ def test_compose_cycle_error(server):
     }
     out = _post(server + "/compose", req)
     assert "cycle" in out.get("error", "")
+
+
+def test_parse_mmc_roundtrip(server):
+    """.mmc -> node-editor JSON (composer Load button): the graph saved by
+    /compose_mmc must load back with identical structure."""
+    req = {
+        "nodes": [
+            {"id": "a", "filter": "grayscale", "params": {"in": {"input": 0}}},
+            {"id": "b", "filter": "twirl",
+             "params": {"in": {"ref": "a"}, "angle": 5.0}},
+        ],
+        "output": "b",
+    }
+    mmc = _post(server + "/compose_mmc", req)["mmc"]
+    g = _post(server + "/parse_mmc", {"mmc": mmc})
+    assert not g.get("error"), g.get("error")
+    assert g["output"] == "b"
+    by_id = {n["id"]: n for n in g["nodes"]}
+    assert by_id["b"]["filter"] == "twirl"
+    assert by_id["b"]["params"]["in"] == {"ref": "a"}
+    assert by_id["b"]["params"]["angle"] == 5.0
+    assert by_id["a"]["params"]["in"] == {"input": 0}
+    # layout: downstream node sits to the right of its dependency
+    assert by_id["b"]["x"] > by_id["a"]["x"]
+    # bad input surfaces an error, not a 500
+    bad = _post(server + "/parse_mmc", {"mmc": "(not-composer)"})
+    assert "composer" in bad.get("error", "")

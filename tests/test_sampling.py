@@ -207,3 +207,64 @@ def test_prepad_cache_only_for_device_inputs():
     # device-path output matches the host path
     c = r([img], {}, t=0.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+# ---- per-tile tier selection (pallas_per_tile) ----------------------------
+
+_PT_WINDOWS = dict(pallas_window_fast=(32, 96), pallas_window=(32, 112),
+                   pallas_window_rot=(64, 128), pallas_window_xrot=(96, 160))
+
+
+@pytest.mark.parametrize("path", ["filters/Distorts/twirl.mm",
+                                  "filters/Distorts/fisheye.mm"])
+def test_per_tile_selection_matches_gather(path):
+    """Mixed-warp frames: tiny tier windows force mixed per-tile claims
+    (masked fast pass + compacted repair passes); output must match the
+    exact gather path at the f32-mode tolerance."""
+    img = np.random.RandomState(7).rand(96, 160, 4).astype(np.float32)
+    f = mm.compile_file(path)
+    a = f.render(img, width=160, height=96, t=0.3,
+                 options=mm.RenderOptions(sampler="pallas", pallas_per_tile="on",
+                                          pallas_precision="f32", **_PT_WINDOWS))
+    b = f.render(img, width=160, height=96, t=0.3,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_per_tile_interpolations_match_gather():
+    img = np.random.RandomState(11).rand(96, 160, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    for interp in ("nearest", "bilinear", "bicubic"):
+        a = f.render(img, width=160, height=96, t=0.3,
+                     options=mm.RenderOptions(interpolation=interp,
+                                              sampler="pallas",
+                                              pallas_per_tile="on",
+                                              pallas_precision="f32",
+                                              **_PT_WINDOWS))
+        b = f.render(img, width=160, height=96, t=0.3,
+                     options=mm.RenderOptions(interpolation=interp,
+                                              sampler="gather"))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=interp)
+
+
+def test_per_tile_escalates_to_whole_frame_chain(monkeypatch):
+    """When a repair tier's claim count exceeds its static capacity the
+    dispatch must escalate to the whole-frame chain, not truncate tiles.
+    Shrinking CAP_FLOOR makes the capacities tiny; a missing/buggy
+    escalation would drop claimed tiles (garbage output) and fail parity."""
+    import mathmap_tpu.pallas_kernels.sample_kernel as sk
+
+    monkeypatch.setattr(sk, "CAP_FLOOR", 8)
+    img = np.random.RandomState(5).rand(96, 160, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    a = f.render(img, width=160, height=96, t=0.9,
+                 options=mm.RenderOptions(sampler="pallas", pallas_per_tile="on",
+                                          pallas_precision="f32",
+                                          pallas_window_fast=(32, 32),
+                                          pallas_window=(32, 48),
+                                          pallas_window_rot=(32, 64),
+                                          pallas_window_xrot=(96, 160)))
+    b = f.render(img, width=160, height=96, t=0.9,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
