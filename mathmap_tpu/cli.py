@@ -60,6 +60,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", choices=("bf16", "f32"), default="bf16",
                    help="Pallas sampler precision: bf16 (MXU-native, ~1 LSB of "
                         "uint8) or f32 (split-float bf16x3, <=7e-5 on TPU, ~3x cost)")
+    p.add_argument("--pallas-per-tile", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="per-tile sampler tier selection on mixed-warp "
+                        "frames (auto: >=1 Mpix frames)")
     p.add_argument("--pallas-while", choices=("auto", "on", "off"), default="auto",
                    help="in-VMEM while-loop engine (fractals)")
     p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")
@@ -177,6 +181,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         sampler=args.sampler,
         pallas_precision=args.precision,
+        pallas_per_tile=args.pallas_per_tile,
         pallas_while=args.pallas_while,
     )
     params = _parse_params(args.param)

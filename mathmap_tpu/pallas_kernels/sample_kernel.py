@@ -52,11 +52,11 @@ DEFAULT_WIN_FAST = (32, 512)
 DEFAULT_WIN = (64, 256)
 TILE_H = 8
 TILE_W = 256
+BW = 64  # base-block width: every tier's tile is gw consecutive (8, 64)
+#        # base blocks, so all tiers share ONE flattened coord layout
+BASE_PIX = TILE_H * BW  # pixels per base block (the kernel's chunk size)
 PAD_L = 8  # left/top apron
 N_COPIES = 4  # row-shifted image copies (8-row origin granularity)
-#: minimum compacted-repair-pass capacity (tiles); below this the pass just
-#: hosts every tile, so capacity escalation can't trigger (tests shrink it)
-CAP_FLOOR = 256
 
 
 def _round_up(v: int, m: int) -> int:
@@ -66,8 +66,8 @@ def _round_up(v: int, m: int) -> int:
 class _Plan:
     """Per-tier planning result (window origins, per-tile fit, launchers)."""
 
-    __slots__ = ("tile_w", "win_h", "win_w", "chunk", "gw", "ntx", "wt",
-                 "overflow", "fit", "run", "run_compact")
+    __slots__ = ("tile_w", "win_h", "win_w", "gw", "ntx",
+                 "overflow", "fit", "run", "run_tiles")
 
 
 # ---------------------------------------------------------------------------
@@ -161,9 +161,9 @@ def _weights(jnp, frac, interpolation: str):
     ]
 
 
-def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
-                 hp: int, precision: str = "bf16", chunk: int | None = None,
-                 masked: bool = False):
+def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
+                 hp: int, precision: str = "bf16",
+                 masked: bool = False, indirect: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -178,8 +178,10 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
     # <=7e-5 vs the exact gather path on the TPU, <=2e-5 in interpret
     # mode; <=1e-4 target) at 3x the bf16 cost instead of the
     # 17x of MXU-emulated f32 (VERDICT r1 item 5).
-    chunk = chunk or n_pix
-    n_chunks = n_pix // chunk
+    # A tile = `gw` base (8, 64) blocks; the weight build + contraction run
+    # once per 512-pixel base chunk against the tile's shared window.
+    chunk = BASE_PIX
+    n_chunks = gw
     mm_dtype = jnp.bfloat16
 
     def _dot(dnum, a, b):
@@ -204,7 +206,10 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
         return out
 
     def kernel(*refs):
-        if masked:
+        if indirect:
+            idx_ref, oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
+            act_ref = None
+        elif masked:
             oy_ref, ox_ref, act_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
         else:
             oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
@@ -216,6 +221,15 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
         k = i * nj + j
         slot = k % 2
 
+        def scalars_at(ti, tj):
+            """Window origin of grid step (ti, tj). Indirect (compacted)
+            launches dereference the scalar-prefetched tile index so step j
+            reads logical tile idx[j]'s origins."""
+            if indirect:
+                lt = idx_ref[tj]
+                return oy_ref[0, lt], ox_ref[0, lt]
+            return oy_ref[ti, tj], ox_ref[ti, tj]
+
         def active(ti, tj):
             return True if act_ref is None else act_ref[ti, tj] > 0
 
@@ -224,8 +238,9 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
             into slot s. Mosaic must PROVE lane-start divisibility by 128:
             copy c = (oy/8) % 4 starts at lane c*hp*4 (hp mult of 32) and
             the in-copy offset (oy - 8c)*4 is 128*floor(oy/32)."""
-            oyv = pl.multiple_of(oy_ref[ti, tj], 8)
-            oxv = pl.multiple_of(ox_ref[ti, tj], 16)
+            oyr, oxr = scalars_at(ti, tj)
+            oyv = pl.multiple_of(oyr, 8)
+            oxv = pl.multiple_of(oxr, 16)
             m = oyv // 8
             cc = m % N_COPIES
             lane = pl.multiple_of(cc * (hp * 4) + (m // N_COPIES) * 128, 128)
@@ -251,8 +266,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
             window_dma(nk // nj, nk - (nk // nj) * nj, (k + 1) % 2).start()
 
         def compute():
-            oy = oy_ref[i, j]
-            ox = ox_ref[i, j]
+            oy, ox = scalars_at(i, j)
 
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, chunk), 0)
             # interleaved-row index helper for the (win_h*4, chunk) y
@@ -271,9 +285,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
 
         def body(oy, ox, iota_w, r_of_row, sel, dn_sel, win):
             for cn in range(n_chunks):
-                sl = slice(cn * chunk, (cn + 1) * chunk)
-                px = px_ref[0, 0:1, sl]  # (1, chunk)
-                py = py_ref[0, 0:1, sl]
+                px = px_ref[cn, 0:1, :]  # (1, chunk) base block cn
+                py = py_ref[cn, 0:1, :]
                 if interpolation == "nearest":
                     x0 = jnp.floor(px + 0.5)
                     y0 = jnp.floor(py + 0.5)
@@ -319,7 +332,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
                 # stage B: (4, win_h*4) @ (win_h*4, chunk) channel-select-reduce
                 # (sel is 0/1 — exact in bf16, no split needed)
                 out4 = mm(dn_sel, sel, prod, split_a=False)
-                o_ref[0, :, sl] = out4
+                o_ref[cn, :, :] = out4
 
         if masked:
             @pl.when(act_ref[i, j] > 0)
@@ -331,84 +344,90 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, n_pix: int,
     return kernel
 
 
-def _call_kernel_tiles(img_xm, px_t, py_t, oy, ox, active, *, interpolation,
-                       win_h, win_w, n_pix, hp, precision, interpret,
-                       chunk, grid):
-    """Low-level launch over pre-flattened (n_tiles, 1, n_pix) coordinate
-    tiles. oy/ox/active are (grid[0], grid[1]) per-tile scalars; active=None
-    runs every tile, else tiles with active==0 are skipped (their output
-    block is garbage — callers mask it out). Returns (n_tiles, 4, n_pix)."""
+def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
+                       win_h, win_w, gw, hp, precision, interpret,
+                       grid, grid_bound=None, tile_idx=None):
+    """Low-level launch over base-layout coordinates px_b/py_b
+    (n_base, 1, BASE_PIX): every tier's tile is `gw` CONSECUTIVE base
+    blocks, so one shared flatten serves all tiers and a tile's block is
+    (gw, 1, BASE_PIX) at block index = tile index. oy/ox/active are
+    (grid[0], grid[1]) per-tile scalars; active=None runs every tile, else
+    tiles with active==0 are skipped (their output block is garbage —
+    callers mask it out).
+
+    Compacted launches pass BOTH grid_bound and tile_idx (require
+    grid[0]==1): the second grid dim becomes DYNAMIC (only `grid_bound`
+    steps execute — no skipped-step tax) and step j operates on logical
+    tile tile_idx[j] via scalar-prefetched index maps, so the px/py blocks
+    are block-DMA'd directly from their home positions and outputs land in
+    place — no XLA gather/scatter of pixel data (which would run at the
+    ~6ns/element scalar-gather rate this kernel exists to avoid).
+    Returns (n_base, 4, BASE_PIX) in base layout; unvisited/skipped blocks
+    are garbage."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nty, ntx = grid
+    n_base = px_b.shape[0]
+    indirect = tile_idx is not None
+    assert grid_bound is None or nty == 1  # index maps below ignore ntx then
+    assert not (indirect and active is not None)
     masked = active is not None
-    kernel = _make_kernel(interpolation, win_h, win_w, n_pix, hp, precision,
-                          chunk, masked=masked)
-    scalars = (oy, ox) + ((active,) if masked else ())
+    kernel = _make_kernel(interpolation, win_h, win_w, gw, hp, precision,
+                          masked=masked, indirect=indirect)
+    if indirect:
+        scalars = (tile_idx, oy, ox)
+
+        def blk(i, j, idx_ref, *_):
+            return (idx_ref[j], 0, 0)
+    else:
+        scalars = (oy, ox) + ((active,) if masked else ())
+
+        def blk(i, j, *_):
+            return (i * ntx + j, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
-        grid=(nty, ntx),
+        grid=(nty, ntx if grid_bound is None else grid_bound),
         in_specs=[
-            pl.BlockSpec((1, 1, n_pix), lambda i, j, *_: (i * ntx + j, 0, 0)),
-            pl.BlockSpec((1, 1, n_pix), lambda i, j, *_: (i * ntx + j, 0, 0)),
+            pl.BlockSpec((gw, 1, BASE_PIX), blk),
+            pl.BlockSpec((gw, 1, BASE_PIX), blk),
             pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
         ],
-        out_specs=pl.BlockSpec((1, 4, n_pix), lambda i, j, *_: (i * ntx + j, 0, 0)),
+        out_specs=pl.BlockSpec((gw, 4, BASE_PIX), blk),
         scratch_shapes=[
             pltpu.VMEM((2, win_w, win_h * 4), img_xm.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    flops_tile = 2 * win_w * (win_h * 4) * n_pix
+    flops_tile = 2 * win_w * (win_h * 4) * gw * BASE_PIX
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nty * ntx, 4, n_pix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_base, 4, BASE_PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * nty * ntx,
             bytes_accessed=(win_w * win_h * 4 * img_xm.dtype.itemsize) * nty * ntx
-            + 16 * nty * ntx * n_pix,
+            + 16 * n_base * BASE_PIX,
             transcendentals=0,
         ),
-    )(*scalars, px_t, py_t, img_xm)
+    )(*scalars, px_b, py_b, img_xm)
 
 
-def _flatten_tiles(a, nty, tile_h, ntx, tile_w):
-    # (ht, wt) -> (nty*ntx, 1, tile_h*tile_w): whole tile in the lane dim
-    return (a.reshape(nty, tile_h, ntx, tile_w)
+def _flatten_base(a, nby, nbx):
+    # (ht0, wt0) -> (nby*nbx, 1, BASE_PIX): one base (8, 64) block per row
+    return (a.reshape(nby, TILE_H, nbx, BW)
              .transpose(0, 2, 1, 3)
-             .reshape(nty * ntx, 1, tile_h * tile_w))
+             .reshape(nby * nbx, 1, BASE_PIX))
 
 
-def warp_sample_pallas(img_xm, pxp, pyp, oy, ox, *, interpolation: str,
-                       win_h: int, win_w: int, tile_w: int, hp: int,
-                       precision: str = "bf16", interpret: bool = False,
-                       tile_h: int = TILE_H, chunk: int | None = None,
-                       active=None):
-    """img_xm (Wp, N_COPIES*Hp*4) padded multi-copy x-major; pxp/pyp (Ht, Wt)
-    padded-space coords (Ht mult of tile_h, Wt mult of tile_w); oy/ox
-    (Ht//tile_h, Wt//tile_w) aligned window origins (oy mult 8, ox mult 16);
-    active optional per-tile skip flags (same shape, int32).
-    Returns (4, Ht, Wt) planar samples (garbage in skipped tiles)."""
-    ht, wt = pxp.shape
-    nty, ntx = ht // tile_h, wt // tile_w
-    n_pix = tile_h * tile_w
-    out = _call_kernel_tiles(
-        img_xm,
-        _flatten_tiles(pxp, nty, tile_h, ntx, tile_w),
-        _flatten_tiles(pyp, nty, tile_h, ntx, tile_w),
-        oy, ox, active,
-        interpolation=interpolation, win_h=win_h, win_w=win_w, n_pix=n_pix,
-        hp=hp, precision=precision, interpret=interpret, chunk=chunk,
-        grid=(nty, ntx),
-    )
-    return (out.reshape(nty, ntx, 4, tile_h, tile_w)
+def _unflatten_base(out, nby, nbx):
+    # (nby*nbx, 4, BASE_PIX) -> (4, ht0, wt0)
+    return (out.reshape(nby, nbx, 4, TILE_H, BW)
                .transpose(2, 0, 3, 1, 4)
-               .reshape(4, ht, wt))
+               .reshape(4, nby * TILE_H, nbx * BW))
 
 
 # ---------------------------------------------------------------------------
@@ -486,10 +505,9 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     tap_lo, n_taps = _tap_range(interpolation)
 
-    # ---- shared per-block source-bbox stats: ONE full-grid pass serves
-    # every tier (tiles are all 8 rows tall and 64|128|256 wide, so stats on
-    # an (8, 64) base grid reduce to any tier's tiling with tiny reductions)
-    BW = 64
+    # ---- shared per-block source-bbox stats AND shared base-layout coords:
+    # every tier's tile is gw consecutive (8, 64) base blocks, so ONE
+    # full-grid stats pass + ONE coordinate flatten serve every tier.
     LCM_W = 256
     ht0 = _round_up(h_out, TILE_H)
     wt0 = _round_up(w_out, LCM_W)
@@ -506,23 +524,21 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     by = y0g.reshape(nby, TILE_H, nbx, BW)
     base = (bx.min(axis=(1, 3)), bx.max(axis=(1, 3)),
             by.min(axis=(1, 3)), by.max(axis=(1, 3)))
+    px_b = _flatten_base(pxp0, nby, nbx)
+    py_b = _flatten_base(pyp0, nby, nbx)
 
-    def plan(tile_h, tile_w_c, win_h_c, win_w_c, chunk=None):
-        """Tile-pad the coord grids and compute aligned window origins plus
-        per-tile fit flags for one (tile, window) configuration."""
+    def crop(planar):
+        return tuple(planar[c, :h_out, :w_out] for c in range(4))
+
+    def plan(tile_h, tile_w_c, win_h_c, win_w_c):
+        """Group the base stats into this tier's tiling and compute aligned
+        window origins plus per-tile fit flags."""
         assert tile_h == TILE_H and tile_w_c % BW == 0 and LCM_W % tile_w_c == 0
         win_h_c = min(win_h_c, hp)
         win_w_c = min(win_w_c, wp)
-        ht = ht0
-        wt = _round_up(w_out, tile_w_c)
-        if (ht, wt) != (h_out, w_out):
-            pxp_t = jnp.pad(pxp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
-            pyp_t = jnp.pad(pyp, ((0, ht - h_out), (0, wt - w_out)), mode="edge")
-        else:
-            pxp_t, pyp_t = pxp, pyp
         gw = tile_w_c // BW
-        ntx = wt // tile_w_c
-        group = [b[:, : ntx * gw].reshape(nby, ntx, gw) for b in base]
+        ntx = nbx // gw
+        group = [b.reshape(nby, ntx, gw) for b in base]
         min_x = group[0].min(axis=-1) + tap_lo
         max_x = group[1].max(axis=-1) + tap_lo + n_taps - 1
         min_y = group[2].min(axis=-1) + tap_lo
@@ -530,8 +546,8 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         ox = jnp.clip((min_x // 16) * 16, 0, wp - win_w_c)
         oy = jnp.clip((min_y // 8) * 8, 0, hp - win_h_c)
         p = _Plan()
-        p.tile_w, p.win_h, p.win_w, p.chunk = tile_w_c, win_h_c, win_w_c, chunk
-        p.gw, p.ntx, p.wt = gw, ntx, wt
+        p.tile_w, p.win_h, p.win_w = tile_w_c, win_h_c, win_w_c
+        p.gw, p.ntx = gw, ntx
         if win_h_c >= hp and win_w_c >= wp:
             # window covers the entire padded image (small inputs, LUTs):
             # overflow is impossible — signal an unconditional tier
@@ -542,48 +558,37 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                      & (max_y - oy <= win_h_c - 1))  # (nby, ntx)
             p.overflow = ~jnp.all(p.fit)
 
-        def crop(planar):
-            return tuple(planar[c, :h_out, :w_out] for c in range(4))
-
-        def run(_=None, active=None):
-            return crop(warp_sample_pallas(
-                img_xm, pxp_t, pyp_t, oy, ox,
+        def run(_=None):
+            out = _call_kernel_tiles(
+                img_xm, px_b, py_b, oy, ox, None,
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
-                tile_w=tile_w_c, tile_h=tile_h, hp=hp, precision=precision,
-                interpret=interpret, chunk=chunk, active=active,
-            ))
-
-        def run_compact(claim, cap: int):
-            """Run only the `claim`ed tiles, compacted to the front of a
-            static-capacity grid (a skipped grid step still costs ~430ns on
-            this TPU — mostly its block DMAs — so sparse repair passes must
-            not iterate the full tiling)."""
-            n_tiles = nby * ntx
-            n_pix = tile_h * tile_w_c
-            flat = claim.reshape(-1)
-            idx = jnp.nonzero(flat, size=cap, fill_value=n_tiles)[0]
-            count = jnp.sum(flat.astype(jnp.int32))
-            px_t = _flatten_tiles(pxp_t, nby, tile_h, ntx, tile_w_c)
-            py_t = _flatten_tiles(pyp_t, nby, tile_h, ntx, tile_w_c)
-            out_c = _call_kernel_tiles(
-                img_xm,
-                jnp.take(px_t, idx, axis=0),
-                jnp.take(py_t, idx, axis=0),
-                jnp.take(oy.reshape(-1), idx).reshape(1, cap),
-                jnp.take(ox.reshape(-1), idx).reshape(1, cap),
-                (jnp.arange(cap, dtype=jnp.int32) < count)
-                .astype(jnp.int32).reshape(1, cap),
-                interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
-                n_pix=n_pix, hp=hp, precision=precision, interpret=interpret,
-                chunk=chunk, grid=(1, cap),
+                gw=gw, hp=hp, precision=precision, interpret=interpret,
+                grid=(nby, ntx),
             )
-            full = (jnp.zeros((n_tiles, 4, n_pix), jnp.float32)
-                    .at[idx].set(out_c, mode="drop"))
-            planar = (full.reshape(nby, ntx, 4, tile_h, tile_w_c)
-                          .transpose(2, 0, 3, 1, 4).reshape(4, ht, wt))
-            return crop(planar)
+            return crop(_unflatten_base(out, nby, nbx))
 
-        p.run, p.run_compact = run, run_compact
+        def run_tiles(claim):
+            """Run only the `claim`ed tiles: their indices are compacted to
+            the front of a DYNAMIC grid of exactly `count` steps (a skipped
+            grid step still costs ~430ns on this TPU, so sparse passes must
+            not iterate the full tiling) and dereferenced through indirect
+            index maps (no XLA gather/scatter of pixel data). Returns
+            base-layout (n_base, 4, BASE_PIX); unclaimed blocks are garbage
+            — the caller's claim masks hide them."""
+            n_tiles = nby * ntx
+            flat = claim.reshape(-1)
+            idx = jnp.nonzero(flat, size=n_tiles, fill_value=0)[0]
+            count = jnp.sum(flat.astype(jnp.int32))
+            return _call_kernel_tiles(
+                img_xm, px_b, py_b,
+                oy.reshape(1, n_tiles), ox.reshape(1, n_tiles), None,
+                interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
+                gw=gw, hp=hp, precision=precision, interpret=interpret,
+                grid=(1, n_tiles), grid_bound=count,
+                tile_idx=idx.astype(jnp.int32),
+            )
+
+        p.run, p.run_tiles = run, run_tiles
         return p
 
     # Config chain, cheapest first — FLOPs/pixel scale with window area and
@@ -591,13 +596,17 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # bilinear: fast 587, mid 417, rot 320, xrot 150 Mpix/s; gather ~20).
     # A tier whose window covers the whole padded image truncates the chain
     # (single unconditional pallas program — the LUT/small-image case).
+    ultra = getattr(opts, "pallas_window_ultra", (32, 256))
+    uwarp = getattr(opts, "pallas_window_uwarp", (32, 256))
     rot_h, rot_w = getattr(opts, "pallas_window_rot", (128, 256))
     xrot = getattr(opts, "pallas_window_xrot", (320, 384))
     tier_cfgs = [
-        (TILE_H, tile_w, win_fast[0], win_fast[1], None),  # near-identity
-        (8, 64, win_h, win_w, None),        # moderate warp/magnification
-        (8, 64, rot_h, rot_w, None),        # rotational (twirl-class)
-        (8, 128, xrot[0], xrot[1], 512),    # extreme warps (chunked VMEM)
+        (8, 128, ultra[0], ultra[1]),  # near-identity, cheapest
+        (TILE_H, tile_w, win_fast[0], win_fast[1]),  # wider shifts
+        (8, 64, uwarp[0], uwarp[1]),  # magnification/mild rotation
+        (8, 64, win_h, win_w),        # moderate warp/magnification
+        (8, 64, rot_h, rot_w),        # rotational (twirl-class)
+        (8, 128, xrot[0], xrot[1]),   # extreme warps
     ]
 
     def slow_path(_=None):
@@ -606,8 +615,8 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     plans = []
     terminal = slow_path
     truncated = False
-    for th, tw, wh, ww, ck in tier_cfgs:
-        p = plan(th, tw, wh, ww, chunk=ck)
+    for th, tw, wh, ww in tier_cfgs:
+        p = plan(th, tw, wh, ww)
         if p.overflow is None:
             terminal = p.run
             truncated = True
@@ -631,64 +640,45 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         return list(chain_from(0)())
 
     # ---- per-tile tier selection (mixed-warp frames: twirl/fisheye class).
-    # Claims at base (8,64) granularity, cheapest tier first; each tier runs
-    # only its claimed tiles (fast: masked in place — its tiling is coarse;
-    # mid/rot/xrot: compacted to a static-capacity grid). Escalation to the
-    # whole-frame chain when a capacity would overflow; whole-frame gather
-    # when some tile fits no tier at all.
+    # Claims at base (8,64) granularity, cheapest tier first; every tier
+    # runs ONLY its claimed tiles, compacted to a dynamic-size grid (exact
+    # step count — no skipped-step tax, no capacity limits). Whole-frame
+    # gather only when some tile fits no tier at all.
     nbx_real = -(-w_out // BW)
     cheaper = jnp.zeros((nby, nbx), bool)
     claims_base = []
+    actives = []
     for p in plans:
         fit_b = jnp.zeros((nby, nbx), bool)
         fit_rep = jnp.repeat(p.fit, p.gw, axis=1)[:, :nbx]
         fit_b = fit_b.at[:, : fit_rep.shape[1]].set(fit_rep)
-        claims_base.append(fit_b & ~cheaper)
+        cb = fit_b & ~cheaper
+        claims_base.append(cb)
         cheaper = cheaper | fit_b
+        actives.append(cb[:, : p.ntx * p.gw].reshape(nby, p.ntx, p.gw)
+                       .any(axis=-1))
     unclaimed_any = jnp.any(~cheaper[:, :nbx_real])
 
-    actives = []
-    caps = []
-    esc = None
-    cap_div = (1, 2, 4, 4)  # fast runs masked in place; repair capacities
-    for t, p in enumerate(plans):
-        cb = claims_base[t][:, : p.ntx * p.gw]
-        act = cb.reshape(nby, p.ntx, p.gw).any(axis=-1)
-        actives.append(act)
-        n_tiles = nby * p.ntx
-        cap = n_tiles if t == 0 else min(n_tiles, max(
-            CAP_FLOOR, _round_up(n_tiles // cap_div[t], 8)))
-        caps.append(cap)
-        if t > 0 and cap < n_tiles:
-            over = jnp.sum(act.astype(jnp.int32)) > cap
-            esc = over if esc is None else (esc | over)
-
-    def zeros4():
-        z = jnp.zeros((h_out, w_out), jnp.float32)
-        return (z, z, z, z)
+    def zeros_tiles():
+        return jnp.zeros((nby * nbx, 4, BASE_PIX), jnp.float32)
 
     def multipass(_=None):
         outs = []
         for t, p in enumerate(plans):
             act = actives[t]
-            if t == 0:
-                run_t = (lambda p=p, act=act:
-                         p.run(active=act.astype(jnp.int32)))
-            else:
-                run_t = (lambda p=p, act=act, cap=caps[t]:
-                         p.run_compact(act, cap))
-            outs.append(jax.lax.cond(jnp.any(act), run_t, zeros4))
+            run_t = (lambda p=p, act=act: p.run_tiles(act))
+            outs.append(jax.lax.cond(jnp.any(act), run_t, zeros_tiles))
+        # priority select in base layout (per-block masks broadcast over
+        # the block's 4x512 values — no full-frame mask materialization),
+        # then ONE unflatten for the combined frame
         res = outs[-1]
         for t in reversed(range(len(plans) - 1)):
-            m = jnp.repeat(jnp.repeat(claims_base[t], TILE_H, axis=0),
-                           BW, axis=1)[:h_out, :w_out]
-            res = tuple(jnp.where(m, outs[t][c], res[c]) for c in range(4))
-        return res
+            m = claims_base[t].reshape(nby * nbx, 1, 1)
+            res = jnp.where(m, outs[t], res)
+        return crop(_unflatten_base(res, nby, nbx))
 
-    fallback = chain_from(1)
-    esc_or_unclaimed = unclaimed_any if esc is None else (esc | unclaimed_any)
     mixed = (lambda _=None: jax.lax.cond(
-        esc_or_unclaimed, fallback, multipass, operand=None))
+        unclaimed_any, slow_path, multipass, operand=None))
     top = jax.lax.cond(plans[0].overflow, mixed, plans[0].run, operand=None)
     return list(top)
 

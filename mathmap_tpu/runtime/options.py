@@ -49,12 +49,18 @@ class RenderOptions:
     #: forces the kernel (interpret-mode off-TPU — slow, for tests);
     #: 'gather' forces the XLA path.
     sampler: str = "auto"
-    #: Pallas sampler tier windows (rows mult-of-8, cols mult-of-16); a
+    #: Pallas sampler tier windows (rows mult-of-32, cols mult-of-16); a
     #: lax.cond chain tries them cheapest-first per frame, falling back to
-    #: the XLA gather path. FLOPs/pixel scale with window area. Measured 4K
-    #: bilinear Mpix/s per tier: 587 / 417 / 320 / 150 (gather ~20).
-    #: fast: near-identity warps (pond, ripple), 8x256 output tiles.
+    #: the XLA gather path. FLOPs/pixel = 8*win_h*win_w/tile_w, so narrow
+    #: tiles with small windows are the cheap tiers; wider windows catch
+    #: stronger warps. Per-tier 4K bilinear Mpix/s in docs/PERFORMANCE.md.
+    #: ultra: near-identity warps (pond, ripple), 8x128 output tiles —
+    #: half the FLOPs/pixel of 'fast'.
+    pallas_window_ultra: tuple = (32, 256)
+    #: fast: translations up to ~115 px on 8x256 output tiles.
     pallas_window_fast: tuple = (32, 512)
+    #: uwarp: magnification to ~2.7x / mild rotation on narrow 8x64 tiles.
+    pallas_window_uwarp: tuple = (32, 256)
     #: mid: moderate warps / magnification up to ~3.5x, 8x64 tiles.
     pallas_window: tuple = (64, 256)
     #: rot: rotational warps (twirl/fisheye class), 8x64 tiles.
@@ -84,7 +90,8 @@ class RenderOptions:
             raise ValueError("supersample must be >= 1")
         if self.sampler not in ("auto", "pallas", "gather"):
             raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
-        for win in (self.pallas_window_fast, self.pallas_window,
+        for win in (self.pallas_window_ultra, self.pallas_window_fast,
+                    self.pallas_window_uwarp, self.pallas_window,
                     self.pallas_window_rot, self.pallas_window_xrot):
             wh, ww = win
             if wh % 32 or ww % 16:

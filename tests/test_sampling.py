@@ -248,23 +248,20 @@ def test_per_tile_interpolations_match_gather():
                                    err_msg=interp)
 
 
-def test_per_tile_escalates_to_whole_frame_chain(monkeypatch):
-    """When a repair tier's claim count exceeds its static capacity the
-    dispatch must escalate to the whole-frame chain, not truncate tiles.
-    Shrinking CAP_FLOOR makes the capacities tiny; a missing/buggy
-    escalation would drop claimed tiles (garbage output) and fail parity."""
-    import mathmap_tpu.pallas_kernels.sample_kernel as sk
-
-    monkeypatch.setattr(sk, "CAP_FLOOR", 8)
+def test_per_tile_unclaimed_falls_back_to_gather():
+    """Tiles fitting NO tier window (strong warp, tiny windows everywhere)
+    must push the whole frame to the exact gather path, not truncate."""
     img = np.random.RandomState(5).rand(96, 160, 4).astype(np.float32)
     f = mm.compile_file("filters/Distorts/twirl.mm")
     a = f.render(img, width=160, height=96, t=0.9,
                  options=mm.RenderOptions(sampler="pallas", pallas_per_tile="on",
                                           pallas_precision="f32",
+                                          pallas_window_ultra=(32, 32),
                                           pallas_window_fast=(32, 32),
+                                          pallas_window_uwarp=(32, 32),
                                           pallas_window=(32, 48),
                                           pallas_window_rot=(32, 64),
-                                          pallas_window_xrot=(96, 160)))
+                                          pallas_window_xrot=(32, 64)))
     b = f.render(img, width=160, height=96, t=0.9,
                  options=mm.RenderOptions(sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
