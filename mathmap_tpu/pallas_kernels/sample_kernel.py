@@ -163,7 +163,8 @@ def _weights(jnp, frac, interpolation: str):
 
 def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                  hp: int, precision: str = "bf16",
-                 masked: bool = False, indirect: bool = False):
+                 masked: bool = False, indirect: bool = False,
+                 subw: int | None = None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -180,8 +181,15 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
     # 17x of MXU-emulated f32 (VERDICT r1 item 5).
     # A tile = `gw` base (8, 64) blocks; the weight build + contraction run
     # once per 512-pixel base chunk against the tile's shared window.
+    # With `subw`, each chunk contracts only a (subw, win_h*4) sublane slice
+    # of the window at a per-chunk 8-aligned offset (scalar-prefetched):
+    # FLOPs and weight-build ops scale with subw instead of win_w, so wide
+    # multi-chunk tiles (fast tier: win_w=512) pay only for the ~chunk-wide
+    # span they actually touch. Mosaic supports the dynamic sublane slice
+    # (probed: rel err 4e-3 bf16).
     chunk = BASE_PIX
     n_chunks = gw
+    kw = subw or win_w  # contraction width per chunk
     mm_dtype = jnp.bfloat16
 
     def _dot(dnum, a, b):
@@ -206,14 +214,13 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
         return out
 
     def kernel(*refs):
-        if indirect:
-            idx_ref, oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
-            act_ref = None
-        elif masked:
-            oy_ref, ox_ref, act_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
-        else:
-            oy_ref, ox_ref, px_ref, py_ref, img_ref, o_ref, win2, sems = refs
-            act_ref = None
+        rest = list(refs)
+        idx_ref = rest.pop(0) if indirect else None
+        oy_ref = rest.pop(0)
+        ox_ref = rest.pop(0)
+        coff_ref = rest.pop(0) if subw else None
+        act_ref = rest.pop(0) if masked else None
+        px_ref, py_ref, img_ref, o_ref, win2, sems = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -268,7 +275,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
         def compute():
             oy, ox = scalars_at(i, j)
 
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (win_w, chunk), 0)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (kw, chunk), 0)
             # interleaved-row index helper for the (win_h*4, chunk) y
             # weights: row (r*4 + c) holds window row r, channel c
             iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, chunk), 0)
@@ -280,11 +287,24 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
             sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
             dn_sel = (((1,), (0,)), ((), ()))
             window_dma(i, j, slot).wait()
-            win = win2[slot]
+            win = None if subw else win2[slot]
             body(oy, ox, iota_w, r_of_row, sel, dn_sel, win)
 
         def body(oy, ox, iota_w, r_of_row, sel, dn_sel, win):
             for cn in range(n_chunks):
+                if subw:
+                    # per-chunk 8-aligned x-sub-window: contract only the
+                    # (subw, win_h*4) sublane slice this chunk touches.
+                    # coff is (gw, n_tiles) — tiles minor — because SMEM
+                    # pads the minor dim to 128 lanes (a (n_tiles, gw)
+                    # layout would cost n_tiles*512 bytes and blow the
+                    # 1 MB SMEM budget on 4K grids).
+                    lt = idx_ref[j] if indirect else i * nj + j
+                    off = pl.multiple_of(coff_ref[cn, lt], 8)
+                    win = win2[slot, pl.ds(off, kw), :]
+                    ox_eff = ox + off
+                else:
+                    ox_eff = ox
                 px = px_ref[cn, 0:1, :]  # (1, chunk) base block cn
                 py = py_ref[cn, 0:1, :]
                 if interpolation == "nearest":
@@ -297,11 +317,11 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                     y0 = jnp.floor(py)
                     fx = px - x0
                     fy = py - y0
-                lx = x0.astype(jnp.int32) - ox
+                lx = x0.astype(jnp.int32) - ox_eff
                 ly = y0.astype(jnp.int32) - oy
                 # clamp so an overflowing tile still reads in-window memory
                 # (result discarded via the overflow fallback)
-                lx = jnp.clip(lx, -tap_lo, win_w - n_taps - tap_lo)
+                lx = jnp.clip(lx, -tap_lo, kw - n_taps - tap_lo)
                 ly = jnp.clip(ly, -tap_lo, win_h - n_taps - tap_lo)
 
                 if interpolation == "bilinear":
@@ -318,7 +338,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                 else:
                     wx = _weights(jnp, fx, interpolation)
                     wy = _weights(jnp, fy, interpolation)
-                    ox_mat = jnp.zeros((win_w, chunk), jnp.float32)
+                    ox_mat = jnp.zeros((kw, chunk), jnp.float32)
                     for tap in range(n_taps):
                         ox_mat = ox_mat + jnp.where(iota_w == lx + (tap_lo + tap), wx[tap], 0.0)
                     # y weights expanded over interleaved rows (win_h*4, chunk)
@@ -346,7 +366,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
 
 def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
                        win_h, win_w, gw, hp, precision, interpret,
-                       grid, grid_bound=None, tile_idx=None):
+                       grid, grid_bound=None, tile_idx=None,
+                       subw=None, coff=None):
     """Low-level launch over base-layout coordinates px_b/py_b
     (n_base, 1, BASE_PIX): every tier's tile is `gw` CONSECUTIVE base
     blocks, so one shared flatten serves all tiers and a tile's block is
@@ -374,16 +395,18 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
     indirect = tile_idx is not None
     assert grid_bound is None or nty == 1  # index maps below ignore ntx then
     assert not (indirect and active is not None)
+    assert (subw is None) == (coff is None)
     masked = active is not None
     kernel = _make_kernel(interpolation, win_h, win_w, gw, hp, precision,
-                          masked=masked, indirect=indirect)
+                          masked=masked, indirect=indirect, subw=subw)
+    sub = (coff,) if subw else ()
     if indirect:
-        scalars = (tile_idx, oy, ox)
+        scalars = (tile_idx, oy, ox) + sub
 
         def blk(i, j, idx_ref, *_):
             return (idx_ref[j], 0, 0)
     else:
-        scalars = (oy, ox) + ((active,) if masked else ())
+        scalars = (oy, ox) + sub + ((active,) if masked else ())
 
         def blk(i, j, *_):
             return (i * ntx + j, 0, 0)
@@ -401,7 +424,7 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    flops_tile = 2 * win_w * (win_h * 4) * gw * BASE_PIX
+    flops_tile = 2 * (subw or win_w) * (win_h * 4) * gw * BASE_PIX
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_base, 4, BASE_PIX), jnp.float32),
@@ -530,12 +553,20 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     def crop(planar):
         return tuple(planar[c, :h_out, :w_out] for c in range(4))
 
-    def plan(tile_h, tile_w_c, win_h_c, win_w_c):
+    def plan(tile_h, tile_w_c, win_h_c, win_w_c, subw=None):
         """Group the base stats into this tier's tiling and compute aligned
-        window origins plus per-tile fit flags."""
+        window origins plus per-tile fit flags. With `subw`, also derive
+        per-chunk 8-aligned x-sub-origins (`coff`) inside the tile window;
+        the tile fits only if every chunk's x-span fits its sub-window."""
         assert tile_h == TILE_H and tile_w_c % BW == 0 and LCM_W % tile_w_c == 0
         win_h_c = min(win_h_c, hp)
         win_w_c = min(win_w_c, wp)
+        if subw is not None and (win_w_c <= subw
+                                 or (win_h_c >= hp and win_w_c >= wp)):
+            # no-op at this window width — or the truncated whole-image
+            # window, whose skipped fit check must stay trivially true
+            # (a sub-window CAN overflow even when the full window can't)
+            subw = None
         gw = tile_w_c // BW
         ntx = nbx // gw
         group = [b.reshape(nby, ntx, gw) for b in base]
@@ -545,6 +576,18 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         max_y = group[3].max(axis=-1) + tap_lo + n_taps - 1
         ox = jnp.clip((min_x // 16) * 16, 0, wp - win_w_c)
         oy = jnp.clip((min_y // 8) * 8, 0, hp - win_h_c)
+        coff = None
+        if subw is not None:
+            bmin_x = group[0] + tap_lo  # (nby, ntx, gw) per-chunk bounds
+            bmax_x = group[1] + tap_lo + n_taps - 1
+            coff = jnp.clip(((bmin_x - ox[..., None]) // 8) * 8,
+                            0, win_w_c - subw)
+            fit_x = jnp.all(bmax_x - ox[..., None] - coff <= subw - 1,
+                            axis=-1)
+            # (gw, n_tiles): tiles in the SMEM minor (lane) dim — see kernel
+            coff = coff.reshape(nby * ntx, gw).T.astype(jnp.int32)
+        else:
+            fit_x = max_x - ox <= win_w_c - 1
         p = _Plan()
         p.tile_w, p.win_h, p.win_w = tile_w_c, win_h_c, win_w_c
         p.gw, p.ntx = gw, ntx
@@ -554,8 +597,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             p.overflow = None
             p.fit = None
         else:
-            p.fit = ((max_x - ox <= win_w_c - 1)
-                     & (max_y - oy <= win_h_c - 1))  # (nby, ntx)
+            p.fit = fit_x & (max_y - oy <= win_h_c - 1)  # (nby, ntx)
             p.overflow = ~jnp.all(p.fit)
 
         def run(_=None):
@@ -563,7 +605,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 img_xm, px_b, py_b, oy, ox, None,
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
-                grid=(nby, ntx),
+                grid=(nby, ntx), subw=subw, coff=coff,
             )
             return crop(_unflatten_base(out, nby, nbx))
 
@@ -585,7 +627,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
                 grid=(1, n_tiles), grid_bound=count,
-                tile_idx=idx.astype(jnp.int32),
+                tile_idx=idx.astype(jnp.int32), subw=subw, coff=coff,
             )
 
         p.run, p.run_tiles = run, run_tiles
@@ -600,13 +642,17 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     uwarp = getattr(opts, "pallas_window_uwarp", (32, 256))
     rot_h, rot_w = getattr(opts, "pallas_window_rot", (128, 256))
     xrot = getattr(opts, "pallas_window_xrot", (320, 384))
+    # per-chunk x-sub-window width for multi-chunk (gw>1) tiers: their
+    # contraction cost scales with `sw` instead of the tile-wide win_w
+    # (single-chunk tiers' windows are already per-chunk — no gain there)
+    sw = getattr(opts, "pallas_subw", 128) or None
     tier_cfgs = [
-        (8, 128, ultra[0], ultra[1]),  # near-identity, cheapest
-        (TILE_H, tile_w, win_fast[0], win_fast[1]),  # wider shifts
-        (8, 64, uwarp[0], uwarp[1]),  # magnification/mild rotation
-        (8, 64, win_h, win_w),        # moderate warp/magnification
-        (8, 64, rot_h, rot_w),        # rotational (twirl-class)
-        (8, 128, xrot[0], xrot[1]),   # extreme warps
+        (8, 128, ultra[0], ultra[1], sw),  # near-identity, cheapest
+        (TILE_H, tile_w, win_fast[0], win_fast[1], sw),  # wider shifts
+        (8, 64, uwarp[0], uwarp[1], None),  # magnification/mild rotation
+        (8, 64, win_h, win_w, None),        # moderate warp/magnification
+        (8, 64, rot_h, rot_w, None),        # rotational (twirl-class)
+        (8, 128, xrot[0], xrot[1], sw),     # extreme warps
     ]
 
     def slow_path(_=None):
@@ -615,8 +661,8 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     plans = []
     terminal = slow_path
     truncated = False
-    for th, tw, wh, ww in tier_cfgs:
-        p = plan(th, tw, wh, ww)
+    for th, tw, wh, ww, tsw in tier_cfgs:
+        p = plan(th, tw, wh, ww, subw=tsw)
         if p.overflow is None:
             terminal = p.run
             truncated = True

@@ -74,6 +74,12 @@ class RenderOptions:
     #: paying for the worst tile. 'auto': on for >=1 Mpix frames; 'on':
     #: whenever the tier chain exists (tests); 'off': whole-frame chain.
     pallas_per_tile: str = "auto"
+    #: per-chunk x-sub-window width (mult of 8) for multi-chunk Pallas
+    #: tiers (ultra/fast/xrot): each 512-pixel chunk contracts only a
+    #: `pallas_subw`-wide sublane slice of the tile window at an 8-aligned
+    #: per-chunk offset, so contraction FLOPs and weight-build ops scale
+    #: with this width instead of the tile-wide window. 0 disables.
+    pallas_subw: int = 128
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3
     #: max) — matching the reference's uint8 output packing; 'f32' uses
@@ -100,6 +106,8 @@ class RenderOptions:
                 # (origins only need 8-row alignment via the 4-copy layout)
                 raise ValueError(
                     "pallas windows must be (mult of 32, mult of 16)")
+        if self.pallas_subw % 8:
+            raise ValueError("pallas_subw must be a multiple of 8 (0 = off)")
         if self.pallas_while not in ("auto", "on", "off"):
             raise ValueError("pallas_while must be 'auto', 'on' or 'off'")
         if self.pallas_per_tile not in ("auto", "on", "off"):

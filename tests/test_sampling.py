@@ -248,6 +248,40 @@ def test_per_tile_interpolations_match_gather():
                                    err_msg=interp)
 
 
+def test_subwindow_matches_gather():
+    """Per-chunk x-sub-windows (pallas_subw): a warp whose x-displacement
+    varies across the chunks of one wide fast-tier tile forces distinct
+    8-aligned sub-origins; output must match the exact gather path.
+    subw=80 is the tightest width that fits a 64-px chunk span (64 + 2
+    bilinear taps + up to 7 alignment loss)."""
+    img = np.random.RandomState(3).rand(128, 512, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    b = f.render(img, width=512, height=128, t=0.2,
+                 options=mm.RenderOptions(sampler="gather"))
+    for per_tile in ("off", "on"):
+        a = f.render(img, width=512, height=128, t=0.2,
+                     options=mm.RenderOptions(
+                         sampler="pallas", pallas_precision="f32",
+                         pallas_per_tile=per_tile, pallas_subw=80))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=f"per_tile={per_tile}")
+
+
+def test_subwindow_overflow_escalates():
+    """A sub-window too small for the chunk span must fail the tier's fit
+    check and escalate (narrower-tile tiers / gather), never clamp taps."""
+    img = np.random.RandomState(9).rand(128, 512, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    a = f.render(img, width=512, height=128, t=0.2,
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_precision="f32",
+                                          pallas_per_tile="on",
+                                          pallas_subw=48))
+    b = f.render(img, width=512, height=128, t=0.2,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_per_tile_unclaimed_falls_back_to_gather():
     """Tiles fitting NO tier window (strong warp, tiny windows everywhere)
     must push the whole frame to the exact gather path, not truncate."""
