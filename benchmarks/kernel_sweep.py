@@ -2,9 +2,9 @@
 
     python benchmarks/kernel_sweep.py [--size WxH] [--iters N]
 
-Prints a table of ms/frame for window-size x precision combinations on a
+Prints a table of ms/frame for tier-ladder x precision combinations on a
 bounded-displacement warp (ripple) and a rotational warp (twirl) — use to
-re-tune RenderOptions.pallas_window/_rot when hardware or Mosaic changes.
+re-tune RenderOptions.pallas_tiers when hardware or Mosaic changes.
 Run when `bench.py`'s relay_health_ms is sane (<5ms); the shared relay's
 throughput drifts (docs/PERFORMANCE.md).
 """
@@ -50,9 +50,14 @@ def main():
     img = np.random.RandomState(0).rand(h, w, 4).astype(np.float32)
     ins = [jax.device_put(img)]
 
-    fasts = [(32, 512), (32, 256)]
-    mids = [(64, 256), (64, 384)]
-    rots = [(96, 256), (128, 256), (192, 256)]
+    default = mm.RenderOptions().pallas_tiers
+    ladders = {
+        "default": default,
+        "fast-nosub": tuple((th, tw, wh, ww, 0) for th, tw, wh, ww, _ in default),
+        "wide-rot": tuple(
+            (th, tw, wh, 256, sw) if (wh, ww) == (128, 128) else (th, tw, wh, ww, sw)
+            for th, tw, wh, ww, sw in default),
+    }
     precisions = ["bf16", "f32"]
 
     for name, path in (("ripple", "filters/Distorts/ripple.mm"),
@@ -60,21 +65,15 @@ def main():
         filt = mm.compile_file(path)
         print(f"== {name} {w}x{h}")
         for prec in precisions:
-            for fast in fasts:
-                for mid in mids:
-                    for rot in rots:
-                        opts = mm.RenderOptions(
-                            pallas_window_fast=fast, pallas_window=mid,
-                            pallas_window_rot=rot, pallas_precision=prec,
-                        )
-                        try:
-                            r = filt._renderer(w, h, opts, 1)
-                            dt = fenced_best(r, ins, args.iters)
-                            print(f"  {prec} fast={fast} mid={mid} rot={rot}: "
-                                  f"{dt * 1e3:8.1f} ms", flush=True)
-                        except Exception as exc:
-                            print(f"  {prec} fast={fast} mid={mid} rot={rot}: "
-                                  f"FAIL {str(exc)[:80]}", flush=True)
+            for lname, tiers in ladders.items():
+                opts = mm.RenderOptions(pallas_tiers=tiers,
+                                        pallas_precision=prec)
+                try:
+                    r = filt._renderer(w, h, opts, 1)
+                    dt = fenced_best(r, ins, args.iters)
+                    print(f"  {prec} {lname}: {dt * 1e3:8.1f} ms", flush=True)
+                except Exception as exc:
+                    print(f"  {prec} {lname}: FAIL {str(exc)[:80]}", flush=True)
         # gather baseline
         r = filt._renderer(w, h, mm.RenderOptions(sampler="gather"), 1)
         dt = fenced_best(r, ins, args.iters)

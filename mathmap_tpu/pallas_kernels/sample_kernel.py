@@ -46,10 +46,16 @@ Pipeline (all inside one jit):
 
 from __future__ import annotations
 
-#: fast tier window (rows, cols): near-identity warps (pond, ripple, waves)
-DEFAULT_WIN_FAST = (32, 512)
-#: mid tier (8x64 tiles): moderate warps / magnification
-DEFAULT_WIN = (64, 256)
+#: tier ladder fallback when opts lacks pallas_tiers — see
+#: runtime/options.RenderOptions.pallas_tiers for the measured rationale
+DEFAULT_TIERS = (
+    (8, 256, 32, 512, 128),
+    (8, 64, 32, 256, 0),
+    (8, 64, 64, 128, 0),
+    (8, 64, 64, 256, 0),
+    (8, 64, 128, 128, 0),
+    (8, 128, 320, 384, 256),
+)
 TILE_H = 8
 TILE_W = 256
 BW = 64  # base-block width: every tier's tile is gw consecutive (8, 64)
@@ -164,7 +170,7 @@ def _weights(jnp, frac, interpolation: str):
 def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                  hp: int, precision: str = "bf16",
                  masked: bool = False, indirect: bool = False,
-                 subw: int | None = None):
+                 subw: int | None = None, has_carry: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -220,7 +226,12 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
         ox_ref = rest.pop(0)
         coff_ref = rest.pop(0) if subw else None
         act_ref = rest.pop(0) if masked else None
-        px_ref, py_ref, img_ref, o_ref, win2, sems = rest
+        if has_carry:
+            # aliased to o_ref's buffer — never read; present only so the
+            # launch can accumulate into an existing frame in place
+            px_ref, py_ref, img_ref, _carry_ref, o_ref, win2, sems = rest
+        else:
+            px_ref, py_ref, img_ref, o_ref, win2, sems = rest
         i = pl.program_id(0)
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -367,7 +378,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
 def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
                        win_h, win_w, gw, hp, precision, interpret,
                        grid, grid_bound=None, tile_idx=None,
-                       subw=None, coff=None):
+                       subw=None, coff=None, carry=None):
     """Low-level launch over base-layout coordinates px_b/py_b
     (n_base, 1, BASE_PIX): every tier's tile is `gw` CONSECUTIVE base
     blocks, so one shared flatten serves all tiers and a tile's block is
@@ -398,7 +409,8 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
     assert (subw is None) == (coff is None)
     masked = active is not None
     kernel = _make_kernel(interpolation, win_h, win_w, gw, hp, precision,
-                          masked=masked, indirect=indirect, subw=subw)
+                          masked=masked, indirect=indirect, subw=subw,
+                          has_carry=carry is not None)
     sub = (coff,) if subw else ()
     if indirect:
         scalars = (tile_idx, oy, ox) + sub
@@ -410,14 +422,25 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
 
         def blk(i, j, *_):
             return (i * ntx + j, 0, 0)
+    in_specs = [
+        pl.BlockSpec((gw, 1, BASE_PIX), blk),
+        pl.BlockSpec((gw, 1, BASE_PIX), blk),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
+    ]
+    inputs = [px_b, py_b, img_xm]
+    aliases = {}
+    if carry is not None:
+        # accumulate in place: the carry buffer IS the output buffer
+        # (donated via input_output_aliases), so a compacted launch writes
+        # only its claimed blocks and every other block keeps the carry's
+        # contents — no per-tier full-frame buffers, no priority select.
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inputs.append(carry)
+        aliases = {len(scalars) + 3: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(nty, ntx if grid_bound is None else grid_bound),
-        in_specs=[
-            pl.BlockSpec((gw, 1, BASE_PIX), blk),
-            pl.BlockSpec((gw, 1, BASE_PIX), blk),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((gw, 4, BASE_PIX), blk),
         scratch_shapes=[
             pltpu.VMEM((2, win_w, win_h * 4), img_xm.dtype),
@@ -430,13 +453,14 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
         out_shape=jax.ShapeDtypeStruct((n_base, 4, BASE_PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=flops_tile * nty * ntx,
             bytes_accessed=(win_w * win_h * 4 * img_xm.dtype.itemsize) * nty * ntx
             + 16 * n_base * BASE_PIX,
             transcendentals=0,
         ),
-    )(*scalars, px_b, py_b, img_xm)
+    )(*scalars, *inputs)
 
 
 def _flatten_base(a, nby, nbx):
@@ -474,9 +498,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     interpolation = interpolation or opts.interpolation
     edge_x = edge_x or opts.edge_x
     edge_y = edge_y or opts.edge_y
-    win_fast = getattr(opts, "pallas_window_fast", DEFAULT_WIN_FAST)
-    win_h, win_w = getattr(opts, "pallas_window", DEFAULT_WIN)
-    tile_w = TILE_W
+    tiers = getattr(opts, "pallas_tiers", DEFAULT_TIERS)
 
     h_img, w_img = img.global_shape
     h_out, w_out = x.shape
@@ -485,8 +507,6 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # stays 128-aligned), wp mult of 16 (bf16 sublane tiling)
     hp = _round_up(h_img + PAD_L + 8, 32)
     wp = _round_up(w_img + PAD_L + 8, 16)
-    win_h = min(win_h, hp)
-    win_w = min(win_w, wp)
 
     # ---- coords + edge mapping (XLA, fused) ----
     px, py = S.world_to_pixel(jnp, x, y, w_img, h_img)
@@ -609,14 +629,15 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             )
             return crop(_unflatten_base(out, nby, nbx))
 
-        def run_tiles(claim):
-            """Run only the `claim`ed tiles: their indices are compacted to
-            the front of a DYNAMIC grid of exactly `count` steps (a skipped
-            grid step still costs ~430ns on this TPU, so sparse passes must
-            not iterate the full tiling) and dereferenced through indirect
-            index maps (no XLA gather/scatter of pixel data). Returns
-            base-layout (n_base, 4, BASE_PIX); unclaimed blocks are garbage
-            — the caller's claim masks hide them."""
+        def run_tiles(claim, carry):
+            """Run only the `claim`ed tiles into `carry` IN PLACE: indices
+            are compacted to the front of a DYNAMIC grid of exactly `count`
+            steps (a skipped grid step still costs ~430ns on this TPU, so
+            sparse passes must not iterate the full tiling) and dereferenced
+            through indirect index maps (no XLA gather/scatter of pixel
+            data). The carry buffer is donated (input_output_aliases), so
+            unclaimed blocks keep their carry contents — tiers chain into
+            one frame buffer with no per-tier allocation or select."""
             n_tiles = nby * ntx
             flat = claim.reshape(-1)
             idx = jnp.nonzero(flat, size=n_tiles, fill_value=0)[0]
@@ -628,6 +649,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
                 grid=(1, n_tiles), grid_bound=count,
                 tile_idx=idx.astype(jnp.int32), subw=subw, coff=coff,
+                carry=carry,
             )
 
         p.run, p.run_tiles = run, run_tiles
@@ -638,22 +660,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # bilinear: fast 587, mid 417, rot 320, xrot 150 Mpix/s; gather ~20).
     # A tier whose window covers the whole padded image truncates the chain
     # (single unconditional pallas program — the LUT/small-image case).
-    ultra = getattr(opts, "pallas_window_ultra", (32, 256))
-    uwarp = getattr(opts, "pallas_window_uwarp", (32, 256))
-    rot_h, rot_w = getattr(opts, "pallas_window_rot", (128, 256))
-    xrot = getattr(opts, "pallas_window_xrot", (320, 384))
-    # per-chunk x-sub-window width for multi-chunk (gw>1) tiers: their
-    # contraction cost scales with `sw` instead of the tile-wide win_w
-    # (single-chunk tiers' windows are already per-chunk — no gain there)
-    sw = getattr(opts, "pallas_subw", 128) or None
-    tier_cfgs = [
-        (8, 128, ultra[0], ultra[1], sw),  # near-identity, cheapest
-        (TILE_H, tile_w, win_fast[0], win_fast[1], sw),  # wider shifts
-        (8, 64, uwarp[0], uwarp[1], None),  # magnification/mild rotation
-        (8, 64, win_h, win_w, None),        # moderate warp/magnification
-        (8, 64, rot_h, rot_w, None),        # rotational (twirl-class)
-        (8, 128, xrot[0], xrot[1], sw),     # extreme warps
-    ]
+    tier_cfgs = [(th, tw, wh, ww, sw or None) for th, tw, wh, ww, sw in tiers]
 
     def slow_path(_=None):
         return tuple(xla_fallback())
@@ -692,35 +699,33 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # gather only when some tile fits no tier at all.
     nbx_real = -(-w_out // BW)
     cheaper = jnp.zeros((nby, nbx), bool)
-    claims_base = []
     actives = []
     for p in plans:
         fit_b = jnp.zeros((nby, nbx), bool)
         fit_rep = jnp.repeat(p.fit, p.gw, axis=1)[:, :nbx]
         fit_b = fit_b.at[:, : fit_rep.shape[1]].set(fit_rep)
         cb = fit_b & ~cheaper
-        claims_base.append(cb)
         cheaper = cheaper | fit_b
+        # a tile is active if ANY of its base blocks claims this tier;
+        # sibling blocks claimed by a cheaper tier get overwritten later?
+        # No: claims are FIRST-fit per block, but launches run per TILE —
+        # so a tile runs here only when every unclaimed-so-far block in it
+        # fits, i.e. cb must cover the whole tile or none. Group to tiles:
         actives.append(cb[:, : p.ntx * p.gw].reshape(nby, p.ntx, p.gw)
                        .any(axis=-1))
     unclaimed_any = jnp.any(~cheaper[:, :nbx_real])
 
-    def zeros_tiles():
-        return jnp.zeros((nby * nbx, 4, BASE_PIX), jnp.float32)
-
     def multipass(_=None):
-        outs = []
+        # tiers chain through ONE donated frame buffer, cheapest last so
+        # its (majority) blocks write last; claims are disjoint per tile
+        # so order only matters for allocation reuse, not correctness
+        res = jnp.zeros((nby * nbx, 4, BASE_PIX), jnp.float32)
         for t, p in enumerate(plans):
             act = actives[t]
-            run_t = (lambda p=p, act=act: p.run_tiles(act))
-            outs.append(jax.lax.cond(jnp.any(act), run_t, zeros_tiles))
-        # priority select in base layout (per-block masks broadcast over
-        # the block's 4x512 values — no full-frame mask materialization),
-        # then ONE unflatten for the combined frame
-        res = outs[-1]
-        for t in reversed(range(len(plans) - 1)):
-            m = claims_base[t].reshape(nby * nbx, 1, 1)
-            res = jnp.where(m, outs[t], res)
+            res = jax.lax.cond(
+                jnp.any(act),
+                lambda r, p=p, act=act: p.run_tiles(act, r),
+                lambda r: r, res)
         return crop(_unflatten_base(res, nby, nbx))
 
     mixed = (lambda _=None: jax.lax.cond(

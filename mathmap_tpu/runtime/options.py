@@ -49,24 +49,27 @@ class RenderOptions:
     #: forces the kernel (interpret-mode off-TPU — slow, for tests);
     #: 'gather' forces the XLA path.
     sampler: str = "auto"
-    #: Pallas sampler tier windows (rows mult-of-32, cols mult-of-16); a
-    #: lax.cond chain tries them cheapest-first per frame, falling back to
-    #: the XLA gather path. FLOPs/pixel = 8*win_h*win_w/tile_w, so narrow
-    #: tiles with small windows are the cheap tiers; wider windows catch
-    #: stronger warps. Per-tier 4K bilinear Mpix/s in docs/PERFORMANCE.md.
-    #: ultra: near-identity warps (pond, ripple), 8x128 output tiles —
-    #: half the FLOPs/pixel of 'fast'.
-    pallas_window_ultra: tuple = (32, 256)
-    #: fast: translations up to ~115 px on 8x256 output tiles.
-    pallas_window_fast: tuple = (32, 512)
-    #: uwarp: magnification to ~2.7x / mild rotation on narrow 8x64 tiles.
-    pallas_window_uwarp: tuple = (32, 256)
-    #: mid: moderate warps / magnification up to ~3.5x, 8x64 tiles.
-    pallas_window: tuple = (64, 256)
-    #: rot: rotational warps (twirl/fisheye class), 8x64 tiles.
-    pallas_window_rot: tuple = (128, 256)
-    #: xrot: extreme warps (source slope up to ~2.4), 8x128 tiles.
-    pallas_window_xrot: tuple = (320, 384)
+    #: Pallas sampler tier ladder, cheapest first: 5-tuples
+    #: (tile_h, tile_w, win_h, win_w, subw). A lax.cond chain tries them
+    #: per frame (or per tile with pallas_per_tile), falling back to the
+    #: XLA gather path. Windows are (rows mult-of-32, cols mult-of-16);
+    #: subw (mult-of-8, 0=off) gives multi-chunk tiles per-chunk x-sub-
+    #: windows so contraction cost scales with subw, not win_w. Measured
+    #: 4K bilinear kernel-only Mpix/s in docs/PERFORMANCE.md:
+    #:   fast  8x256 win 32x512 sub128 — 1257: near-identity/translation
+    #:   uwarp 8x64  win 32x256        —  722: magnification to ~3.8x
+    #:   midn  8x64  win 64x128        —  688: mild rotation
+    #:   mid   8x64  win 64x256        —  582: magnification + y-warp
+    #:   rotn  8x64  win 128x128       —  541: any rotation, mag <=1.6
+    #:   xrot  8x128 win 320x384 sub256—  250: extreme warps (slope ~3.8)
+    pallas_tiers: tuple = (
+        (8, 256, 32, 512, 128),
+        (8, 64, 32, 256, 0),
+        (8, 64, 64, 128, 0),
+        (8, 64, 64, 256, 0),
+        (8, 64, 128, 128, 0),
+        (8, 128, 320, 384, 256),
+    )
     #: per-tile tier selection in the Pallas sampler: on mixed-warp frames
     #: (twirl/fisheye class) each tile runs the cheapest tier whose window
     #: fits ITS source bbox — fast tiles masked in place, mid/rot/xrot tiles
@@ -74,12 +77,6 @@ class RenderOptions:
     #: paying for the worst tile. 'auto': on for >=1 Mpix frames; 'on':
     #: whenever the tier chain exists (tests); 'off': whole-frame chain.
     pallas_per_tile: str = "auto"
-    #: per-chunk x-sub-window width (mult of 8) for multi-chunk Pallas
-    #: tiers (ultra/fast/xrot): each 512-pixel chunk contracts only a
-    #: `pallas_subw`-wide sublane slice of the tile window at an 8-aligned
-    #: per-chunk offset, so contraction FLOPs and weight-build ops scale
-    #: with this width instead of the tile-wide window. 0 disables.
-    pallas_subw: int = 128
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3
     #: max) — matching the reference's uint8 output packing; 'f32' uses
@@ -96,18 +93,21 @@ class RenderOptions:
             raise ValueError("supersample must be >= 1")
         if self.sampler not in ("auto", "pallas", "gather"):
             raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
-        for win in (self.pallas_window_ultra, self.pallas_window_fast,
-                    self.pallas_window_uwarp, self.pallas_window,
-                    self.pallas_window_rot, self.pallas_window_xrot):
-            wh, ww = win
+        for tier in self.pallas_tiers:
+            th, tw, wh, ww, sw = tier
+            if th != 8 or tw % 64 or 256 % tw:
+                # tiles are rows of 8 and a divisor of the 256-px planning
+                # LCM so every tier shares the (8, 64) base-block layout
+                raise ValueError(
+                    "pallas tier tiles must be (8, divisor-of-256 mult-of-64)")
             if wh % 32 or ww % 16:
                 # rows mult-of-32: the kernel's window DMA copies a lane
                 # extent of win_h*4, which Mosaic wants in 128-lane units
                 # (origins only need 8-row alignment via the 4-copy layout)
                 raise ValueError(
-                    "pallas windows must be (mult of 32, mult of 16)")
-        if self.pallas_subw % 8:
-            raise ValueError("pallas_subw must be a multiple of 8 (0 = off)")
+                    "pallas tier windows must be (mult of 32, mult of 16)")
+            if sw % 8:
+                raise ValueError("tier subw must be a multiple of 8 (0 = off)")
         if self.pallas_while not in ("auto", "on", "off"):
             raise ValueError("pallas_while must be 'auto', 'on' or 'off'")
         if self.pallas_per_tile not in ("auto", "on", "off"):

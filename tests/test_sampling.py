@@ -148,8 +148,9 @@ def test_pallas_overflow_falls_back():
     img = _image(8)
     f = mm.compile("origVal(xy * xy)")  # quadratic blowup
     a = f.render(img, options=mm.RenderOptions(sampler="gather"))
-    b = f.render(img, options=mm.RenderOptions(sampler="pallas", pallas_window=(32, 128),
-                                               pallas_precision="f32"))
+    b = f.render(img, options=mm.RenderOptions(
+        sampler="pallas", pallas_tiers=((8, 64, 32, 128, 0),),
+        pallas_precision="f32"))
     np.testing.assert_allclose(b, a, atol=2e-5)
 
 
@@ -211,8 +212,8 @@ def test_prepad_cache_only_for_device_inputs():
 
 # ---- per-tile tier selection (pallas_per_tile) ----------------------------
 
-_PT_WINDOWS = dict(pallas_window_fast=(32, 96), pallas_window=(32, 112),
-                   pallas_window_rot=(64, 128), pallas_window_xrot=(96, 160))
+_PT_WINDOWS = dict(pallas_tiers=((8, 256, 32, 96, 0), (8, 64, 32, 112, 0),
+                                 (8, 64, 64, 128, 0), (8, 128, 96, 160, 0)))
 
 
 @pytest.mark.parametrize("path", ["filters/Distorts/twirl.mm",
@@ -262,7 +263,9 @@ def test_subwindow_matches_gather():
         a = f.render(img, width=512, height=128, t=0.2,
                      options=mm.RenderOptions(
                          sampler="pallas", pallas_precision="f32",
-                         pallas_per_tile=per_tile, pallas_subw=80))
+                         pallas_per_tile=per_tile,
+                         pallas_tiers=((8, 256, 32, 512, 80),
+                                       (8, 64, 128, 128, 0))))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
                                    err_msg=f"per_tile={per_tile}")
 
@@ -276,7 +279,8 @@ def test_subwindow_overflow_escalates():
                  options=mm.RenderOptions(sampler="pallas",
                                           pallas_precision="f32",
                                           pallas_per_tile="on",
-                                          pallas_subw=48))
+                                          pallas_tiers=((8, 256, 32, 512, 48),
+                                                        (8, 64, 128, 128, 0))))
     b = f.render(img, width=512, height=128, t=0.2,
                  options=mm.RenderOptions(sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
@@ -290,12 +294,9 @@ def test_per_tile_unclaimed_falls_back_to_gather():
     a = f.render(img, width=160, height=96, t=0.9,
                  options=mm.RenderOptions(sampler="pallas", pallas_per_tile="on",
                                           pallas_precision="f32",
-                                          pallas_window_ultra=(32, 32),
-                                          pallas_window_fast=(32, 32),
-                                          pallas_window_uwarp=(32, 32),
-                                          pallas_window=(32, 48),
-                                          pallas_window_rot=(32, 64),
-                                          pallas_window_xrot=(32, 64)))
+                                          pallas_tiers=((8, 256, 32, 32, 0),
+                                                        (8, 64, 32, 48, 0),
+                                                        (8, 64, 32, 64, 0))))
     b = f.render(img, width=160, height=96, t=0.9,
                  options=mm.RenderOptions(sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
