@@ -501,7 +501,15 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     tiers = getattr(opts, "pallas_tiers", DEFAULT_TIERS)
 
     h_img, w_img = img.global_shape
-    h_out, w_out = x.shape
+    # base-layout renders (RenderContext.base_layout) hand us coords
+    # ALREADY in the kernel's (n_base, BASE_PIX) tile layout — no flatten
+    # on the way in, no unflatten/crop on the way out
+    bl = getattr(ev.ctx, "base_layout", None)
+    base_mode = bl is not None and getattr(x, "shape", None) == ev.ctx.shape
+    if base_mode:
+        h_out, w_out = ev.ctx.height, ev.ctx.width
+    else:
+        h_out, w_out = x.shape
 
     # padded image dims: hp mult of 32 (so the multi-copy lane base c*hp*4
     # stays 128-aligned), wp mult of 16 (bf16 sublane tiling)
@@ -551,26 +559,46 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # ---- shared per-block source-bbox stats AND shared base-layout coords:
     # every tier's tile is gw consecutive (8, 64) base blocks, so ONE
     # full-grid stats pass + ONE coordinate flatten serve every tier.
+    # In base mode the coords already ARE the kernel layout: the stats are
+    # plain axis reductions and the flatten/unflatten disappear entirely.
     LCM_W = 256
-    ht0 = _round_up(h_out, TILE_H)
-    wt0 = _round_up(w_out, LCM_W)
-    if (ht0, wt0) != (h_out, w_out):
-        pxp0 = jnp.pad(pxp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
-        pyp0 = jnp.pad(pyp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
-    else:
-        pxp0, pyp0 = pxp, pyp
     half = 0.5 if interpolation == "nearest" else 0.0
-    x0g = jnp.floor(pxp0 + half).astype(jnp.int32)
-    y0g = jnp.floor(pyp0 + half).astype(jnp.int32)
-    nby, nbx = ht0 // TILE_H, wt0 // BW
-    bx = x0g.reshape(nby, TILE_H, nbx, BW)
-    by = y0g.reshape(nby, TILE_H, nbx, BW)
-    base = (bx.min(axis=(1, 3)), bx.max(axis=(1, 3)),
-            by.min(axis=(1, 3)), by.max(axis=(1, 3)))
-    px_b = _flatten_base(pxp0, nby, nbx)
-    py_b = _flatten_base(pyp0, nby, nbx)
+    if base_mode:
+        nby, nbx = bl
+        x0g = jnp.floor(pxp + half).astype(jnp.int32)
+        y0g = jnp.floor(pyp + half).astype(jnp.int32)
+        # each base-layout row IS one (8, 64) block: per-block stats are
+        # plain full-row reductions (NO 4-D reshape — that would relayout
+        # the whole 33MB/4K array lane->sublane just to reduce it)
+        base = (x0g.min(axis=1).reshape(nby, nbx),
+                x0g.max(axis=1).reshape(nby, nbx),
+                y0g.min(axis=1).reshape(nby, nbx),
+                y0g.max(axis=1).reshape(nby, nbx))
+        px_b = pxp.reshape(nby * nbx, 1, BASE_PIX)
+        py_b = pyp.reshape(nby * nbx, 1, BASE_PIX)
+    else:
+        ht0 = _round_up(h_out, TILE_H)
+        wt0 = _round_up(w_out, LCM_W)
+        if (ht0, wt0) != (h_out, w_out):
+            pxp0 = jnp.pad(pxp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
+            pyp0 = jnp.pad(pyp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
+        else:
+            pxp0, pyp0 = pxp, pyp
+        x0g = jnp.floor(pxp0 + half).astype(jnp.int32)
+        y0g = jnp.floor(pyp0 + half).astype(jnp.int32)
+        nby, nbx = ht0 // TILE_H, wt0 // BW
+        bx = x0g.reshape(nby, TILE_H, nbx, BW)
+        by = y0g.reshape(nby, TILE_H, nbx, BW)
+        base = (bx.min(axis=(1, 3)), bx.max(axis=(1, 3)),
+                by.min(axis=(1, 3)), by.max(axis=(1, 3)))
+        px_b = _flatten_base(pxp0, nby, nbx)
+        py_b = _flatten_base(pyp0, nby, nbx)
 
-    def crop(planar):
+    def finish(out_base):
+        """Base-layout kernel output -> caller-layout channel arrays."""
+        if base_mode:
+            return tuple(out_base[:, c, :] for c in range(4))
+        planar = _unflatten_base(out_base, nby, nbx)
         return tuple(planar[c, :h_out, :w_out] for c in range(4))
 
     def plan(tile_h, tile_w_c, win_h_c, win_w_c, subw=None):
@@ -627,7 +655,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
                 grid=(nby, ntx), subw=subw, coff=coff,
             )
-            return crop(_unflatten_base(out, nby, nbx))
+            return finish(out)
 
         def run_tiles(claim, carry):
             """Run only the `claim`ed tiles into `carry` IN PLACE: indices
@@ -726,7 +754,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 jnp.any(act),
                 lambda r, p=p, act=act: p.run_tiles(act, r),
                 lambda r: r, res)
-        return crop(_unflatten_base(res, nby, nbx))
+        return finish(res)
 
     mixed = (lambda _=None: jax.lax.cond(
         unclaimed_any, slow_path, multipass, operand=None))

@@ -27,10 +27,33 @@ def coordinate_grids(ctx: RenderContext, dx: float = 0.0, dy: float = 0.0):
     (i + 0.5 - W/2, H/2 - 0.5 - j), y pointing up. (dx, dy) are subpixel
     offsets in pixel units for supersampling. When the grid is sharded
     (ctx.grid_shape set), each device builds only its local tile using its
-    row/col offsets — coordinates are identical to the unsharded render."""
+    row/col offsets — coordinates are identical to the unsharded render.
+
+    In base-block layout (ctx.base_layout) the grids are built directly in
+    the Pallas sampler's (nby*nbx, 512) tile layout from block/pixel iotas;
+    positions past the real frame clamp to the edge pixel (the same values
+    jnp.pad(mode='edge') used to produce), so planning stats and claims
+    for the last partial blocks are identical to the (H, W) path."""
     be = ctx.be
     h, w = ctx.shape
     dt = ctx.dtype or be.float32
+    if ctx.grid_xy is not None:
+        x0, y0 = ctx.grid_xy
+        return (x0 + be.asarray(dx, dtype=dt),
+                y0 - be.asarray(dy, dtype=dt))
+    if ctx.base_layout is not None:
+        import jax
+
+        nby, nbx = ctx.base_layout
+        b = jax.lax.broadcasted_iota(be.int32, (h, w), 0)
+        p = jax.lax.broadcasted_iota(be.int32, (h, w), 1)
+        row = be.minimum((b // nbx) * 8 + p // 64, ctx.height - 1)
+        col = be.minimum((b % nbx) * 64 + p % 64, ctx.width - 1)
+        x = (col.astype(dt) + be.asarray(0.5 + dx, dtype=dt)
+             - be.asarray(ctx.width * 0.5, dtype=dt))
+        y = (be.asarray(ctx.height * 0.5, dtype=dt)
+             - (row.astype(dt) + be.asarray(0.5 + dy, dtype=dt)))
+        return x, y
     xs = (be.arange(w, dtype=dt)
           + be.asarray(ctx.col_offset, dtype=dt)
           + be.asarray(0.5 + dx, dtype=dt)
@@ -42,6 +65,50 @@ def coordinate_grids(ctx: RenderContext, dx: float = 0.0, dy: float = 0.0):
     x = be.broadcast_to(xs[None, :], (h, w))
     y = be.broadcast_to(ys[:, None], (h, w))
     return x, y
+
+
+def base_layout_for(width: int, height: int):
+    """(nby, nbx) covering the frame with (8, 64) base blocks, padded so
+    block columns fill the 256-px planning LCM (matches the sampler's
+    internal padding of (H, W) grids)."""
+    ht0 = -(-height // 8) * 8
+    wt0 = -(-width // 256) * 256
+    return ht0 // 8, wt0 // 64
+
+
+def uses_sampling(filters: dict, fdef: A.FilterDef) -> bool:
+    """Whether `fdef` (or any filter it calls) samples an image or applies
+    a gradient/curve LUT — the ops whose kernel I/O the base-block layout
+    makes transpose-free."""
+    seen = set()
+
+    def walk_def(fd):
+        if fd.name in seen:
+            return False
+        seen.add(fd.name)
+        lut_names = {p.name for p in fd.params
+                     if p.kind in ("image", "gradient", "curve")}
+        for sub in A.walk(fd.body):
+            if isinstance(sub, A.Call) and isinstance(sub.func, A.Var):
+                nm = sub.func.name
+                if nm in ("origVal", "origValXY", "origValImage"):
+                    return True
+                if nm in lut_names:
+                    return True
+                called = filters.get(nm)
+                if called is not None and walk_def(called):
+                    return True
+        return False
+
+    return walk_def(fdef)
+
+
+def unflatten_output(be, rgba_base, nby: int, nbx: int, height: int, width: int):
+    """(nby*nbx, 512, 4) base-layout frame -> (H, W, 4): the single layout
+    conversion of a base-layout render."""
+    arr = rgba_base.reshape(nby, nbx, 8, 64, 4)
+    arr = be.transpose(arr, (0, 2, 1, 3, 4)).reshape(nby * 8, nbx * 64, 4)
+    return arr[:height, :width]
 
 
 def subpixel_offsets(s: int):
@@ -91,6 +158,9 @@ def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
     inv = 1.0 / (s * s)
     comps = [a * inv for a in acc]
     rgba = be.stack(comps, axis=-1)
+    if ctx.base_layout is not None:
+        nby, nbx = ctx.base_layout
+        rgba = unflatten_output(be, rgba, nby, nbx, ctx.height, ctx.width)
     # clamp to displayable range (the reference clamps when packing 8-bit)
     return be.clip(rgba, 0.0, 1.0)
 
@@ -180,7 +250,21 @@ class JitRenderer:
 
         self._pad_jit = jax.jit(compute_prepads)
 
-        def run(input_arrays, userval_arrays, kinds, t, frame, prepads=None):
+        # Base-block layout (see RenderContext.base_layout): static per
+        # configuration — sampling/LUT filters evaluate in the Pallas
+        # sampler's native tile layout so its I/O needs no transposes.
+        from .sampling import pallas_policy
+
+        import os
+
+        base_layout = (base_layout_for(width, height)
+                       if pallas_policy(opts)
+                       and uses_sampling(program_filters, fdef)
+                       and os.environ.get("MMTPU_BASE_LAYOUT", "1") != "0"
+                       else None)
+
+        def run(input_arrays, userval_arrays, kinds, t, frame, prepads=None,
+                grids=None):
             inputs = []
             for i, a in enumerate(input_arrays):
                 pre = prepads[i] if prepads else None
@@ -190,11 +274,27 @@ class JitRenderer:
                 inputs=inputs,
                 filters=program_filters, t=t, frame=frame,
                 num_frames=num_frames, is_jax=True,
+                base_layout=base_layout, grid_xy=grids,
             )
             uservals = _rebuild_uservals(jnp, userval_arrays, kinds)
             return render_frame(ctx, fdef, uservals)
 
         self._jitted = jax.jit(run, static_argnums=(2,))
+        self._base_layout = base_layout
+        self._grids = None
+
+        def compute_grids():
+            # undisplaced base-layout coordinate grids: constant per
+            # configuration, ~1 ms/4K-frame to rebuild — computed once on
+            # device and passed to every frame as plain args
+            ctx0 = RenderContext(
+                be=jnp, width=width, height=height, opts=opts,
+                inputs=[], filters=program_filters, is_jax=True,
+                base_layout=base_layout,
+            )
+            return coordinate_grids(ctx0)
+
+        self._grids_jit = jax.jit(compute_grids)
 
         def run_frames(input_arrays, userval_arrays, kinds, ts, frame0):
             # whole t-sweep in ONE device program: lax.map over frames keeps
@@ -206,11 +306,12 @@ class JitRenderer:
             # no frame repays the build.
             frames = jnp.arange(ts.shape[0], dtype=jnp.float32) + frame0
             prepads = compute_prepads(input_arrays) if self._prepads_on() else None
+            grids = compute_grids() if base_layout is not None else None
 
             def one(args):
                 frame, t = args
                 return run(input_arrays, userval_arrays, kinds, t, frame,
-                           prepads)
+                           prepads, grids)
 
             return jax.lax.map(one, (frames, ts))
 
@@ -260,9 +361,12 @@ class JitRenderer:
             else jnp.asarray(np.asarray(a, dtype=np.float32))
             for a in input_arrays
         ]
+        if self._base_layout is not None and self._grids is None:
+            self._grids = self._grids_jit()
         return self._jitted(ins, arrays, kinds, jnp.float32(t),
                             jnp.float32(frame),
-                            self._prepads(input_arrays, ins))
+                            self._prepads(input_arrays, ins),
+                            self._grids)
 
     def render_all_frames(self, input_arrays, params: dict, ts, frame0: float = 0.0):
         """Render every frame of a t-sweep in one device call -> (F,H,W,4)."""

@@ -96,9 +96,31 @@ class RenderContext:
     inline_depth: int = 0
     max_inline_depth: int = 32
 
+    #: When set, the whole evaluation runs in BASE-BLOCK LAYOUT: grids are
+    #: (nby*nbx, 512) arrays where row b holds the (8, 64) pixel block
+    #: (b // nbx, b % nbx) flattened row-major — exactly the Pallas
+    #: sampling kernel's native tile layout, so sampler I/O needs NO
+    #: transposes and per-block planning stats are plain axis reductions
+    #: (measured 4K: flatten+unflatten cost ~4.8 ms/frame in (H, W) mode).
+    #: Elementwise filter math is layout-blind; rand() and the coordinate
+    #: grids encode global pixel identity explicitly (see rand_uniform /
+    #: render.coordinate_grids). Value: (nby, nbx). Only for unsharded jax
+    #: renders; the final frame is unflattened once at output assembly.
+    base_layout: tuple | None = None
+    #: Optional precomputed undisplaced coordinate grids (x0, y0) matching
+    #: ctx.shape — JitRenderer builds them once per configuration (the
+    #: base-layout iota/div/min construction costs ~1 ms per 4K frame) and
+    #: passes them as device args; coordinate_grids adds subpixel offsets.
+    grid_xy: tuple | None = None
+
     @property
     def shape(self):
-        return self.grid_shape if self.grid_shape is not None else (self.height, self.width)
+        if self.grid_shape is not None:
+            return self.grid_shape
+        if self.base_layout is not None:
+            nby, nbx = self.base_layout
+            return (nby * nbx, 512)
+        return (self.height, self.width)
 
 
 class Evaluator:
@@ -139,10 +161,20 @@ class Evaluator:
         if self.ctx.is_jax:
             import jax
 
-            iy = (jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
-                  + be.asarray(self.ctx.row_offset, dtype=be.uint32))
-            ix = (jax.lax.broadcasted_iota(be.uint32, (h, w), 1)
-                  + be.asarray(self.ctx.col_offset, dtype=be.uint32))
+            if self.ctx.base_layout is not None:
+                # base-block layout: recover the global (row, col) of each
+                # position from (block, pixel) iotas; padding positions get
+                # out-of-frame indices (their values are cropped away)
+                nby, nbx = self.ctx.base_layout
+                b = jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
+                p = jax.lax.broadcasted_iota(be.uint32, (h, w), 1)
+                iy = (b // nbx) * 8 + p // 64
+                ix = (b % nbx) * 64 + p % 64
+            else:
+                iy = (jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
+                      + be.asarray(self.ctx.row_offset, dtype=be.uint32))
+                ix = (jax.lax.broadcasted_iota(be.uint32, (h, w), 1)
+                      + be.asarray(self.ctx.col_offset, dtype=be.uint32))
             idx = iy * be.asarray(self.ctx.width, dtype=be.uint32) + ix
         else:
             iy = be.arange(h, dtype=be.uint32) + be.asarray(self.ctx.row_offset, dtype=be.uint32)

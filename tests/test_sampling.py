@@ -286,6 +286,33 @@ def test_subwindow_overflow_escalates():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_base_layout_rand_matches_gather_path():
+    """Base-block layout (pallas path) must reproduce the gather path's
+    per-pixel rand() stream bit-for-bit: the layout rebuilds the global
+    pixel index from block/pixel iotas, and a mistake there would shuffle
+    the noise field, not just perturb values."""
+    img = np.random.RandomState(4).rand(96, 320, 4).astype(np.float32)
+    src = "filter rnoise (image in)\n  in(xy + xy:[rand(-3, 3), rand(-3, 3)])\nend"
+    f = mm.compile(src)
+    a = f.render(img, width=320, height=96, t=0.0,
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_precision="f32"))
+    b = f.render(img, width=320, height=96, t=0.0,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_base_layout_supersample_matches_gather_path():
+    img = np.random.RandomState(6).rand(64, 320, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/ripple.mm")
+    a = f.render(img, width=320, height=64, t=0.4,
+                 options=mm.RenderOptions(supersample=2, sampler="pallas",
+                                          pallas_precision="f32"))
+    b = f.render(img, width=320, height=64, t=0.4,
+                 options=mm.RenderOptions(supersample=2, sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_per_tile_unclaimed_falls_back_to_gather():
     """Tiles fitting NO tier window (strong warp, tiny windows everywhere)
     must push the whole frame to the exact gather path, not truncate."""
