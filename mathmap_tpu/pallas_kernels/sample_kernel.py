@@ -169,7 +169,7 @@ def _weights(jnp, frac, interpolation: str):
 
 def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                  hp: int, precision: str = "bf16",
-                 masked: bool = False, indirect: bool = False,
+                 indirect: bool = False,
                  subw: int | None = None, has_carry: bool = False):
     import jax
     import jax.numpy as jnp
@@ -225,7 +225,6 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
         oy_ref = rest.pop(0)
         ox_ref = rest.pop(0)
         coff_ref = rest.pop(0) if subw else None
-        act_ref = rest.pop(0) if masked else None
         if has_carry:
             # aliased to o_ref's buffer — never read; present only so the
             # launch can accumulate into an existing frame in place
@@ -242,14 +241,15 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
         def scalars_at(ti, tj):
             """Window origin of grid step (ti, tj). Indirect (compacted)
             launches dereference the scalar-prefetched tile index so step j
-            reads logical tile idx[j]'s origins."""
+            reads logical tile idx[j]'s origins. All scalar arrays are
+            (1, n_tiles) — tiles in the SMEM minor (lane) dim, because SMEM
+            pads the minor dim to 128 elements (a (nty, ntx) layout costs
+            nty*512 bytes per array and overflows the 1 MB SMEM budget at
+            8K output sizes)."""
             if indirect:
                 lt = idx_ref[tj]
                 return oy_ref[0, lt], ox_ref[0, lt]
-            return oy_ref[ti, tj], ox_ref[ti, tj]
-
-        def active(ti, tj):
-            return True if act_ref is None else act_ref[ti, tj] > 0
+            return oy_ref[0, ti * nj + tj], ox_ref[0, ti * nj + tj]
 
         def window_dma(ti, tj, s):
             """The (reconstructible) HBM->VMEM copy of tile (ti,tj)'s window
@@ -270,15 +270,12 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
         # double-buffer: tile k's window was started at tile k-1; here we
         # kick off tile k+1's DMA, then wait on our own (grid is sequential
         # on the single TensorCore, so the prefetch overlaps this tile's
-        # weight-build + matmul work). Inactive (masked-off) tiles never
-        # start nor wait a DMA — each start is guarded by ITS OWN tile's
-        # flag, so the pairing holds even across inactive gaps.
-        @pl.when((k == 0) & active(i, j))
+        # weight-build + matmul work)
+        @pl.when(k == 0)
         def _():
             window_dma(i, j, 0).start()
 
-        @pl.when((k + 1 < ni * nj)
-                 & active((k + 1) // nj, (k + 1) - ((k + 1) // nj) * nj))
+        @pl.when(k + 1 < ni * nj)
         def _():
             nk = k + 1
             window_dma(nk // nj, nk - (nk // nj) * nj, (k + 1) % 2).start()
@@ -365,27 +362,20 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                 out4 = mm(dn_sel, sel, prod, split_a=False)
                 o_ref[cn, :, :] = out4
 
-        if masked:
-            @pl.when(act_ref[i, j] > 0)
-            def _():
-                compute()
-        else:
-            compute()
+        compute()
 
     return kernel
 
 
-def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
+def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
                        win_h, win_w, gw, hp, precision, interpret,
                        grid, grid_bound=None, tile_idx=None,
                        subw=None, coff=None, carry=None):
     """Low-level launch over base-layout coordinates px_b/py_b
     (n_base, 1, BASE_PIX): every tier's tile is `gw` CONSECUTIVE base
     blocks, so one shared flatten serves all tiers and a tile's block is
-    (gw, 1, BASE_PIX) at block index = tile index. oy/ox/active are
-    (grid[0], grid[1]) per-tile scalars; active=None runs every tile, else
-    tiles with active==0 are skipped (their output block is garbage —
-    callers mask it out).
+    (gw, 1, BASE_PIX) at block index = tile index. oy/ox are (1, n_tiles)
+    per-tile window-origin scalars.
 
     Compacted launches pass BOTH grid_bound and tile_idx (require
     grid[0]==1): the second grid dim becomes DYNAMIC (only `grid_bound`
@@ -405,11 +395,14 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
     n_base = px_b.shape[0]
     indirect = tile_idx is not None
     assert grid_bound is None or nty == 1  # index maps below ignore ntx then
-    assert not (indirect and active is not None)
     assert (subw is None) == (coff is None)
-    masked = active is not None
+    # scalar arrays are (1, n_tiles) / (gw, n_tiles) — tiles in the SMEM
+    # minor dim (SMEM pads the minor dim to 128 elements, so shaping these
+    # (nty, ntx) would cost nty*512 B per array and overflow the 1 MB SMEM
+    # budget at 8K output sizes)
+    assert oy.shape == ox.shape == (1, nty * ntx)
     kernel = _make_kernel(interpolation, win_h, win_w, gw, hp, precision,
-                          masked=masked, indirect=indirect, subw=subw,
+                          indirect=indirect, subw=subw,
                           has_carry=carry is not None)
     sub = (coff,) if subw else ()
     if indirect:
@@ -418,7 +411,7 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, active, *, interpolation,
         def blk(i, j, idx_ref, *_):
             return (idx_ref[j], 0, 0)
     else:
-        scalars = (oy, ox) + sub + ((active,) if masked else ())
+        scalars = (oy, ox) + sub
 
         def blk(i, j, *_):
             return (i * ntx + j, 0, 0)
@@ -650,7 +643,8 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
         def run(_=None):
             out = _call_kernel_tiles(
-                img_xm, px_b, py_b, oy, ox, None,
+                img_xm, px_b, py_b,
+                oy.reshape(1, nby * ntx), ox.reshape(1, nby * ntx),
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
                 grid=(nby, ntx), subw=subw, coff=coff,
@@ -672,7 +666,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             count = jnp.sum(flat.astype(jnp.int32))
             return _call_kernel_tiles(
                 img_xm, px_b, py_b,
-                oy.reshape(1, n_tiles), ox.reshape(1, n_tiles), None,
+                oy.reshape(1, n_tiles), ox.reshape(1, n_tiles),
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
                 grid=(1, n_tiles), grid_bound=count,
