@@ -709,7 +709,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     per_tile_mode = getattr(opts, "pallas_per_tile", "auto")
     use_per_tile = (per_tile_mode != "off" and not truncated
-                    and len(plans) == len(tier_cfgs)
+                    and len(plans) == len(tier_cfgs) and len(plans) > 0
                     and (per_tile_mode == "on" or nby * nbx >= 1024))
     if not use_per_tile:
         return list(chain_from(0)())

@@ -286,6 +286,20 @@ def test_subwindow_overflow_escalates():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_empty_tier_ladder_uses_gather():
+    """pallas_tiers=() must degrade cleanly to the exact gather path."""
+    img = np.random.RandomState(2).rand(64, 320, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/ripple.mm")
+    a = f.render(img, width=320, height=64, t=0.3,
+                 options=mm.RenderOptions(sampler="pallas", pallas_tiers=(),
+                                          pallas_per_tile="on"))
+    b = f.render(img, width=320, height=64, t=0.3,
+                 options=mm.RenderOptions(sampler="gather"))
+    # both sides are the exact gather; the 1e-5-class residue is XLA
+    # fusing the filter math differently on the two grid layouts
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_base_layout_rand_matches_gather_path():
     """Base-block layout (pallas path) must reproduce the gather path's
     per-pixel rand() stream bit-for-bit: the layout rebuilds the global
