@@ -73,6 +73,39 @@ def test_random_expression_parity(seed):
     np.testing.assert_allclose(jax_out, oracle, rtol=1e-3, atol=1e-4, err_msg=src)
 
 
+@pytest.mark.parametrize("seed", range(100, 112))
+def test_random_warp_random_ladder_matches_gather(seed):
+    """Random bounded warps through origVal under RANDOM Pallas tier
+    ladders (tiny windows force per-tile escalation and the gather
+    fallback; random subw stresses per-chunk offset clipping) must match
+    the exact gather path at the f32-mode tolerance."""
+    rng = np.random.RandomState(seed)
+    amp = float(rng.uniform(0.5, 6.0))
+    fx = float(rng.uniform(0.05, 0.4))
+    fy = float(rng.uniform(0.05, 0.4))
+    src = (f"filter fwarp (image in)\n"
+           f"  in(xy + xy:[{amp:.3f} * sin(y * {fy:.3f}),"
+           f" {amp:.3f} * cos(x * {fx:.3f})])\nend")
+    n_tiers = int(rng.randint(1, 5))
+    tiers = []
+    for _ in range(n_tiers):
+        tw = int(rng.choice([64, 128, 256]))
+        wh = int(rng.choice([32, 64, 96]))
+        ww = int(rng.choice([32, 64, 96, 128, 192, 256]))
+        sw = int(rng.choice([0, 48, 80])) if tw > 64 else 0
+        tiers.append((8, tw, wh, ww, sw))
+    img = rng.rand(72, 320, 4).astype(np.float32)
+    f = mm.compile(src)
+    a = f.render(img, width=320, height=72, t=0.0,
+                 options=mm.RenderOptions(
+                     sampler="pallas", pallas_precision="f32",
+                     pallas_per_tile="on", pallas_tiers=tuple(tiers)))
+    b = f.render(img, width=320, height=72, t=0.0,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                               err_msg=f"tiers={tiers} amp={amp}")
+
+
 @pytest.mark.parametrize("seed", range(40, 60))
 def test_random_expression_supersampled_and_f64(seed):
     src = ExprGen(seed).program()
