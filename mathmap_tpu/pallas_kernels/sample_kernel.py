@@ -73,7 +73,7 @@ class _Plan:
     """Per-tier planning result (window origins, per-tile fit, launchers)."""
 
     __slots__ = ("tile_w", "win_h", "win_w", "gw", "ntx",
-                 "overflow", "fit", "run", "run_tiles")
+                 "overflow", "fit", "run", "run_tiles", "run_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -651,19 +651,16 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             )
             return finish(out)
 
-        def run_tiles(claim, carry):
-            """Run only the `claim`ed tiles into `carry` IN PLACE: indices
-            are compacted to the front of a DYNAMIC grid of exactly `count`
-            steps (a skipped grid step still costs ~430ns on this TPU, so
-            sparse passes must not iterate the full tiling) and dereferenced
-            through indirect index maps (no XLA gather/scatter of pixel
+        def run_idx(idx, count, carry):
+            """Run the first `count` tiles of logical-index list `idx` into
+            `carry` IN PLACE: a DYNAMIC grid of exactly `count` steps (a
+            skipped grid step still costs ~430ns on this TPU, so sparse
+            passes must not iterate the full tiling) dereferences the
+            scalar-prefetched indices (no XLA gather/scatter of pixel
             data). The carry buffer is donated (input_output_aliases), so
-            unclaimed blocks keep their carry contents — tiers chain into
+            untouched blocks keep their carry contents — tiers chain into
             one frame buffer with no per-tier allocation or select."""
             n_tiles = nby * ntx
-            flat = claim.reshape(-1)
-            idx = jnp.nonzero(flat, size=n_tiles, fill_value=0)[0]
-            count = jnp.sum(flat.astype(jnp.int32))
             return _call_kernel_tiles(
                 img_xm, px_b, py_b,
                 oy.reshape(1, n_tiles), ox.reshape(1, n_tiles),
@@ -674,7 +671,15 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 carry=carry,
             )
 
-        p.run, p.run_tiles = run, run_tiles
+        def run_tiles(claim, carry):
+            """Compact `claim`ed tile indices to the front, then run_idx."""
+            n_tiles = nby * ntx
+            flat = claim.reshape(-1)
+            idx = jnp.nonzero(flat, size=n_tiles, fill_value=0)[0]
+            count = jnp.sum(flat.astype(jnp.int32))
+            return run_idx(idx, count, carry)
+
+        p.run, p.run_tiles, p.run_idx = run, run_tiles, run_idx
         return p
 
     # Config chain, cheapest first — FLOPs/pixel scale with window area and
@@ -728,11 +733,10 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         fit_b = fit_b.at[:, : fit_rep.shape[1]].set(fit_rep)
         cb = fit_b & ~cheaper
         cheaper = cheaper | fit_b
-        # a tile is active if ANY of its base blocks claims this tier;
-        # sibling blocks claimed by a cheaper tier get overwritten later?
-        # No: claims are FIRST-fit per block, but launches run per TILE —
-        # so a tile runs here only when every unclaimed-so-far block in it
-        # fits, i.e. cb must cover the whole tile or none. Group to tiles:
+        # claims are FIRST-fit per base block, launches run per tile: a
+        # tile is active when ANY of its blocks claims this tier (blocks a
+        # cheaper tier claimed get recomputed here — still correct values,
+        # this tier's window fits the whole tile)
         actives.append(cb[:, : p.ntx * p.gw].reshape(nby, p.ntx, p.gw)
                        .any(axis=-1))
     unclaimed_any = jnp.any(~cheaper[:, :nbx_real])
@@ -741,13 +745,42 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         # tiers chain through ONE donated frame buffer, cheapest last so
         # its (majority) blocks write last; claims are disjoint per tile
         # so order only matters for allocation reuse, not correctness
-        res = jnp.zeros((nby * nbx, 4, BASE_PIX), jnp.float32)
+        n_blk = nby * nbx
+        res = jnp.zeros((n_blk, 4, BASE_PIX), jnp.float32)
+        # single-chunk (gw=1) tiers share the per-block tile space: ONE
+        # stable argsort by first-fit rank compacts ALL their claim lists
+        # at once (each jnp.nonzero is itself a sort-class op on TPU, so
+        # four separate compactions cost ~4x this), giving contiguous
+        # per-tier index segments read out by cheap dynamic slices.
+        singles = [t for t, p in enumerate(plans) if p.gw == 1]
+        seg = {}
+        if len(singles) > 1:
+            tid = jnp.full((n_blk,), len(singles), jnp.int32)
+            for r, t in enumerate(singles):
+                tid = jnp.where(actives[t].reshape(-1), jnp.int32(r), tid)
+            order = jnp.argsort(tid, stable=True).astype(jnp.int32)
+            order_pad = jnp.concatenate(
+                [order, jnp.zeros((n_blk,), jnp.int32)])
+            off = jnp.int32(0)
+            for r, t in enumerate(singles):
+                cnt = jnp.sum(actives[t].astype(jnp.int32))
+                idx_t = jax.lax.dynamic_slice(order_pad, (off,), (n_blk,))
+                seg[t] = (idx_t, cnt)
+                off = off + cnt
         for t, p in enumerate(plans):
-            act = actives[t]
-            res = jax.lax.cond(
-                jnp.any(act),
-                lambda r, p=p, act=act: p.run_tiles(act, r),
-                lambda r: r, res)
+            if t in seg:
+                idx_t, cnt = seg[t]
+                res = jax.lax.cond(
+                    cnt > 0,
+                    lambda r, p=p, idx_t=idx_t, cnt=cnt: p.run_idx(
+                        idx_t, cnt, r),
+                    lambda r: r, res)
+            else:
+                act = actives[t]
+                res = jax.lax.cond(
+                    jnp.any(act),
+                    lambda r, p=p, act=act: p.run_tiles(act, r),
+                    lambda r: r, res)
         return finish(res)
 
     mixed = (lambda _=None: jax.lax.cond(
