@@ -41,6 +41,22 @@ def coordinate_grids(ctx: RenderContext, dx: float = 0.0, dy: float = 0.0):
         x0, y0 = ctx.grid_xy
         return (x0 + be.asarray(dx, dtype=dt),
                 y0 - be.asarray(dy, dtype=dt))
+    if ctx.ss_stack > 1 and ctx.base_layout is not None:
+        # stacked supersampling: segment k of the block rows holds
+        # subsample k's grid with its subpixel offset baked in
+        from dataclasses import replace
+
+        assert dx == 0.0 and dy == 0.0
+        s = ctx.ss_stack
+        nby_t, nbx = ctx.base_layout
+        seg_ctx = replace(ctx, base_layout=(nby_t // (s * s), nbx),
+                          ss_stack=1, grid_xy=None)
+        xs, ys = [], []
+        for ddx, ddy in subpixel_offsets(s):
+            x0, y0 = coordinate_grids(seg_ctx, ddx, ddy)
+            xs.append(x0)
+            ys.append(y0)
+        return be.concatenate(xs, axis=0), be.concatenate(ys, axis=0)
     if ctx.base_layout is not None:
         import jax
 
@@ -103,6 +119,28 @@ def uses_sampling(filters: dict, fdef: A.FilterDef) -> bool:
     return walk_def(fdef)
 
 
+def uses_rand(filters: dict, fdef: A.FilterDef) -> bool:
+    """Whether `fdef` (or any filter it calls) draws rand(): such filters
+    must keep the sequential subsample loop (one counter draw per
+    subsample evaluation) instead of the stacked supersampling path."""
+    seen = set()
+
+    def walk_def(fd):
+        if fd.name in seen:
+            return False
+        seen.add(fd.name)
+        for sub in A.walk(fd.body):
+            if isinstance(sub, A.Call) and isinstance(sub.func, A.Var):
+                if sub.func.name == "rand":
+                    return True
+                called = filters.get(sub.func.name)
+                if called is not None and walk_def(called):
+                    return True
+        return False
+
+    return walk_def(fdef)
+
+
 def unflatten_output(be, rgba_base, nby: int, nbx: int, height: int, width: int):
     """(nby*nbx, 512, 4) base-layout frame -> (H, W, 4): the single layout
     conversion of a base-layout render."""
@@ -144,6 +182,25 @@ def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
     """Render one frame -> (H, W, 4) float32 array in [0,1]."""
     be = ctx.be
     s = ctx.opts.supersample
+    if ctx.ss_stack > 1:
+        # stacked supersampling: ONE evaluation (one sampler planning +
+        # launch set) covers every subsample — the grids hold all s*s
+        # subsample segments; average the segments, then unflatten once.
+        # Per-block sampler planning is identical to the sequential loop's
+        # (each block keeps its own stats), so outputs match it.
+        x, y = coordinate_grids(ctx)
+        env = build_env(ctx, fdef, uservals)
+        ev = Evaluator(ctx, x, y, env)
+        comps = coerce_rgba(ev, ev.eval(fdef.body), fdef)
+        s2 = ctx.ss_stack * ctx.ss_stack
+        nby_t, nbx = ctx.base_layout
+        nby = nby_t // s2
+        n_seg = nby * nbx
+        comps = [c.reshape(s2, n_seg, c.shape[-1]).mean(axis=0)
+                 for c in comps]
+        rgba = be.stack(comps, axis=-1)
+        rgba = unflatten_output(be, rgba, nby, nbx, ctx.height, ctx.width)
+        return be.clip(rgba, 0.0, 1.0)
     acc = None
     for dx, dy in subpixel_offsets(s):
         x, y = coordinate_grids(ctx, dx, dy)
@@ -262,6 +319,19 @@ class JitRenderer:
                        and uses_sampling(program_filters, fdef)
                        and os.environ.get("MMTPU_BASE_LAYOUT", "1") != "0"
                        else None)
+        ss = 1
+        if (base_layout is not None and opts.supersample > 1
+                and not uses_rand(program_filters, fdef)
+                and os.environ.get("MMTPU_SS_STACK", "0") == "1"):
+            # stacked supersampling (see RenderContext.ss_stack) — OFF by
+            # default: measured SLOWER than the sequential subsample loop
+            # (ripple 1080p 4xAA batched: 11.8 vs 8.3 ms/frame — XLA
+            # overlaps the loop's independent subsample pipelines better
+            # than one serialized big-launch chain). Kept behind the env
+            # knob for re-evaluation when the dispatch picture changes.
+            ss = opts.supersample
+            nby0, nbx0 = base_layout
+            base_layout = (ss * ss * nby0, nbx0)
 
         def run(input_arrays, userval_arrays, kinds, t, frame, prepads=None,
                 grids=None):
@@ -274,7 +344,7 @@ class JitRenderer:
                 inputs=inputs,
                 filters=program_filters, t=t, frame=frame,
                 num_frames=num_frames, is_jax=True,
-                base_layout=base_layout, grid_xy=grids,
+                base_layout=base_layout, grid_xy=grids, ss_stack=ss,
             )
             uservals = _rebuild_uservals(jnp, userval_arrays, kinds)
             return render_frame(ctx, fdef, uservals)
@@ -290,7 +360,7 @@ class JitRenderer:
             ctx0 = RenderContext(
                 be=jnp, width=width, height=height, opts=opts,
                 inputs=[], filters=program_filters, is_jax=True,
-                base_layout=base_layout,
+                base_layout=base_layout, ss_stack=ss,
             )
             return coordinate_grids(ctx0)
 

@@ -107,6 +107,14 @@ class RenderContext:
     #: render.coordinate_grids). Value: (nby, nbx). Only for unsharded jax
     #: renders; the final frame is unflattened once at output assembly.
     base_layout: tuple | None = None
+    #: >1 = supersampled render evaluated STACKED: base_layout's block
+    #: rows are ss_stack²·nby — segment k holds subsample k's grid with
+    #: its subpixel offset baked in — so ONE evaluation (one sampler
+    #: planning + launch set) covers every subsample; render_frame
+    #: averages the segments. Only for base-layout jit renders of
+    #: rand()-free filters (rand draws a fresh counter per sequential
+    #: subsample evaluation — stacking would change its stream).
+    ss_stack: int = 1
     #: Optional precomputed undisplaced coordinate grids (x0, y0) matching
     #: ctx.shape — JitRenderer builds them once per configuration (the
     #: base-layout iota/div/min construction costs ~1 ms per 4K frame) and
@@ -165,6 +173,8 @@ class Evaluator:
                 # base-block layout: recover the global (row, col) of each
                 # position from (block, pixel) iotas; padding positions get
                 # out-of-frame indices (their values are cropped away)
+                assert self.ctx.ss_stack == 1, \
+                    "rand() under stacked supersampling (renderer gates this)"
                 nby, nbx = self.ctx.base_layout
                 b = jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
                 p = jax.lax.broadcasted_iota(be.uint32, (h, w), 1)

@@ -316,6 +316,36 @@ def test_base_layout_rand_matches_gather_path():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_stacked_supersample_matches_oracle_loop(monkeypatch):
+    """The stacked supersampling path (one evaluation over s*s grid
+    segments; opt-in — measured slower than the loop on this relay) must
+    match the oracle's sequential subsample loop."""
+    monkeypatch.setenv("MMTPU_SS_STACK", "1")
+    img = np.random.RandomState(8).rand(48, 320, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    opts = mm.RenderOptions(supersample=2, sampler="pallas",
+                            pallas_precision="f32")
+    a = f.render(img, width=320, height=48, t=0.3, options=opts)
+    o = f.render(img, width=320, height=48, t=0.3, interpret=True,
+                 options=mm.RenderOptions(supersample=2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(o), atol=1e-4)
+
+
+def test_rand_filter_supersample_keeps_sequential_stream():
+    """rand() filters must NOT stack (the counter draws once per subsample
+    evaluation): jit + supersample must still match the oracle exactly."""
+    src = ("filter rss (image in)\n"
+           "  grayColor(clamp(gray(in(xy)) * 0.5 + rand(0, 0.5), 0, 1))\nend")
+    img = np.random.RandomState(9).rand(32, 96, 4).astype(np.float32)
+    f = mm.compile(src)
+    opts = mm.RenderOptions(supersample=2, sampler="pallas",
+                            pallas_precision="f32")
+    a = f.render(img, width=96, height=32, options=opts)
+    o = f.render(img, width=96, height=32, interpret=True,
+                 options=mm.RenderOptions(supersample=2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(o), atol=1e-4)
+
+
 def test_base_layout_supersample_matches_gather_path():
     img = np.random.RandomState(6).rand(64, 320, 4).astype(np.float32)
     f = mm.compile_file("filters/Distorts/ripple.mm")
