@@ -63,7 +63,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas-per-tile", choices=("auto", "on", "off"),
                    default="auto",
                    help="per-tile sampler tier selection on mixed-warp "
-                        "frames (auto: >=1 Mpix frames)")
+                        "frames (auto: >=1024 base blocks, ~0.5 Mpix)")
     p.add_argument("--pallas-while", choices=("auto", "on", "off"), default="auto",
                    help="in-VMEM while-loop engine (fractals)")
     p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")

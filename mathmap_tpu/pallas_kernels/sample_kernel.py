@@ -46,16 +46,6 @@ Pipeline (all inside one jit):
 
 from __future__ import annotations
 
-#: tier ladder fallback when opts lacks pallas_tiers — see
-#: runtime/options.RenderOptions.pallas_tiers for the measured rationale
-DEFAULT_TIERS = (
-    (8, 256, 32, 512, 128),
-    (8, 64, 32, 256, 0),
-    (8, 64, 64, 128, 0),
-    (8, 64, 64, 256, 0),
-    (8, 64, 128, 128, 0),
-    (8, 128, 320, 384, 256),
-)
 TILE_H = 8
 TILE_W = 256
 BW = 64  # base-block width: every tier's tile is gw consecutive (8, 64)
@@ -491,7 +481,12 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     interpolation = interpolation or opts.interpolation
     edge_x = edge_x or opts.edge_x
     edge_y = edge_y or opts.edge_y
-    tiers = getattr(opts, "pallas_tiers", DEFAULT_TIERS)
+    from ..runtime.options import RenderOptions
+
+    # single source of truth for the default ladder: RenderOptions
+    tiers = getattr(opts, "pallas_tiers", None)
+    if tiers is None:
+        tiers = RenderOptions.pallas_tiers
 
     h_img, w_img = img.global_shape
     # base-layout renders (RenderContext.base_layout) hand us coords
@@ -728,23 +723,24 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     cheaper = jnp.zeros((nby, nbx), bool)
     actives = []
     for p in plans:
-        fit_b = jnp.zeros((nby, nbx), bool)
-        fit_rep = jnp.repeat(p.fit, p.gw, axis=1)[:, :nbx]
-        fit_b = fit_b.at[:, : fit_rep.shape[1]].set(fit_rep)
+        # nbx is a multiple of every tier's gw (tile widths divide the
+        # 256-px planning LCM), so the repeat covers the block grid exactly
+        fit_b = jnp.repeat(p.fit, p.gw, axis=1)
         cb = fit_b & ~cheaper
         cheaper = cheaper | fit_b
         # claims are FIRST-fit per base block, launches run per tile: a
-        # tile is active when ANY of its blocks claims this tier (blocks a
-        # cheaper tier claimed get recomputed here — still correct values,
-        # this tier's window fits the whole tile)
-        actives.append(cb[:, : p.ntx * p.gw].reshape(nby, p.ntx, p.gw)
-                       .any(axis=-1))
+        # tile is active when ANY of its blocks claims this tier. Tiles of
+        # DIFFERENT tiers can overlap (a wide tile whose blocks split
+        # between tiers runs here in full, overwriting a cheaper tier's
+        # blocks) — correct because an active tile always satisfies ITS
+        # tier's whole-tile fit, so any overwrite writes correct values.
+        actives.append(cb.reshape(nby, p.ntx, p.gw).any(axis=-1))
     unclaimed_any = jnp.any(~cheaper[:, :nbx_real])
 
     def multipass(_=None):
-        # tiers chain through ONE donated frame buffer, cheapest last so
-        # its (majority) blocks write last; claims are disjoint per tile
-        # so order only matters for allocation reuse, not correctness
+        # tiers chain through ONE donated frame buffer; launch order is
+        # the ladder order (correctness does not depend on it — see the
+        # overlap note above)
         n_blk = nby * nbx
         res = jnp.zeros((n_blk, 4, BASE_PIX), jnp.float32)
         # single-chunk (gw=1) tiers share the per-block tile space: ONE

@@ -72,10 +72,12 @@ class RenderOptions:
     )
     #: per-tile tier selection in the Pallas sampler: on mixed-warp frames
     #: (twirl/fisheye class) each tile runs the cheapest tier whose window
-    #: fits ITS source bbox — fast tiles masked in place, mid/rot/xrot tiles
-    #: compacted to static-capacity grids — instead of the whole frame
-    #: paying for the worst tile. 'auto': on for >=1 Mpix frames; 'on':
-    #: whenever the tier chain exists (tests); 'off': whole-frame chain.
+    #: fits ITS source bbox — every tier's claimed tiles are compacted to
+    #: a dynamic-size indirect grid, all accumulating into one donated
+    #: frame buffer — instead of the whole frame paying for the worst
+    #: tile. 'auto': on for frames of >=1024 base (8, 64) blocks
+    #: (~0.5 Mpix); 'on': whenever the tier chain exists (tests); 'off':
+    #: whole-frame chain.
     pallas_per_tile: str = "auto"
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3
@@ -94,6 +96,9 @@ class RenderOptions:
         if self.sampler not in ("auto", "pallas", "gather"):
             raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
         for tier in self.pallas_tiers:
+            if len(tier) != 5:
+                raise ValueError(
+                    "each pallas tier is (tile_h, tile_w, win_h, win_w, subw)")
             th, tw, wh, ww, sw = tier
             if th != 8 or tw % 64 or 256 % tw:
                 # tiles are rows of 8 and a divisor of the 256-px planning
@@ -106,8 +111,9 @@ class RenderOptions:
                 # (origins only need 8-row alignment via the 4-copy layout)
                 raise ValueError(
                     "pallas tier windows must be (mult of 32, mult of 16)")
-            if sw % 8:
-                raise ValueError("tier subw must be a multiple of 8 (0 = off)")
+            if sw < 0 or sw % 8:
+                raise ValueError(
+                    "tier subw must be a non-negative multiple of 8 (0 = off)")
         if self.pallas_while not in ("auto", "on", "off"):
             raise ValueError("pallas_while must be 'auto', 'on' or 'off'")
         if self.pallas_per_tile not in ("auto", "on", "off"):

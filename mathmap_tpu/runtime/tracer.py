@@ -172,12 +172,19 @@ class Evaluator:
             if self.ctx.base_layout is not None:
                 # base-block layout: recover the global (row, col) of each
                 # position from (block, pixel) iotas; padding positions get
-                # out-of-frame indices (their values are cropped away)
+                # out-of-frame indices (their values are cropped away).
+                # row/col offsets here are offsets INTO THE BASE-LAYOUT
+                # ARRAY (the while engine's tiled sub-context sets them per
+                # pallas tile) — apply them to the block/pixel ids BEFORE
+                # decoding, or in-kernel rand would read local tile iotas
+                # as global ids (a tile-repeating noise field).
                 assert self.ctx.ss_stack == 1, \
                     "rand() under stacked supersampling (renderer gates this)"
                 nby, nbx = self.ctx.base_layout
-                b = jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
-                p = jax.lax.broadcasted_iota(be.uint32, (h, w), 1)
+                b = (jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
+                     + be.asarray(self.ctx.row_offset, dtype=be.uint32))
+                p = (jax.lax.broadcasted_iota(be.uint32, (h, w), 1)
+                     + be.asarray(self.ctx.col_offset, dtype=be.uint32))
                 iy = (b // nbx) * 8 + p // 64
                 ix = (b % nbx) * 64 + p % 64
             else:

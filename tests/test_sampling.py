@@ -331,6 +331,27 @@ def test_stacked_supersample_matches_oracle_loop(monkeypatch):
     np.testing.assert_allclose(np.asarray(a), np.asarray(o), atol=1e-4)
 
 
+def test_rand_in_while_engine_under_base_layout():
+    """rand() inside the in-VMEM while engine under base-block layout:
+    the engine's tiled sub-context offsets index INTO the base-layout
+    array — rand must decode global pixel ids through them (regression:
+    local tile iotas were read as global ids, max diff 0.52 vs gather)."""
+    src = ("filter rwb (image in)\n"
+           "  i = 0; s = 0;\n"
+           "  while i < 3 do s = s + rand(0, 0.2); i = i + 1 end;\n"
+           "  in(xy + xy:[s, s])\nend")
+    img = np.random.RandomState(12).rand(64, 512, 4).astype(np.float32)
+    f = mm.compile(src)
+    a = f.render(img, width=512, height=64,
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_precision="f32",
+                                          pallas_while="on"))
+    b = f.render(img, width=512, height=64,
+                 options=mm.RenderOptions(sampler="gather",
+                                          pallas_while="off"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 def test_rand_filter_supersample_keeps_sequential_stream():
     """rand() filters must NOT stack (the counter draws once per subsample
     evaluation): jit + supersample must still match the oracle exactly."""
