@@ -465,11 +465,15 @@ def _unflatten_base(out, nby, nbx):
 # ---------------------------------------------------------------------------
 
 def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
-                        edge_x=None, edge_y=None):
+                        edge_x=None, edge_y=None, xla_subset=None):
     """Sample InputImage `img` at world coords (x, y) via the Pallas kernel.
 
     Returns [r, g, b, a] channel arrays. `xla_fallback()` is traced into a
-    lax.cond branch used when any tile's source bbox exceeds the window.
+    lax.cond branch used when the frame can't be tiled onto the kernel;
+    `xla_subset(xs, ys)` (optional) samples arbitrary world-coord arrays
+    exactly — the per-tile path uses it to PATCH the few blocks that fit
+    no tier window (singular warps: polar inversion class) instead of
+    sending the whole frame to the gather path.
     interpolation/edge_x/edge_y default to the invocation options; callers
     with fixed semantics (gradient/curve LUTs) override them."""
     import jax
@@ -737,7 +741,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         actives.append(cb.reshape(nby, p.ntx, p.gw).any(axis=-1))
     unclaimed_any = jnp.any(~cheaper[:, :nbx_real])
 
-    def multipass(_=None):
+    def multipass_buf():
         # tiers chain through ONE donated frame buffer; launch order is
         # the ladder order (correctness does not depend on it — see the
         # overlap note above)
@@ -777,10 +781,81 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                     jnp.any(act),
                     lambda r, p=p, act=act: p.run_tiles(act, r),
                     lambda r: r, res)
-        return finish(res)
+        return res
 
-    mixed = (lambda _=None: jax.lax.cond(
-        unclaimed_any, slow_path, multipass, operand=None))
+    def multipass(_=None):
+        return finish(multipass_buf())
+
+    n_blk = nby * nbx
+    if xla_subset is None:
+        # no subset sampler available: any unclaimed block sends the whole
+        # frame to the exact fallback
+        mixed = (lambda _=None: jax.lax.cond(
+            unclaimed_any, slow_path, multipass, operand=None))
+    else:
+        # Singular warps (polar inversion class) leave blocks near the
+        # singularity fitting no tier window (their source span is ~the
+        # whole image; NaN coords also land here). Sending the whole
+        # frame to the ~20 Mpix/s gather for them costs ~25x the kernel
+        # path (measured: polar_invert 4K 467 ms), so instead PATCH the
+        # unclaimed blocks with an exact subset gather after the tier
+        # launches. Patch capacity is a 2-rung ladder (each rung is a
+        # static-shape gather, so a rung costs its FULL capacity whenever
+        # taken — small singularities must not pay the big rung);
+        # above the top rung the whole frame goes to the gather fallback.
+        caps = [min(n_blk, max(128, n_blk // 32))]
+        if n_blk // 8 > caps[0]:
+            caps.append(n_blk // 8)
+        unc = (~cheaper).at[:, nbx_real:].set(False)  # pad cols: cropped
+        unc_flat = unc.reshape(-1)
+        count_unc = jnp.sum(unc_flat.astype(jnp.int32))
+
+        def world_base():
+            """World coords in base-block layout (n_blk, BASE_PIX)."""
+            if base_mode:
+                return x, y
+
+            def fb(a):
+                a0 = jnp.pad(a, ((0, nby * TILE_H - h_out),
+                                 (0, nbx * BW - w_out)), mode="edge")
+                return _flatten_base(a0, nby, nbx).reshape(n_blk, BASE_PIX)
+
+            return fb(x), fb(y)
+
+        def patch_with(cap):
+            def patch(r):
+                idxu = jnp.nonzero(unc_flat, size=cap, fill_value=0)[0]
+                xb, yb = world_base()
+                xu = jnp.take(xb, idxu, axis=0)
+                yu = jnp.take(yb, idxu, axis=0)
+                chans = xla_subset(xu, yu)  # 4 x (cap, BASE_PIX), exact
+                # fill slots (idxu fill repeats block 0 whose values are
+                # also exact — benign duplicate writes)
+                return r.at[idxu, :, :].set(jnp.stack(chans, axis=1))
+
+            return patch
+
+        def full_overwrite(r):
+            # beyond the top rung: exact fallback for the whole frame
+            # (the already-spent kernel work is discarded — pathological
+            # frames are gather-dominated anyway)
+            xb, yb = world_base()
+            chans = xla_subset(xb, yb)
+            return jnp.stack(chans, axis=1)
+
+        def patched(_=None):
+            res = multipass_buf()
+            lo = 0
+            for cap in caps:
+                res = jax.lax.cond(
+                    (count_unc > lo) & (count_unc <= cap),
+                    patch_with(cap), lambda r: r, res)
+                lo = cap
+            res = jax.lax.cond(count_unc > caps[-1], full_overwrite,
+                               lambda r: r, res)
+            return finish(res)
+
+        mixed = patched
     top = jax.lax.cond(plans[0].overflow, mixed, plans[0].run, operand=None)
     return list(top)
 

@@ -133,7 +133,8 @@ def sample_image(ev, img, x, y):
         from ..pallas_kernels.sample_kernel import sample_image_pallas
 
         return sample_image_pallas(
-            ev, img, x, y, xla_fallback=lambda: _sample_xla(ev, img, x, y)
+            ev, img, x, y, xla_fallback=lambda: _sample_xla(ev, img, x, y),
+            xla_subset=lambda xs, ys: _sample_xla(ev, img, xs, ys),
         )
     return _sample_xla(ev, img, x, y)
 

@@ -380,7 +380,8 @@ def test_base_layout_supersample_matches_gather_path():
 
 def test_per_tile_unclaimed_falls_back_to_gather():
     """Tiles fitting NO tier window (strong warp, tiny windows everywhere)
-    must push the whole frame to the exact gather path, not truncate."""
+    must produce exact results — via the subset patch when few blocks are
+    unclaimed, or the whole-frame gather when the patch cap is exceeded."""
     img = np.random.RandomState(5).rand(96, 160, 4).astype(np.float32)
     f = mm.compile_file("filters/Distorts/twirl.mm")
     a = f.render(img, width=160, height=96, t=0.9,
@@ -390,5 +391,26 @@ def test_per_tile_unclaimed_falls_back_to_gather():
                                                         (8, 64, 32, 48, 0),
                                                         (8, 64, 32, 64, 0))))
     b = f.render(img, width=160, height=96, t=0.9,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+@pytest.mark.parametrize("path", ["filters/Distorts/polar_invert.mm",
+                                  "filters/Distorts/inside_out.mm"])
+def test_singular_warp_subset_patch_matches_gather(path):
+    """Polar-inversion-class warps: the blocks at the singularity fit no
+    tier window and must be PATCHED by the exact subset gather while the
+    rest of the frame stays on the kernel tiers (regression: one singular
+    tile used to push the whole 4K frame to the ~20 Mpix/s gather).
+    512 px wide so the xrot window does NOT cover the padded image (a
+    covering window would truncate the ladder and never leave unclaimed
+    blocks — verified the subset path engages at this size)."""
+    img = np.random.RandomState(15).rand(128, 512, 4).astype(np.float32)
+    f = mm.compile_file(path)
+    a = f.render(img, width=512, height=128, t=0.2,
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_per_tile="on",
+                                          pallas_precision="f32"))
+    b = f.render(img, width=512, height=128, t=0.2,
                  options=mm.RenderOptions(sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
