@@ -157,10 +157,15 @@ def _weights(jnp, frac, interpolation: str):
     ]
 
 
+#: pixels per sub-chunk in sub-chunk tiers: (8, 16) pieces of a base block
+SUBCHUNK_PIX = 128
+
+
 def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                  hp: int, precision: str = "bf16",
                  indirect: bool = False,
-                 subw: int | None = None, has_carry: bool = False):
+                 subw: int | None = None, has_carry: bool = False,
+                 subchunk: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -183,6 +188,14 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
     # multi-chunk tiles (fast tier: win_w=512) pay only for the ~chunk-wide
     # span they actually touch. Mosaic supports the dynamic sublane slice
     # (probed: rel err 4e-3 bf16).
+    # Sub-chunk mode (gw==1 tiles, extreme differential warps — the spiral
+    # class whose per-(8,64)-block source span exceeds any window): the
+    # tile's TALL window is DMA'd once, and each (8, 16)-px sub-chunk
+    # contracts only a square (subw, subw) 2-D slice of it at per-sub-chunk
+    # (x mult-8 sublane, y mult-32 row) offsets — compute scales with the
+    # sub-window area while the window covers the whole arc. Mosaic 2-D
+    # dynamic slicing probed OK (rel err 3.8e-3 bf16).
+    assert not (subchunk and (gw != 1 or not subw))
     chunk = BASE_PIX
     n_chunks = gw
     kw = subw or win_w  # contraction width per chunk
@@ -272,6 +285,10 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
 
         def compute():
             oy, ox = scalars_at(i, j)
+            if subchunk:
+                window_dma(i, j, slot).wait()
+                body_subchunk(oy, ox)
+                return
 
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (kw, chunk), 0)
             # interleaved-row index helper for the (win_h*4, chunk) y
@@ -352,6 +369,63 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                 out4 = mm(dn_sel, sel, prod, split_a=False)
                 o_ref[cn, :, :] = out4
 
+        def body_subchunk(oy, ox):
+            sub = subw
+            npx = SUBCHUNK_PIX
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (sub, npx), 0)
+            iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (sub * 4, npx), 0)
+            r_of_row = iota_h4 // 4
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, sub * 4), 1)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (4, sub * 4), 0)
+            sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
+            dn_sel = (((1,), (0,)), ((), ()))
+            lt = idx_ref[j] if indirect else i * nj + j
+            for s in range(chunk // npx):
+                # packed per-sub-chunk offsets: rows 0..3 = x sublane
+                # offsets (mult 8), rows 4..7 = y ROW offsets (mult 32 —
+                # their *4 lane offsets are 128-aligned)
+                sx = pl.multiple_of(coff_ref[s, lt], 8)
+                syr = pl.multiple_of(coff_ref[4 + s, lt], 32)
+                sy4 = pl.multiple_of(syr * 4, 128)
+                wsub = win2[slot, pl.ds(sx, sub), pl.ds(sy4, sub * 4)]
+                px = px_ref[0, 0:1, s * npx:(s + 1) * npx]
+                py = py_ref[0, 0:1, s * npx:(s + 1) * npx]
+                if interpolation == "nearest":
+                    x0 = jnp.floor(px + 0.5)
+                    y0 = jnp.floor(py + 0.5)
+                    fx = jnp.zeros_like(px)
+                    fy = jnp.zeros_like(py)
+                else:
+                    x0 = jnp.floor(px)
+                    y0 = jnp.floor(py)
+                    fx = px - x0
+                    fy = py - y0
+                lx = jnp.clip(x0.astype(jnp.int32) - (ox + sx),
+                              -tap_lo, sub - n_taps - tap_lo)
+                ly = jnp.clip(y0.astype(jnp.int32) - (oy + syr),
+                              -tap_lo, sub - n_taps - tap_lo)
+                if interpolation == "bilinear":
+                    px_loc = lx.astype(jnp.float32) + fx
+                    py_loc = ly.astype(jnp.float32) + fy
+                    ox_mat = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(iota_w.astype(jnp.float32) - px_loc))
+                    oy_mat4 = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(r_of_row.astype(jnp.float32) - py_loc))
+                else:
+                    wx = _weights(jnp, fx, interpolation)
+                    wy = _weights(jnp, fy, interpolation)
+                    ox_mat = jnp.zeros((sub, npx), jnp.float32)
+                    oy_mat4 = jnp.zeros((sub * 4, npx), jnp.float32)
+                    for tap in range(n_taps):
+                        ox_mat = ox_mat + jnp.where(
+                            iota_w == lx + (tap_lo + tap), wx[tap], 0.0)
+                        oy_mat4 = oy_mat4 + jnp.where(
+                            r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
+                tmp = mm(dn, wsub, ox_mat)
+                prod = tmp * oy_mat4
+                out4 = mm(dn_sel, sel, prod, split_a=False)
+                o_ref[0, :, s * npx:(s + 1) * npx] = out4
+
         compute()
 
     return kernel
@@ -360,7 +434,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
 def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
                        win_h, win_w, gw, hp, precision, interpret,
                        grid, grid_bound=None, tile_idx=None,
-                       subw=None, coff=None, carry=None):
+                       subw=None, coff=None, carry=None, subchunk=False):
     """Low-level launch over base-layout coordinates px_b/py_b
     (n_base, 1, BASE_PIX): every tier's tile is `gw` CONSECUTIVE base
     blocks, so one shared flatten serves all tiers and a tile's block is
@@ -393,7 +467,7 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
     assert oy.shape == ox.shape == (1, nty * ntx)
     kernel = _make_kernel(interpolation, win_h, win_w, gw, hp, precision,
                           indirect=indirect, subw=subw,
-                          has_carry=carry is not None)
+                          has_carry=carry is not None, subchunk=subchunk)
     sub = (coff,) if subw else ()
     if indirect:
         scalars = (tile_idx, oy, ox) + sub
@@ -430,7 +504,10 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    flops_tile = 2 * (subw or win_w) * (win_h * 4) * gw * BASE_PIX
+    if subchunk:
+        flops_tile = 2 * subw * (subw * 4) * BASE_PIX
+    else:
+        flops_tile = 2 * (subw or win_w) * (win_h * 4) * gw * BASE_PIX
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_base, 4, BASE_PIX), jnp.float32),
@@ -593,20 +670,45 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         planar = _unflatten_base(out_base, nby, nbx)
         return tuple(planar[c, :h_out, :w_out] for c in range(4))
 
+    def subchunk_stats():
+        """Per-(8, 16)-sub-chunk source bounds: (n_blk, 4) min/max x/y."""
+        n_blk = nby * nbx
+        if base_mode:
+            bx4 = x0g.reshape(n_blk, TILE_H, 4, 16)
+            by4 = y0g.reshape(n_blk, TILE_H, 4, 16)
+            ax = (1, 3)
+        else:
+            bx4 = x0g.reshape(nby, TILE_H, nbx, 4, 16).transpose(0, 2, 3, 1, 4)
+            by4 = y0g.reshape(nby, TILE_H, nbx, 4, 16).transpose(0, 2, 3, 1, 4)
+            bx4 = bx4.reshape(n_blk, 4, TILE_H, 16)
+            by4 = by4.reshape(n_blk, 4, TILE_H, 16)
+            ax = (2, 3)
+        return (bx4.min(axis=ax).reshape(n_blk, 4),
+                bx4.max(axis=ax).reshape(n_blk, 4),
+                by4.min(axis=ax).reshape(n_blk, 4),
+                by4.max(axis=ax).reshape(n_blk, 4))
+
     def plan(tile_h, tile_w_c, win_h_c, win_w_c, subw=None):
         """Group the base stats into this tier's tiling and compute aligned
-        window origins plus per-tile fit flags. With `subw`, also derive
-        per-chunk 8-aligned x-sub-origins (`coff`) inside the tile window;
-        the tile fits only if every chunk's x-span fits its sub-window."""
+        window origins plus per-tile fit flags. With `subw` on a gw>1 tier,
+        also derive per-chunk 8-aligned x-sub-origins (`coff`) inside the
+        tile window; the tile fits only if every chunk's x-span fits its
+        sub-window. `subw` on a gw==1 tier selects SUB-CHUNK mode: per-
+        (8, 16)-piece square (subw, subw) 2-D sub-windows (x mult-8,
+        y mult-32 offsets packed as an (8, n_tiles) scalar array) inside a
+        tall window — the extreme-differential-warp (spiral-class) tier."""
         assert tile_h == TILE_H and tile_w_c % BW == 0 and LCM_W % tile_w_c == 0
         win_h_c = min(win_h_c, hp)
         win_w_c = min(win_w_c, wp)
+        subchunk = tile_w_c == BW and subw is not None
         if subw is not None and (win_w_c <= subw
+                                 or (subchunk and win_h_c <= subw)
                                  or (win_h_c >= hp and win_w_c >= wp)):
-            # no-op at this window width — or the truncated whole-image
+            # no-op at this window size — or the truncated whole-image
             # window, whose skipped fit check must stay trivially true
             # (a sub-window CAN overflow even when the full window can't)
             subw = None
+            subchunk = False
         gw = tile_w_c // BW
         ntx = nbx // gw
         group = [b.reshape(nby, ntx, gw) for b in base]
@@ -617,7 +719,22 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         ox = jnp.clip((min_x // 16) * 16, 0, wp - win_w_c)
         oy = jnp.clip((min_y // 8) * 8, 0, hp - win_h_c)
         coff = None
-        if subw is not None:
+        if subchunk:
+            sminx, smaxx, sminy, smaxy = subchunk_stats()
+            oxf = ox.reshape(-1, 1)  # (n_tiles, 1); gw==1 so tiles==blocks
+            oyf = oy.reshape(-1, 1)
+            sminx = sminx + tap_lo
+            smaxx = smaxx + tap_lo + n_taps - 1
+            sminy = sminy + tap_lo
+            smaxy = smaxy + tap_lo + n_taps - 1
+            cx = jnp.clip(((sminx - oxf) // 8) * 8, 0, win_w_c - subw)
+            cy = jnp.clip(((sminy - oyf) // 32) * 32, 0, win_h_c - subw)
+            fit_s = ((smaxx - oxf - cx <= subw - 1)
+                     & (smaxy - oyf - cy <= subw - 1))
+            fit_x = jnp.all(fit_s, axis=-1).reshape(nby, ntx)
+            # packed (8, n_tiles): rows 0..3 x-offsets, rows 4..7 y-rows
+            coff = jnp.concatenate([cx.T, cy.T], axis=0).astype(jnp.int32)
+        elif subw is not None:
             bmin_x = group[0] + tap_lo  # (nby, ntx, gw) per-chunk bounds
             bmax_x = group[1] + tap_lo + n_taps - 1
             coff = jnp.clip(((bmin_x - ox[..., None]) // 8) * 8,
@@ -646,7 +763,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 oy.reshape(1, nby * ntx), ox.reshape(1, nby * ntx),
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
-                grid=(nby, ntx), subw=subw, coff=coff,
+                grid=(nby, ntx), subw=subw, coff=coff, subchunk=subchunk,
             )
             return finish(out)
 
@@ -667,7 +784,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
                 grid=(1, n_tiles), grid_bound=count,
                 tile_idx=idx.astype(jnp.int32), subw=subw, coff=coff,
-                carry=carry,
+                carry=carry, subchunk=subchunk,
             )
 
         def run_tiles(claim, carry):
@@ -686,7 +803,12 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # bilinear: fast 587, mid 417, rot 320, xrot 150 Mpix/s; gather ~20).
     # A tier whose window covers the whole padded image truncates the chain
     # (single unconditional pallas program — the LUT/small-image case).
-    tier_cfgs = [(th, tw, wh, ww, sw or None) for th, tw, wh, ww, sw in tiers]
+    itm = 2 if precision == "bf16" else 4
+    tier_cfgs = []
+    for th, tw, wh, ww, sw in tiers:
+        if 2 * min(ww, wp) * min(wh, hp) * 4 * itm > 12 * (1 << 20):
+            continue  # double-buffered window would not fit VMEM
+        tier_cfgs.append((th, tw, wh, ww, sw or None))
 
     def slow_path(_=None):
         return tuple(xla_fallback())

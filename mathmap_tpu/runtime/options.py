@@ -62,6 +62,9 @@ class RenderOptions:
     #:   mid   8x64  win 64x256        —  582: magnification + y-warp
     #:   rotn  8x64  win 128x128       —  541: any rotation, mag <=1.6
     #:   xrot  8x128 win 320x384 sub256—  250: extreme warps (slope ~3.8)
+    #:   schk  8x64  win 576x576 sub192—  spiral class: subw on a 64-wide
+    #:         tile selects SUB-CHUNK mode — per-(8,16)-piece square 2-D
+    #:         sub-windows inside a tall window (differential slope ~11)
     pallas_tiers: tuple = (
         (8, 256, 32, 512, 128),
         (8, 64, 32, 256, 0),
@@ -69,6 +72,7 @@ class RenderOptions:
         (8, 64, 64, 256, 0),
         (8, 64, 128, 128, 0),
         (8, 128, 320, 384, 256),
+        (8, 64, 576, 576, 192),
     )
     #: per-tile tier selection in the Pallas sampler: on mixed-warp frames
     #: (twirl/fisheye class) each tile runs the cheapest tier whose window
@@ -114,6 +118,12 @@ class RenderOptions:
             if sw < 0 or sw % 8:
                 raise ValueError(
                     "tier subw must be a non-negative multiple of 8 (0 = off)")
+            if tw == 64 and sw and sw % 32:
+                # gw==1 + subw selects sub-chunk mode: the y sub-offsets
+                # are 32-row-aligned lane slices, so the square sub-window
+                # side must be a multiple of 32
+                raise ValueError(
+                    "sub-chunk tier (tile_w 64) subw must be a multiple of 32")
         if self.pallas_while not in ("auto", "on", "off"):
             raise ValueError("pallas_while must be 'auto', 'on' or 'off'")
         if self.pallas_per_tile not in ("auto", "on", "off"):

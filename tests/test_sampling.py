@@ -378,6 +378,24 @@ def test_base_layout_supersample_matches_gather_path():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_subchunk_tier_spiral_matches_gather():
+    """Extreme differential warps (spiral class): the sub-chunk tier
+    samples each (8, 16) piece through a square 2-D sub-window of a tall
+    tile window. 640x640 is the smallest size where the 576-row window
+    does NOT cover the padded image (engagement verified by tracing the
+    subchunk launch). Tolerance 2e-4: the f32 split-float error grows
+    with the K=192 contraction depth (<=1e-4-class target)."""
+    img = np.random.RandomState(3).rand(640, 640, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/spiral_warp.mm")
+    a = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_per_tile="on",
+                                          pallas_precision="f32"))
+    b = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_per_tile_unclaimed_falls_back_to_gather():
     """Tiles fitting NO tier window (strong warp, tiny windows everywhere)
     must produce exact results — via the subset patch when few blocks are
