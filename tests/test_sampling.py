@@ -378,7 +378,8 @@ def test_base_layout_supersample_matches_gather_path():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
-def test_subchunk_tier_spiral_matches_gather():
+@pytest.mark.parametrize("interp", ["bilinear", "bicubic"])
+def test_subchunk_tier_spiral_matches_gather(interp):
     """Extreme differential warps (spiral class): the sub-chunk tier
     samples each (8, 16) piece through a square 2-D sub-window of a tall
     tile window. 640x640 is the smallest size where the 576-row window
@@ -388,11 +389,13 @@ def test_subchunk_tier_spiral_matches_gather():
     img = np.random.RandomState(3).rand(640, 640, 4).astype(np.float32)
     f = mm.compile_file("filters/Distorts/spiral_warp.mm")
     a = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
-                 options=mm.RenderOptions(sampler="pallas",
+                 options=mm.RenderOptions(interpolation=interp,
+                                          sampler="pallas",
                                           pallas_per_tile="on",
                                           pallas_precision="f32"))
     b = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
-                 options=mm.RenderOptions(sampler="gather"))
+                 options=mm.RenderOptions(interpolation=interp,
+                                          sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
