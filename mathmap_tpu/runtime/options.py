@@ -62,9 +62,11 @@ class RenderOptions:
     #:   mid   8x64  win 64x256        —  582: magnification + y-warp
     #:   rotn  8x64  win 128x128       —  541: any rotation, mag <=1.6
     #:   xrot  8x128 win 320x384 sub256—  250: extreme warps (slope ~3.8)
-    #:   schk  8x64  win 576x576 sub192—  spiral class: subw on a 64-wide
+    #:   schk  8x64  win 512x512 sub160—  spiral class: subw on a 64-wide
     #:         tile selects SUB-CHUNK mode — per-(8,16)-piece square 2-D
-    #:         sub-windows inside a tall window (differential slope ~11)
+    #:         sub-windows inside a tall window (differential slope ~9;
+    #:         beyond it the subset patch takes over). 512/160 measured
+    #:         best of {576/192, 512/192, 512/160} on 4K spiral
     pallas_tiers: tuple = (
         (8, 256, 32, 512, 128),
         (8, 64, 32, 256, 0),
@@ -72,7 +74,7 @@ class RenderOptions:
         (8, 64, 64, 256, 0),
         (8, 64, 128, 128, 0),
         (8, 128, 320, 384, 256),
-        (8, 64, 576, 576, 192),
+        (8, 64, 512, 512, 160),
     )
     #: per-tile tier selection in the Pallas sampler: on mixed-warp frames
     #: (twirl/fisheye class) each tile runs the cheapest tier whose window
