@@ -382,10 +382,10 @@ def test_base_layout_supersample_matches_gather_path():
 def test_subchunk_tier_spiral_matches_gather(interp):
     """Extreme differential warps (spiral class): the sub-chunk tier
     samples each (8, 16) piece through a square 2-D sub-window of a tall
-    tile window. 640x640 is the smallest size where the 576-row window
-    does NOT cover the padded image (engagement verified by tracing the
-    subchunk launch). Tolerance 2e-4: the f32 split-float error grows
-    with the K=192 contraction depth (<=1e-4-class target)."""
+    tile window. 640x640: the 512-row default window does NOT cover the
+    padded image there (engagement verified by tracing the subchunk
+    launch). Tolerance 2e-4: the f32 split-float error grows with the
+    contraction depth (<=1e-4-class target)."""
     img = np.random.RandomState(3).rand(640, 640, 4).astype(np.float32)
     f = mm.compile_file("filters/Distorts/spiral_warp.mm")
     a = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
