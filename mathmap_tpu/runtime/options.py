@@ -8,7 +8,7 @@ config-system row.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 INTERPOLATIONS = ("nearest", "bilinear", "bicubic")
 EDGE_BEHAVIORS = ("color", "wrap", "reflect")
