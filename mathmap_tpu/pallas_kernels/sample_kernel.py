@@ -157,7 +157,8 @@ def _weights(jnp, frac, interpolation: str):
     ]
 
 
-#: pixels per sub-chunk in sub-chunk tiers: (8, 16) pieces of a base block
+#: pixels per sub-chunk piece in sub-chunk tiers: (8, 16) strips of a base
+#: block (4 strips per block; see body_subchunk for the strip layout)
 SUBCHUNK_PIX = 128
 
 
@@ -190,10 +191,18 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
     # (probed: rel err 4e-3 bf16).
     # Sub-chunk mode (gw==1 tiles, extreme differential warps — the spiral
     # class whose per-(8,64)-block source span exceeds any window): the
-    # tile's TALL window is DMA'd once, and each (8, 16)-px sub-chunk
-    # contracts only a square (subw, subw) 2-D slice of it at per-sub-chunk
-    # (x mult-8 sublane, y mult-32 row) offsets — compute scales with the
-    # sub-window area while the window covers the whole arc. Mosaic 2-D
+    # tile's TALL window is DMA'd once, and each (8, 16)-px STRIP of the
+    # block contracts only a square (subw, subw) 2-D slice of it at
+    # per-strip (x mult-8 sublane, y mult-32 row) offsets — compute scales
+    # with the sub-window area while the window covers the whole arc. The
+    # (8, 16) strip minimizes the projected source span of a 128-px piece
+    # under isotropic differential warps (vs 557 px for a (2, 64) row pair
+    # at spiral_warp's 8.7 px/px 4K edge slope). A strip's lanes are NOT
+    # contiguous in the row-major block (lane%64//16 == s), so each strip
+    # runs as a masked contraction over all 512 lanes — 4x the matmul N of
+    # a contiguous slice, but no relayout anywhere (ADVICE r2 high: the
+    # earlier contiguous-slice kernel processed (2, 64) row pairs against
+    # (8, 16)-strip planning stats and silently clamped taps). Mosaic 2-D
     # dynamic slicing probed OK (rel err 3.8e-3 bf16).
     assert not (subchunk and (gw != 1 or not subw))
     chunk = BASE_PIX
@@ -371,60 +380,74 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
 
         def body_subchunk(oy, ox):
             sub = subw
-            npx = SUBCHUNK_PIX
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (sub, npx), 0)
-            iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (sub * 4, npx), 0)
+            n = chunk  # all 512 lanes of the (8, 64) base block at once
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (sub, n), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            # (8, 16)-strip id of each lane in the row-major block layout
+            # (flat = r*64 + s*16 + c): strips' lanes interleave, so each
+            # strip is a MASKED contraction over the whole block rather
+            # than a contiguous slice (see the mode comment above)
+            strip_of = (lane - (lane // 64) * 64) // 16
+            iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (sub * 4, n), 0)
             r_of_row = iota_h4 // 4
             rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, sub * 4), 1)
             cidx = jax.lax.broadcasted_iota(jnp.int32, (4, sub * 4), 0)
             sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
             dn_sel = (((1,), (0,)), ((), ()))
             lt = idx_ref[j] if indirect else i * nj + j
-            for s in range(chunk // npx):
-                # packed per-sub-chunk offsets: rows 0..3 = x sublane
-                # offsets (mult 8), rows 4..7 = y ROW offsets (mult 32 —
-                # their *4 lane offsets are 128-aligned)
+            px = px_ref[0, 0:1, :]
+            py = py_ref[0, 0:1, :]
+            if interpolation == "nearest":
+                x0 = jnp.floor(px + 0.5)
+                y0 = jnp.floor(py + 0.5)
+                fx = jnp.zeros_like(px)
+                fy = jnp.zeros_like(py)
+            else:
+                x0 = jnp.floor(px)
+                y0 = jnp.floor(py)
+                fx = px - x0
+                fy = py - y0
+            out4 = jnp.zeros((4, n), jnp.float32)
+            for s in range(4):
+                # packed per-strip offsets: rows 0..3 = x sublane offsets
+                # (mult 8), rows 4..7 = y ROW offsets (mult 32 — their *4
+                # lane offsets are 128-aligned)
                 sx = pl.multiple_of(coff_ref[s, lt], 8)
                 syr = pl.multiple_of(coff_ref[4 + s, lt], 32)
                 sy4 = pl.multiple_of(syr * 4, 128)
                 wsub = win2[slot, pl.ds(sx, sub), pl.ds(sy4, sub * 4)]
-                px = px_ref[0, 0:1, s * npx:(s + 1) * npx]
-                py = py_ref[0, 0:1, s * npx:(s + 1) * npx]
-                if interpolation == "nearest":
-                    x0 = jnp.floor(px + 0.5)
-                    y0 = jnp.floor(py + 0.5)
-                    fx = jnp.zeros_like(px)
-                    fy = jnp.zeros_like(py)
-                else:
-                    x0 = jnp.floor(px)
-                    y0 = jnp.floor(py)
-                    fx = px - x0
-                    fy = py - y0
                 lx = jnp.clip(x0.astype(jnp.int32) - (ox + sx),
                               -tap_lo, sub - n_taps - tap_lo)
                 ly = jnp.clip(y0.astype(jnp.int32) - (oy + syr),
                               -tap_lo, sub - n_taps - tap_lo)
+                # zero this strip's x-weights on every other strip's lanes:
+                # their tmp columns vanish, so the accumulated out4 gets
+                # exactly one contribution per lane. Claimed blocks have
+                # finite coords everywhere (NaN/huge stats fail the fit),
+                # so masked lanes cannot inject NaNs.
+                mask = (strip_of == s).astype(jnp.float32)
                 if interpolation == "bilinear":
                     px_loc = lx.astype(jnp.float32) + fx
                     py_loc = ly.astype(jnp.float32) + fy
-                    ox_mat = jnp.maximum(
+                    ox_mat = mask * jnp.maximum(
                         0.0, 1.0 - jnp.abs(iota_w.astype(jnp.float32) - px_loc))
                     oy_mat4 = jnp.maximum(
                         0.0, 1.0 - jnp.abs(r_of_row.astype(jnp.float32) - py_loc))
                 else:
                     wx = _weights(jnp, fx, interpolation)
                     wy = _weights(jnp, fy, interpolation)
-                    ox_mat = jnp.zeros((sub, npx), jnp.float32)
-                    oy_mat4 = jnp.zeros((sub * 4, npx), jnp.float32)
+                    ox_mat = jnp.zeros((sub, n), jnp.float32)
+                    oy_mat4 = jnp.zeros((sub * 4, n), jnp.float32)
                     for tap in range(n_taps):
                         ox_mat = ox_mat + jnp.where(
                             iota_w == lx + (tap_lo + tap), wx[tap], 0.0)
                         oy_mat4 = oy_mat4 + jnp.where(
                             r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
+                    ox_mat = ox_mat * mask
                 tmp = mm(dn, wsub, ox_mat)
                 prod = tmp * oy_mat4
-                out4 = mm(dn_sel, sel, prod, split_a=False)
-                o_ref[0, :, s * npx:(s + 1) * npx] = out4
+                out4 = out4 + mm(dn_sel, sel, prod, split_a=False)
+            o_ref[0, :, :] = out4
 
         compute()
 
@@ -505,7 +528,8 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
         ],
     )
     if subchunk:
-        flops_tile = 2 * subw * (subw * 4) * BASE_PIX
+        # 4 masked strip contractions, each over the block's full 512 lanes
+        flops_tile = 4 * 2 * subw * (subw * 4) * BASE_PIX
     else:
         flops_tile = 2 * (subw or win_w) * (win_h * 4) * gw * BASE_PIX
     return pl.pallas_call(

@@ -399,6 +399,26 @@ def test_subchunk_tier_spiral_matches_gather(interp):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_subchunk_tier_anisotropic_matches_gather():
+    """ADVICE r2 (high): the sub-chunk planner's per-piece stats must
+    describe the pieces the KERNEL actually samples — (8, 16) strips. An
+    anisotropic x-magnification warp (strip x-span 16*3=48 < subw=64 <
+    row-pair x-span 64*3=192) distinguishes strip stats from the old
+    contiguous (2, 64) row-pair slices: under the mismatch this render
+    had max abs error ~1.0; rotational warps (the spiral test) cannot
+    tell the two piece shapes apart."""
+    img = np.random.RandomState(11).rand(128, 256, 4).astype(np.float32)
+    f = mm.compile("filter aniso (image in)\n  in(xy * xy:[3,1])\nend")
+    a = f.render(img, width=256, height=128,
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_per_tile="on",
+                                          pallas_precision="f32",
+                                          pallas_tiers=((8, 64, 96, 512, 64),)))
+    b = f.render(img, width=256, height=128,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_per_tile_unclaimed_falls_back_to_gather():
     """Tiles fitting NO tier window (strong warp, tiny windows everywhere)
     must produce exact results — via the subset patch when few blocks are
