@@ -122,6 +122,43 @@ class Filter:
             ))
         return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
+    def render_batch(self, *batched_inputs, ts=None, width: int | None = None,
+                     height: int | None = None,
+                     options: RenderOptions | None = None,
+                     params: dict | None = None):
+        """Render N independent frames in ONE device program -> (N, H, W, 4).
+
+        Each batched input is an (N, H, W, 4) stack (or a list of (H, W, 4)
+        frames); job i renders the i-th slice of every input at t=ts[i]
+        (default 0.0). All jobs share `params` and the render options. This
+        is the batched small-render entry: one fenced dispatch covers the
+        whole batch, so the per-call dispatch cost amortizes across N
+        frames — the TPU analog of the reference's in-process render loop,
+        where issuing a 512² frame costs nothing but the pixels
+        (mathmap_cmdline.c option loop [unverified — mount empty])."""
+        options = options or RenderOptions()
+        params = params or {}
+        def conv(batch):
+            if isinstance(batch, (list, tuple)):
+                return np.stack([to_float_rgba(np.asarray(f)) for f in batch])
+            arr = np.asarray(batch)
+            if arr.ndim == 4 and arr.dtype == np.float32 and arr.shape[-1] == 4:
+                return arr  # already a float RGBA stack — no copy
+            return np.stack([to_float_rgba(f) for f in arr])
+
+        ins = [conv(b) for b in batched_inputs]
+        n = ins[0].shape[0] if ins else (len(ts) if ts is not None else 1)
+        for a in ins:
+            if a.ndim != 4 or a.shape[0] != n:
+                raise ValueError(
+                    "render_batch inputs must share a leading batch axis")
+        first = [a[0] for a in ins]
+        width, height = self._resolve_size(first, width, height)
+        if ts is None:
+            ts = np.zeros(n, dtype=np.float32)
+        renderer = self._renderer(width, height, options, 1)
+        return np.asarray(renderer.render_batch(ins, params, ts))
+
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
                        width: int | None = None, height: int | None = None,
                        options: RenderOptions | None = None, ts=None,

@@ -249,6 +249,38 @@ def test_render_animation_batched_matches_loop():
     np.testing.assert_allclose(batched, looped, atol=1e-6)
 
 
+def test_render_batch_matches_per_frame_renders():
+    """render_batch: N independent (input, t) jobs in one device program
+    must match N per-frame render() calls (VERDICT r2 item 2 — the batched
+    small-render entry that amortizes the dispatch floor)."""
+    src = "origVal(xy) * grayColor(0.5 + 0.5 * sin(t * 2 * pi))"
+    f = mm.compile(src)
+    rng = np.random.RandomState(7)
+    imgs = rng.rand(3, H, W, 4).astype(np.float32)
+    ts = np.array([0.0, 0.3, 0.8], np.float32)
+    batched = f.render_batch(imgs, ts=ts)
+    assert batched.shape == (3, H, W, 4)
+    for i in range(3):
+        single = f.render(imgs[i], t=float(ts[i]))
+        np.testing.assert_allclose(batched[i], single, atol=1e-6)
+
+
+def test_render_batch_sampling_filter_matches():
+    """Batched jobs through a Pallas-eligible sampling filter (base-block
+    layout path) with per-job inputs and list-of-frames input form."""
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    rng = np.random.RandomState(8)
+    frames = [rng.rand(H, W, 4).astype(np.float32) for _ in range(2)]
+    out = f.render_batch(frames, ts=[0.2, 0.6],
+                         options=mm.RenderOptions(sampler="pallas",
+                                                  pallas_precision="f32"))
+    for i, t in enumerate((0.2, 0.6)):
+        single = f.render(frames[i], t=t,
+                          options=mm.RenderOptions(sampler="pallas",
+                                                   pallas_precision="f32"))
+        np.testing.assert_allclose(out[i], single, atol=1e-6)
+
+
 def test_render_animation_nonperiodic_reaches_t1():
     src = "grayColor(t)"
     f = mm.compile(src)
