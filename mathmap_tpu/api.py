@@ -43,11 +43,24 @@ class Filter:
 
     # -- rendering ------------------------------------------------------------
     def _resolve_size(self, inputs, width, height):
+        # shape[-2]/[-3] so animated (T, H, W, 4) inputs resolve too
         if width is None:
-            width = inputs[0].shape[1] if inputs else 512
+            width = inputs[0].shape[-2] if inputs else 512
         if height is None:
-            height = inputs[0].shape[0] if inputs else 512
+            height = inputs[0].shape[-3] if inputs else 512
         return int(width), int(height)
+
+    @staticmethod
+    def _conv_input(a):
+        """(H,W,C)-convertible -> float32 (H,W,4); a 4-D array is an
+        ANIMATED input -> (T,H,W,4) (render_batch instead treats 4-D as a
+        batch of independent frames — the two entries differ on purpose)."""
+        arr = np.asarray(a)
+        if arr.ndim == 4:
+            if arr.dtype == np.float32 and arr.shape[-1] == 4:
+                return arr
+            return np.stack([to_float_rgba(f) for f in arr])
+        return to_float_rgba(arr)
 
     def _renderer(self, width, height, options, num_frames) -> JitRenderer:
         key = (width, height, options, num_frames)
@@ -71,7 +84,7 @@ class Filter:
         """
         options = options or RenderOptions()
         params = params or {}
-        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        ins = [self._conv_input(a) for a in inputs]
         width, height = self._resolve_size(ins, width, height)
         if interpret:
             return render_oracle(
@@ -105,7 +118,7 @@ class Filter:
         streaming use render_frames()."""
         options = options or RenderOptions()
         params = params or {}
-        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        ins = [self._conv_input(a) for a in inputs]
         width, height = self._resolve_size(ins, width, height)
         denom = num_frames if options.periodic else max(num_frames - 1, 1)
         ts = np.arange(num_frames, dtype=np.float32) / denom
@@ -226,7 +239,7 @@ class Filter:
         Compiles once; each frame reuses the executable."""
         options = options or RenderOptions()
         params = params or {}
-        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        ins = [self._conv_input(a) for a in inputs]
         width, height = self._resolve_size(ins, width, height)
         renderer = self._renderer(width, height, options, num_frames)
         # upload inputs once; every frame reuses the device-resident copies

@@ -166,7 +166,18 @@ def main(argv=None) -> int:
         return 1
     log(f"parse: {time.perf_counter() - t0:.3f}s  (filter {filt.name!r})")
 
-    inputs = [read_image(p) for p in input_paths]
+    def read_input(p):
+        if p.lower().endswith(".gif"):
+            # multi-frame GIFs become ANIMATED inputs ((T,H,W,4) stacks —
+            # origValXY(x,y,frame) / current-frame sampling); single-frame
+            # GIFs stay plain images
+            from .imgio.images import read_animation
+
+            stack = read_animation(p)
+            return stack if stack.shape[0] > 1 else stack[0]
+        return read_image(p)
+
+    inputs = [read_input(p) for p in input_paths]
     width = height = None
     if args.size:
         width, height = (int(v) for v in args.size.lower().split("x"))
@@ -245,16 +256,16 @@ def main(argv=None) -> int:
                 frames_done += 1
         dt = time.perf_counter() - t1
         if verbose:
-            h = height or (inputs[0].shape[0] if inputs else 512)
-            w = width or (inputs[0].shape[1] if inputs else 512)
+            h = height or (inputs[0].shape[-3] if inputs else 512)
+            w = width or (inputs[0].shape[-2] if inputs else 512)
             mpix = frames_done * h * w / 1e6
             log(f"render: {dt:.3f}s  {frames_done} frame(s)  {mpix / dt:.2f} Mpix/s")
         if args.stats:
             from .utils.log import RenderStats
 
             stats = RenderStats(
-                width=width or (inputs[0].shape[1] if inputs else 512),
-                height=height or (inputs[0].shape[0] if inputs else 512),
+                width=width or (inputs[0].shape[-2] if inputs else 512),
+                height=height or (inputs[0].shape[-3] if inputs else 512),
                 frames=frames_done, parse_s=t1 - t0, render_s=dt,
             )
             print(stats.to_json())

@@ -61,6 +61,25 @@ def read_image(path: str) -> np.ndarray:
     return to_float_rgba(np.asarray(img))
 
 
+def read_animation(path: str) -> np.ndarray:
+    """Read a multi-frame image file (animated GIF) -> float32 (T, H, W, 4)
+    stack for ANIMATED inputs (origValXY frame-indexed sampling; the
+    reference's multi-frame input drawables came from GIMP layer stacks
+    [unverified — mount empty]). Single-frame files return (1, H, W, 4)."""
+    pil = _pil()
+    img = pil.open(path)
+    frames = []
+    try:
+        i = 0
+        while True:
+            img.seek(i)
+            frames.append(to_float_rgba(np.asarray(img.convert("RGBA"))))
+            i += 1
+    except EOFError:
+        pass
+    return np.stack(frames)
+
+
 def write_animation(path: str, frames, fps: float = 25.0) -> None:
     """Write an (F, H, W, 4) float sequence as an animated GIF (or stacked
     frames for other formats via write_image). The reference emitted one

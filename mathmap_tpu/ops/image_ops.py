@@ -3,9 +3,10 @@
 Reference: origVal macro family (SURVEY.md §2.1 origVal row) [unverified —
 mount empty, SURVEY.md §0]. `origVal(xy)` samples the first input drawable at
 world coords; `origValXY(x, y)` is the two-scalar variant; the optional
-frame index of `origValXY(x,y,frame)` is accepted and ignored (single-frame
-inputs) [syntax variants marked LOW in SURVEY].
-"""
+frame index of `origValXY(x,y,frame)` selects the frame of an ANIMATED
+input drawable ((T, H, W, 4) stacks — animation in -> animation out;
+indices round and clamp; single-frame inputs clamp every index to their
+one frame) [syntax variants marked LOW in SURVEY]."""
 
 from __future__ import annotations
 
@@ -36,7 +37,10 @@ def _orig_val_xy(ev, args, span):
     x = ev.grid(args[0].scalar(span))
     y = ev.grid(args[1].scalar(span))
     img = _first_input(ev, span)
-    return TupleValue("rgba", tuple(img.sample(ev, x, y)))
+    # scalar frame indices stay scalar (the Pallas path selects the frame
+    # once); per-pixel frame arrays route through the gather path
+    frame = args[2].scalar(span) if len(args) == 3 else None
+    return TupleValue("rgba", tuple(img.sample(ev, x, y, frame=frame)))
 
 
 @builtin("origValImage")

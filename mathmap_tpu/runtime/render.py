@@ -61,10 +61,17 @@ def coordinate_grids(ctx: RenderContext, dx: float = 0.0, dy: float = 0.0):
         import jax
 
         nby, nbx = ctx.base_layout
+        lh = ctx.local_height or ctx.height
+        lw = ctx.local_width or ctx.width
         b = jax.lax.broadcasted_iota(be.int32, (h, w), 0)
         p = jax.lax.broadcasted_iota(be.int32, (h, w), 1)
-        row = be.minimum((b // nbx) * 8 + p // 64, ctx.height - 1)
-        col = be.minimum((b % nbx) * 64 + p % 64, ctx.width - 1)
+        # clamp inside the LOCAL tile (pad positions duplicate its edge
+        # pixel and are cropped at assembly), then shift to the tile's
+        # global origin — world coords are always global
+        row = (be.minimum((b // nbx) * 8 + p // 64, lh - 1)
+               + be.asarray(ctx.tile_row0, dtype=be.int32))
+        col = (be.minimum((b % nbx) * 64 + p % 64, lw - 1)
+               + be.asarray(ctx.tile_col0, dtype=be.int32))
         x = (col.astype(dt) + be.asarray(0.5 + dx, dtype=dt)
              - be.asarray(ctx.width * 0.5, dtype=dt))
         y = (be.asarray(ctx.height * 0.5, dtype=dt)
@@ -199,7 +206,9 @@ def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
         comps = [c.reshape(s2, n_seg, c.shape[-1]).mean(axis=0)
                  for c in comps]
         rgba = be.stack(comps, axis=-1)
-        rgba = unflatten_output(be, rgba, nby, nbx, ctx.height, ctx.width)
+        rgba = unflatten_output(be, rgba, nby, nbx,
+                                ctx.local_height or ctx.height,
+                                ctx.local_width or ctx.width)
         return be.clip(rgba, 0.0, 1.0)
     acc = None
     for dx, dy in subpixel_offsets(s):
@@ -217,7 +226,9 @@ def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
     rgba = be.stack(comps, axis=-1)
     if ctx.base_layout is not None:
         nby, nbx = ctx.base_layout
-        rgba = unflatten_output(be, rgba, nby, nbx, ctx.height, ctx.width)
+        rgba = unflatten_output(be, rgba, nby, nbx,
+                                ctx.local_height or ctx.height,
+                                ctx.local_width or ctx.width)
     # clamp to displayable range (the reference clamps when packing 8-bit)
     return be.clip(rgba, 0.0, 1.0)
 
@@ -295,14 +306,22 @@ class JitRenderer:
 
             pads = []
             for a in input_arrays:
-                h, w = int(a.shape[0]), int(a.shape[1])
+                h, w = int(a.shape[-3]), int(a.shape[-2])
                 hp = SK._round_up(h + SK.PAD_L + 8, 32)
                 wp = SK._round_up(w + SK.PAD_L + 8, 16)
                 dt = (jnp.bfloat16 if opts.pallas_precision == "bf16"
                       else jnp.float32)
-                pads.append(SK._pad_xmajor(
-                    jnp, a, opts.edge_x, opts.edge_y, opts.edge_color,
-                    hp, wp, dtype=dt))
+
+                def pad_one(fr):
+                    return SK._pad_xmajor(
+                        jnp, fr, opts.edge_x, opts.edge_y, opts.edge_color,
+                        hp, wp, dtype=dt)
+
+                if a.ndim == 4:  # animated input: one prepad per frame
+                    pads.append(jnp.stack(
+                        [pad_one(a[i]) for i in range(a.shape[0])]))
+                else:
+                    pads.append(pad_one(a))
             return pads
 
         self._pad_jit = jax.jit(compute_prepads)

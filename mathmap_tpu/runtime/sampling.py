@@ -125,26 +125,51 @@ def lut_pallas_ok(ev, x) -> bool:
     return pallas_policy(ev.ctx.opts)
 
 
-def sample_image(ev, img, x, y):
+def sample_image(ev, img, x, y, frame=None):
     """Sample an input image at world coords (x, y) using the invocation's
     interpolation/edge settings. Returns 4 channel arrays (r, g, b, a).
-    `img` provides global_shape and make_gather (value.InputImage API)."""
-    if _use_pallas(ev, img) and getattr(x, "ndim", 0) == 2 and x.shape == ev.ctx.shape:
+    `img` provides global_shape and make_gather (value.InputImage API).
+
+    `frame` indexes ANIMATED inputs ((T, H, W, 4) pixels): None samples the
+    invocation's current frame (animation in -> animation out); a scalar or
+    per-pixel array selects explicitly (origValXY(x,y,frame)). Indices
+    round to nearest and clamp to [0, T-1]."""
+    animated = getattr(img, "num_frames", 1) > 1
+    if animated and frame is None:
+        frame = ev.ctx.frame
+    if not animated:
+        frame = None  # single-frame: every index clamps to frame 0
+    if _use_pallas(ev, img) and getattr(x, "ndim", 0) == 2 and x.shape == ev.ctx.shape \
+            and (not animated or getattr(frame, "ndim", 0) == 0):
         from ..pallas_kernels.sample_kernel import sample_image_pallas
 
+        if animated:
+            # scalar frame: select the frame's pixels (+ its prepad slice,
+            # when the renderer stacked per-frame prepads) and sample it as
+            # a regular image. Per-pixel frame arrays take the gather path.
+            from .value import InputImage
+
+            be = ev.be
+            pre = img.prepad
+            if pre is not None:
+                pre = pre[img.frame_index(be, frame)]
+            img = InputImage(pixels=img.frame_pixels(be, frame),
+                             name=img.name, prepad=pre)
         return sample_image_pallas(
-            ev, img, x, y, xla_fallback=lambda: _sample_xla(ev, img, x, y),
+            ev, img, x, y,
+            xla_fallback=lambda: _sample_xla(ev, img, x, y),
             xla_subset=lambda xs, ys: _sample_xla(ev, img, xs, ys),
         )
-    return _sample_xla(ev, img, x, y)
+    return _sample_xla(ev, img, x, y, frame=frame)
 
 
-def _sample_xla(ev, img, x, y):
+def _sample_xla(ev, img, x, y, frame=None):
     """The XLA gather formulation (always-correct fallback + oracle path)."""
     be = ev.be
     opts = ev.ctx.opts
     h, w = img.global_shape
-    gather = img.make_gather(be)
+    gather = (img.make_gather(be, frame=frame) if frame is not None
+              else img.make_gather(be))
     edge_color = [be.asarray(c, dtype=be.float32) for c in opts.edge_color]
     px, py = world_to_pixel(be, x, y, w, h)
 

@@ -107,6 +107,18 @@ class RenderContext:
     #: render.coordinate_grids). Value: (nby, nbx). Only for unsharded jax
     #: renders; the final frame is unflattened once at output assembly.
     base_layout: tuple | None = None
+    #: Pixel dims of this device's LOCAL tile for BASE-LAYOUT mesh-sharded
+    #: renders (parallel/shard.py port of the perf path): base_layout then
+    #: tiles the local (local_height, local_width) region and
+    #: (tile_row0, tile_col0) is its global pixel origin (traced under
+    #: shard_map). None = unsharded. ((H, W)-layout sharded renders use
+    #: grid_shape + row/col_offset instead; the while engine's tiled
+    #: sub-contexts use grid_shape + block-id offsets WITH base_layout —
+    #: three distinct mechanisms on purpose.)
+    local_height: int | None = None
+    local_width: int | None = None
+    tile_row0: Any = 0
+    tile_col0: Any = 0
     #: >1 = supersampled render evaluated STACKED: base_layout's block
     #: rows are ss_stack²·nby — segment k holds subsample k's grid with
     #: its subpixel offset baked in — so ONE evaluation (one sampler
@@ -185,8 +197,13 @@ class Evaluator:
                      + be.asarray(self.ctx.row_offset, dtype=be.uint32))
                 p = (jax.lax.broadcasted_iota(be.uint32, (h, w), 1)
                      + be.asarray(self.ctx.col_offset, dtype=be.uint32))
-                iy = (b // nbx) * 8 + p // 64
-                ix = (b % nbx) * 64 + p % 64
+                # tile_row0/col0: global pixel origin of a mesh-sharded
+                # base-layout tile — sharded and unsharded renders draw
+                # identical per-pixel randomness
+                iy = ((b // nbx) * 8 + p // 64
+                      + be.asarray(self.ctx.tile_row0, dtype=be.uint32))
+                ix = ((b % nbx) * 64 + p % 64
+                      + be.asarray(self.ctx.tile_col0, dtype=be.uint32))
             else:
                 iy = (jax.lax.broadcasted_iota(be.uint32, (h, w), 0)
                       + be.asarray(self.ctx.row_offset, dtype=be.uint32))

@@ -75,50 +75,81 @@ class TupleValue:
 
 @dataclass
 class ImageBase:
-    """Base for first-class image values; sample(ev, x, y) -> rgba components."""
+    """Base for first-class image values; sample(ev, x, y[, frame]) -> rgba
+    components. `frame` indexes animated inputs (origValXY(x,y,frame) —
+    SURVEY §2.1 origVal row's frame-indexed sampling); images without a
+    frame axis ignore it (any index clamps to the single frame)."""
 
-    def sample(self, ev, x, y):  # pragma: no cover - interface
+    def sample(self, ev, x, y, frame=None):  # pragma: no cover - interface
         raise NotImplementedError
 
 
 @dataclass
 class InputImage(ImageBase):
-    """An input drawable: pixel data (H, W, 4) float in [0,1].
+    """An input drawable: pixel data (H, W, 4) float in [0,1], or an
+    ANIMATED drawable (T, H, W, 4) whose frames are sampled by index.
 
     Equivalent of the reference's `input_drawable_t` (drawable.c, SURVEY §1
-    layer 3). Sampling honors the invocation's interpolation and edge
-    behaviors via runtime.sampling.
+    layer 3; multi-frame drawables back origValXY(x,y,frame) — exact frame
+    semantics [unverified — mount empty]; out-of-range indices clamp).
+    Sampling honors the invocation's interpolation and edge behaviors via
+    runtime.sampling.
     """
 
-    pixels: Any  # backend array (H, W, 4), float32, RGBA in [0,1]
+    pixels: Any  # backend array (H, W, 4) or (T, H, W, 4), float32 RGBA
     name: str = "in"
     #: optional precomputed padded multi-copy x-major image for the Pallas
     #: sampler (pallas_kernels/sample_kernel.py) — lets the renderer build
     #: it ONCE per input instead of once per frame (the reference keeps its
-    #: drawable prepared in the tile cache similarly)
+    #: drawable prepared in the tile cache similarly). For animated inputs:
+    #: a (T, ...) stack of per-frame prepads.
     prepad: Any = None
 
     @property
+    def num_frames(self) -> int:
+        return int(self.pixels.shape[0]) if self.pixels.ndim == 4 else 1
+
+    @property
     def global_shape(self):
+        if self.pixels.ndim == 4:
+            return int(self.pixels.shape[1]), int(self.pixels.shape[2])
         return int(self.pixels.shape[0]), int(self.pixels.shape[1])
 
-    def make_gather(self, be):
+    def frame_index(self, be, frame):
+        """Nearest-integer frame index clamped into [0, T-1]."""
+        fi = be.floor(be.asarray(frame, dtype=be.float32) + 0.5)
+        return be.clip(fi.astype(be.int32), 0, self.num_frames - 1)
+
+    def frame_pixels(self, be, frame):
+        """(H, W, 4) pixels of `frame` (scalar; traced -> dynamic index)."""
+        if self.pixels.ndim != 4:
+            return self.pixels
+        return self.pixels[self.frame_index(be, frame)]
+
+    def make_gather(self, be, frame=None):
         h, w = self.global_shape
-        flat = self.pixels.reshape(h * w, 4)
+        if self.pixels.ndim == 4:
+            t = self.num_frames
+            flat = self.pixels.reshape(t * h * w, 4)
+            fi = self.frame_index(be, 0.0 if frame is None else frame)
+            base = fi * (h * w)  # scalar or per-pixel array — both gather
+        else:
+            flat = self.pixels.reshape(h * w, 4)
+            base = 0
 
         def gather(iy, ix):
             # one gather of a contiguous (1,4) RGBA slice per tap — 4x fewer
             # gather ops than per-channel takes (TPU gathers are the
             # bottleneck; see pallas_kernels/sample_kernel.py)
-            g = be.take(flat, iy * w + ix, axis=0)
+            g = be.take(flat, base + iy * w + ix, axis=0)
             return [g[..., c] for c in range(4)]
 
         return gather
 
-    def sample(self, ev, x, y):
+    def sample(self, ev, x, y, frame=None):
         from . import sampling
 
-        return sampling.sample_image(ev, self, x, y)
+        return sampling.sample_image(ev, self, x, y, frame=frame)
 
 
 @dataclass
@@ -190,7 +221,9 @@ class ClosureImage(ImageBase):
     args: tuple = ()  # tuple[TupleValue], one per filter param
     name: str = "closure"
 
-    def sample(self, ev, x, y):
+    def sample(self, ev, x, y, frame=None):
+        # closures have no frame axis; an explicit frame index clamps to
+        # the single procedural frame (i.e. is ignored), like a T=1 input
         return ev.eval_filter_at(self.filter_def, self.args, x, y)
 
 
