@@ -190,6 +190,40 @@ def test_db_scans_mmc_compositions():
     assert (out[..., 3] == 1).all()
 
 
+def _composition_names():
+    import glob
+
+    return sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "filters", "Compositions", "*.mmc"))
+    )
+
+
+@pytest.mark.parametrize("name", _composition_names())
+def test_composition_gallery_renders(name):
+    """Every bundled .mmc composition compiles through the composer
+    (graph -> composite source, SURVEY §3.4) and renders finite RGBA on
+    the oracle, matching the jit path (VERDICT r2 item 10 — the corpus
+    exercises multi-node chains, fan-in masks, and generative sources)."""
+    db = default_db()
+    f = db.compile(name)
+    img = _image()
+    opts = mm.RenderOptions(interpolation="nearest")
+    out = f.render(img, interpret=True, options=opts)
+    assert out.shape == (H, W, 4)
+    assert np.isfinite(out).all()
+    jit_out = f.render(img, options=opts)
+    # a few pixels may land EXACTLY on a sector/texel boundary, where
+    # floor() legitimately differs between differently-fused programs
+    # (runtime/sampling.py docstring hazard — mandala's kaleidoscope angle
+    # fold hits it); the gallery check bounds the mismatch fraction
+    mismatch = np.abs(np.asarray(jit_out) - np.asarray(out)) > 2e-4
+    frac = mismatch.any(axis=-1).mean()
+    assert frac < 0.02, f"{frac:.3%} of pixels differ beyond 2e-4"
+
+
 def test_user_filter_dir_merges(tmp_path, monkeypatch):
     userdir = tmp_path / "exprs"
     userdir.mkdir()
