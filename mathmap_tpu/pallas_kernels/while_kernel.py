@@ -37,7 +37,19 @@ TILE_W = 256
 
 #: builtins whose jax implementations lower through Mosaic (elementwise /
 #: VPU only — anything gather-based, jax.scipy-backed, or 1-D-iota-based
-#: is out)
+#: is out). Probed on real TPU (round 3): Mosaic's TC lowering REJECTS
+#: asin/acos/atan/atan2/sinh/cosh/asinh/acosh/atanh (and erf) — so those
+#: names, and every builtin whose implementation reaches them in ANY
+#: overload (toRA and arg() use atan2; gamma's complex overload does;
+#: jacobi sn/cn/dn use asin), must stay OFF this list or eligible loops
+#: would crash at lowering on TPU while passing in interpret mode.
+#: Supported per the same probe: sin/cos/tan/tanh, exp/exp2,
+#: log/log2/log10, sqrt/rsqrt, pow, round/floor/sign. The fixed-depth
+#: AGM/Lanczos specials (ellK/ellE/lgamma/beta) also LOWER fine —
+#: measured exact (9e-8) — but a specials-dense body is compute-bound,
+#: not HBM-carry-bound, and ran 3x SLOWER in-engine than the XLA loop
+#: (52.8 vs 16.7 ms, 4K, 8-iter ellK+lgamma+beta body), so they stay
+#: off the list on purpose: auto mode must not slow such filters down.
 SAFE_CALLS = frozenset({
     "__add", "__sub", "__mul", "__div", "__mod", "__pow", "__eq", "__ne",
     "__lt", "__gt", "__le", "__ge", "__and", "__or", "__xor", "__neg",
@@ -45,13 +57,12 @@ SAFE_CALLS = frozenset({
     "abs", "sign", "min", "max", "clamp", "lerp", "smoothstep", "inintv",
     "floor", "ceil", "round", "fmod", "hypot",
     "sqrt", "exp", "exp2", "log", "log2", "log10", "pow",
-    "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
-    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "sin", "cos", "tan", "tanh",
     "deg2rad", "rad2deg", "rand",
     "rgbColor", "rgbaColor", "grayColor", "grayaColor",
     "red", "green", "blue", "alpha", "gray",
-    "toRA", "toXY", "toHSVA", "toRGBA",
-    "conj", "arg", "length", "dotp", "crossp", "normalize", "scale",
+    "toXY", "toHSVA", "toRGBA",
+    "conj", "length", "dotp", "crossp", "normalize", "scale",
 })
 
 

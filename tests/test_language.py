@@ -476,6 +476,63 @@ def test_max_loop_iters_cap_exact_parity():
     np.testing.assert_allclose(j, o, atol=1e-6)
 
 
+def test_pallas_while_safe_calls_mosaic_probed():
+    """Round-3 TPU probe: Mosaic's TC lowering rejects
+    asin/acos/atan/atan2/sinh/cosh/asinh/acosh/atanh — SAFE_CALLS used to
+    admit them, which would crash eligible loops at lowering on real TPU
+    (invisible to interpret-mode tests). Pin the exclusions and the newly
+    admitted fixed-depth specials."""
+    from mathmap_tpu.pallas_kernels.while_kernel import SAFE_CALLS
+
+    for bad in ("asin", "acos", "atan", "atan2", "sinh", "cosh", "asinh",
+                "acosh", "atanh", "toRA", "arg", "gamma", "jac_sn",
+                # lower fine but measured 3x SLOWER in-engine than the
+                # XLA loop (compute-bound bodies) — deliberately excluded
+                "ellK", "ellE", "lgamma", "beta"):
+        assert bad not in SAFE_CALLS, bad
+    for good in ("tanh", "tan", "exp2", "log10"):
+        assert good in SAFE_CALLS, good
+
+
+def test_pallas_while_engine_excludes_atan2_body():
+    """An atan2 body is NOT engine-eligible (Mosaic cannot lower it — it
+    would crash on real TPU) and still renders correctly via the XLA
+    path; a mul/add body IS eligible."""
+    from mathmap_tpu.pallas_kernels import while_kernel as WK
+
+    launches = []
+    orig = WK.launch
+
+    def counting(*a, **kw):
+        launches.append(1)
+        return orig(*a, **kw)
+
+    src_ok = ("i = 0; acc = 0;"
+              "while i < 4 do acc = acc + 0.1 * i * (x / W); i = i + 1 end;"
+              "grayColor(acc / 8)")
+    src_bad = ("i = 0; acc = 0;"
+               "while i < 4 do acc = acc + atan2(y, x + 10 + i); i = i + 1 end;"
+               "grayColor(acc / 8)")
+    opts = mm.RenderOptions(sampler="pallas", pallas_while="on")
+    WK.launch = counting
+    try:
+        f = mm.compile(src_ok)
+        a = f.render(BLANK, width=256, height=8, options=opts)
+        assert launches, "mul/add body should engage the while engine"
+        launches.clear()
+        f2 = mm.compile(src_bad)
+        b = f2.render(BLANK, width=256, height=8, options=opts)
+        assert not launches, "atan2 body must NOT engage the engine"
+    finally:
+        WK.launch = orig
+    a_off = f.render(BLANK, width=256, height=8,
+                     options=mm.RenderOptions(pallas_while="off"))
+    np.testing.assert_allclose(a, a_off, atol=1e-6)
+    b_off = f2.render(BLANK, width=256, height=8,
+                      options=mm.RenderOptions(pallas_while="off"))
+    np.testing.assert_allclose(b, b_off, atol=1e-6)
+
+
 def test_pallas_while_engine_matches_oracle():
     """The in-VMEM while engine (pallas_kernels/while_kernel, forced via
     pallas_while='on' + sampler='pallas' on a tile-aligned grid) must match
