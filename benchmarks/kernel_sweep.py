@@ -57,6 +57,13 @@ def main():
         "wide-rot": tuple(
             (th, tw, wh, 256, sw) if (wh, ww) == (128, 128) else (th, tw, wh, ww, sw)
             for th, tw, wh, ww, sw in default),
+        # round-3 candidates: tighter square windows for gentle rotation —
+        # FLOPs scale with window area, and twirl's inner radii rotate
+        # mildly (a 64/96-px window catches them at 1/4 / 1/2 the rotn
+        # tier's cost); claims escalate the rest to rotn as before
+        "tight-rot": (default[0], default[1],
+                      (8, 64, 64, 64, 0), default[2], default[3],
+                      (8, 64, 96, 96, 0), default[4]) + default[5:],
     }
     precisions = ["bf16", "f32"]
 
