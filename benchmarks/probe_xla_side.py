@@ -138,8 +138,16 @@ def main(argv=None):
         rgba = jnp.stack(u8, axis=-1)
         return R.unflatten_output(jnp, rgba, nby, nbx, h, w)
 
+    def asm_one_transpose(cs):
+        # channels stacked on the MAJOR axis (cheap concat — no lane
+        # interleave), then ONE fused 5-D transpose to (H, W, 4): probes
+        # whether stack(axis=-1)+unflatten costs two relayout passes
+        arr = jnp.stack(cs, axis=0).reshape(4, nby, nbx, 8, 64)
+        arr = jnp.transpose(arr, (1, 3, 2, 4, 0)).reshape(nby * 8, nbx * 64, 4)
+        return jnp.clip(arr[:h, :w], 0.0, 1.0)
+
     for name, fn in (("asm_current", asm_current), ("asm_planar", asm_planar),
-                     ("asm_u8", asm_u8)):
+                     ("asm_u8", asm_u8), ("asm_one_transpose", asm_one_transpose)):
         jf = jax.jit(fn)
         dt = fence_time(lambda: jnp.sum(jf(comps).astype(jnp.float32)))
         print(f"# {name}: {dt * 1e3:.2f} ms", file=sys.stderr)
