@@ -180,6 +180,11 @@ class Filter:
         rows/cols over 'y'/'x' (parallel/shard.py — the multi-chip analog of
         the reference's slice threads). `mesh=None` builds a rows-only mesh
         over all devices. Returns (H,W,4) or (F,H,W,4)."""
+        for a in inputs:
+            if getattr(np.asarray(a), "ndim", 0) == 4:
+                raise MMError(
+                    "animated (T,H,W,4) inputs are not supported by "
+                    "render_sharded yet — render per frame or use render()")
         from .parallel.mesh import make_mesh
         from .parallel.shard import ShardedRenderer
 
