@@ -120,7 +120,6 @@ def main(argv=None):
             break
         print(f"# relay degraded ({h0:.1f} ms) on attempt {attempt + 1} — "
               f"{'retrying' if attempt < 2 else 'giving up'}", file=sys.stderr)
-    health_gate = "PASS" if health_ms <= HEALTHY_MS else "DEGRADED"
 
     tpu_mpix = []
     for path, dt in zip(suite, best_dt):
@@ -189,7 +188,10 @@ def main(argv=None):
           f"{best / n_sweep * 1e3:.2f} ms/frame  {sustained:.1f} Mpix/s",
           file=sys.stderr)
 
+    # gate derives from the FINAL best window (incl. this post-suite probe)
+    # so the recorded health_ms and health_gate can never contradict
     health_ms = min(health_ms, relay_health())
+    health_gate = "PASS" if health_ms <= HEALTHY_MS else "DEGRADED"
     print(f"# relay health: {health_ms:.1f} ms best window for a 16MB fenced "
           f"elementwise op (healthy <5ms) — gate {health_gate}", file=sys.stderr)
 

@@ -157,6 +157,12 @@ class Filter:
             arr = np.asarray(batch)
             if arr.ndim == 4 and arr.dtype == np.float32 and arr.shape[-1] == 4:
                 return arr  # already a float RGBA stack — no copy
+            if arr.ndim == 3 and arr.shape[-1] in (1, 3, 4):
+                # a lone (H, W, C) frame would otherwise be iterated over
+                # its ROWS and silently render H garbage jobs
+                raise ValueError(
+                    "render_batch inputs need a leading batch axis; wrap a "
+                    "single frame in a list (or use render())")
             return np.stack([to_float_rgba(f) for f in arr])
 
         ins = [conv(b) for b in batched_inputs]
@@ -165,6 +171,9 @@ class Filter:
             if a.ndim != 4 or a.shape[0] != n:
                 raise ValueError(
                     "render_batch inputs must share a leading batch axis")
+        if ts is not None and len(ts) != n:
+            raise ValueError(
+                f"render_batch: {len(ts)} ts for a batch of {n} jobs")
         first = [a[0] for a in ins]
         width, height = self._resolve_size(first, width, height)
         if ts is None:

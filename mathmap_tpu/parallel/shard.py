@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..runtime.render import base_layout_for, render_frame, uses_sampling
+from ..runtime.render import base_layout_enabled, base_layout_for, render_frame
 from ..runtime.tracer import RenderContext
 from ..runtime.value import InputImage
 from ..utils.errors import MMRuntimeError
@@ -26,20 +26,19 @@ def _check_divisible(total: int, parts: int, what: str):
         raise MMRuntimeError(f"{what} ({total}) must be divisible by its mesh axis ({parts})")
 
 
-def _tile_layout(program_filters, fdef, opts, tile_h, tile_w):
-    """Per-device base-block layout for mesh tiles, mirroring JitRenderer:
-    sampling/LUT filters on the Pallas sampler evaluate each device's tile
-    in the kernel's native (nby*nbx, 512) layout, so the mesh-sharded path
-    runs the SAME per-tile tier claims / donated-buffer launches a single
-    chip does (VERDICT r2 item 3 — the perf path, not a fallback)."""
-    import os
-
-    from ..runtime.sampling import pallas_policy
-
-    if (pallas_policy(opts) and uses_sampling(program_filters, fdef)
-            and os.environ.get("MMTPU_BASE_LAYOUT", "1") != "0"):
-        return base_layout_for(tile_w, tile_h)
-    return None
+def _tile_layout_kwargs(program_filters, fdef, opts, tile_h, tile_w,
+                        row_off, col_off):
+    """RenderContext layout kwargs for one device's tile. Base-block layout
+    (the perf path: per-tile tier claims, donated-buffer launches — VERDICT
+    r2 item 3) is gated by the SAME predicate the unsharded JitRenderer
+    uses (render.base_layout_enabled), so the two paths cannot diverge;
+    otherwise the (H, W) grid_shape layout with pixel offsets."""
+    if base_layout_enabled(program_filters, fdef, opts):
+        return dict(base_layout=base_layout_for(tile_w, tile_h),
+                    local_height=tile_h, local_width=tile_w,
+                    tile_row0=row_off, tile_col0=col_off)
+    return dict(grid_shape=(tile_h, tile_w),
+                row_offset=row_off, col_offset=col_off)
 
 
 def render_frame_sharded(mesh, program_filters, fdef, width, height, opts,
@@ -54,31 +53,19 @@ def render_frame_sharded(mesh, program_filters, fdef, width, height, opts,
     _check_divisible(height, ny, "height")
     _check_divisible(width, nx, "width")
     tile_h, tile_w = height // ny, width // nx
-    bl = _tile_layout(program_filters, fdef, opts, tile_h, tile_w)
 
     def tile_render(*ins):
         row_off = jax.lax.axis_index(ROW_AXIS) * tile_h
         col_off = jax.lax.axis_index(COL_AXIS) * tile_w
-        if bl is not None:
-            ctx = RenderContext(
-                be=jnp, width=width, height=height, opts=opts,
-                inputs=[InputImage(pixels=a, name=f"in{i}")
-                        for i, a in enumerate(ins)],
-                filters=program_filters, t=t, frame=frame,
-                num_frames=num_frames, is_jax=True, base_layout=bl,
-                local_height=tile_h, local_width=tile_w,
-                tile_row0=row_off, tile_col0=col_off,
-            )
-        else:
-            ctx = RenderContext(
-                be=jnp, width=width, height=height, opts=opts,
-                inputs=[InputImage(pixels=a, name=f"in{i}")
-                        for i, a in enumerate(ins)],
-                filters=program_filters, t=t, frame=frame,
-                num_frames=num_frames, is_jax=True,
-                grid_shape=(tile_h, tile_w),
-                row_offset=row_off, col_offset=col_off,
-            )
+        ctx = RenderContext(
+            be=jnp, width=width, height=height, opts=opts,
+            inputs=[InputImage(pixels=a, name=f"in{i}")
+                    for i, a in enumerate(ins)],
+            filters=program_filters, t=t, frame=frame,
+            num_frames=num_frames, is_jax=True,
+            **_tile_layout_kwargs(program_filters, fdef, opts,
+                                  tile_h, tile_w, row_off, col_off),
+        )
         return render_frame(ctx, fdef, uservals)
 
     shard = jax.shard_map(
@@ -139,7 +126,6 @@ class ShardedRenderer:
                 _check_divisible(height, ny, "height")
                 _check_divisible(width, nx, "width")
                 tile_h, tile_w = height // ny, width // nx
-                bl = _tile_layout(program_filters, fdef, opts, tile_h, tile_w)
 
                 def frames_on_device(ts_local, *ins):
                     row_off = jax.lax.axis_index(ROW_AXIS) * tile_h
@@ -147,29 +133,17 @@ class ShardedRenderer:
                     f0 = jax.lax.axis_index(FRAME_AXIS) * frames_per_dev
 
                     def one(i, t):
-                        if bl is not None:
-                            ctx = RenderContext(
-                                be=jnp, width=width, height=height, opts=opts,
-                                inputs=[InputImage(pixels=a, name=f"in{k}")
-                                        for k, a in enumerate(ins)],
-                                filters=program_filters, t=t,
-                                frame=(f0 + i).astype(jnp.float32),
-                                num_frames=num_frames, is_jax=True,
-                                base_layout=bl,
-                                local_height=tile_h, local_width=tile_w,
-                                tile_row0=row_off, tile_col0=col_off,
-                            )
-                        else:
-                            ctx = RenderContext(
-                                be=jnp, width=width, height=height, opts=opts,
-                                inputs=[InputImage(pixels=a, name=f"in{k}")
-                                        for k, a in enumerate(ins)],
-                                filters=program_filters, t=t,
-                                frame=(f0 + i).astype(jnp.float32),
-                                num_frames=num_frames, is_jax=True,
-                                grid_shape=(tile_h, tile_w),
-                                row_offset=row_off, col_offset=col_off,
-                            )
+                        ctx = RenderContext(
+                            be=jnp, width=width, height=height, opts=opts,
+                            inputs=[InputImage(pixels=a, name=f"in{k}")
+                                    for k, a in enumerate(ins)],
+                            filters=program_filters, t=t,
+                            frame=(f0 + i).astype(jnp.float32),
+                            num_frames=num_frames, is_jax=True,
+                            **_tile_layout_kwargs(program_filters, fdef,
+                                                  opts, tile_h, tile_w,
+                                                  row_off, col_off),
+                        )
                         return render_frame(ctx, fdef, make_uservals())
 
                     idx = jnp.arange(frames_per_dev)

@@ -99,6 +99,19 @@ def base_layout_for(width: int, height: int):
     return ht0 // 8, wt0 // 64
 
 
+def base_layout_enabled(program_filters: dict, fdef, opts) -> bool:
+    """THE single gate for base-block-layout evaluation — shared by the
+    unsharded JitRenderer and the mesh-sharded tile renderer so the two
+    can never diverge on which layout a filter evaluates in."""
+    import os
+
+    from .sampling import pallas_policy
+
+    return (pallas_policy(opts)
+            and uses_sampling(program_filters, fdef)
+            and os.environ.get("MMTPU_BASE_LAYOUT", "1") != "0")
+
+
 def uses_sampling(filters: dict, fdef: A.FilterDef) -> bool:
     """Whether `fdef` (or any filter it calls) samples an image or applies
     a gradient/curve LUT — the ops whose kernel I/O the base-block layout
@@ -318,8 +331,17 @@ class JitRenderer:
                         hp, wp, dtype=dt)
 
                 if a.ndim == 4:  # animated input: one prepad per frame
-                    pads.append(jnp.stack(
-                        [pad_one(a[i]) for i in range(a.shape[0])]))
+                    # budget guard: a prepad is ~4.3x the frame bytes (4
+                    # row-shifted copies + aprons); a long 4K animation
+                    # would pin GBs of HBM — past ~512 MB, pad in-trace
+                    # per frame instead (costs ~3 ms per sampled frame)
+                    t_frames = int(a.shape[0])
+                    pad_bytes = wp * (hp * 16) * (2 if dt == jnp.bfloat16 else 4)
+                    if t_frames * pad_bytes > 512 * (1 << 20):
+                        pads.append(None)
+                    else:
+                        pads.append(jnp.stack(
+                            [pad_one(a[i]) for i in range(t_frames)]))
                 else:
                     pads.append(pad_one(a))
             return pads
@@ -329,14 +351,10 @@ class JitRenderer:
         # Base-block layout (see RenderContext.base_layout): static per
         # configuration — sampling/LUT filters evaluate in the Pallas
         # sampler's native tile layout so its I/O needs no transposes.
-        from .sampling import pallas_policy
-
         import os
 
         base_layout = (base_layout_for(width, height)
-                       if pallas_policy(opts)
-                       and uses_sampling(program_filters, fdef)
-                       and os.environ.get("MMTPU_BASE_LAYOUT", "1") != "0"
+                       if base_layout_enabled(program_filters, fdef, opts)
                        else None)
         ss = 1
         if (base_layout is not None and opts.supersample > 1

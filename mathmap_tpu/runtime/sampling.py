@@ -143,17 +143,20 @@ def sample_image(ev, img, x, y, frame=None):
             and (not animated or getattr(frame, "ndim", 0) == 0):
         from ..pallas_kernels.sample_kernel import sample_image_pallas
 
-        if animated:
+        if getattr(img.pixels, "ndim", 3) == 4:
             # scalar frame: select the frame's pixels (+ its prepad slice,
             # when the renderer stacked per-frame prepads) and sample it as
             # a regular image. Per-pixel frame arrays take the gather path.
+            # T==1 stacks (single-frame GIFs) land here too — the kernel's
+            # pad expects 3-D pixels regardless of frame count.
             from .value import InputImage
 
             be = ev.be
+            fsel = 0.0 if frame is None else frame
             pre = img.prepad
             if pre is not None:
-                pre = pre[img.frame_index(be, frame)]
-            img = InputImage(pixels=img.frame_pixels(be, frame),
+                pre = pre[img.frame_index(be, fsel)]
+            img = InputImage(pixels=img.frame_pixels(be, fsel),
                              name=img.name, prepad=pre)
         return sample_image_pallas(
             ev, img, x, y,

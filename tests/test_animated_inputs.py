@@ -88,6 +88,31 @@ def test_animated_pallas_matches_gather():
     np.testing.assert_allclose(a, b, atol=5e-5)
 
 
+def test_single_frame_stack_pallas_path():
+    """(1, H, W, 4) stacks (single-frame GIFs stay 4-D by design) must go
+    through the Pallas sampler without crashing its 3-D pad (review r3
+    finding: the non-animated branch skipped the frame-select)."""
+    stack = np.random.RandomState(6).rand(1, 32, 64, 4).astype(np.float32)
+    f = mm.compile("origVal(xy)")
+    out = f.render(stack, options=mm.RenderOptions(
+        sampler="pallas", pallas_precision="f32", interpolation="nearest"))
+    np.testing.assert_allclose(out, stack[0], atol=1e-5)
+
+
+def test_render_batch_input_validation():
+    """render_batch: a lone (H,W,C) frame and a ts/batch length mismatch
+    raise clear ValueErrors instead of rendering garbage jobs / failing
+    deep inside lax.map."""
+    import pytest as _pytest
+
+    f = mm.compile("origVal(xy)")
+    frame = np.zeros((16, 16, 4), np.float32)
+    with _pytest.raises(ValueError, match="leading batch axis"):
+        f.render_batch(frame)
+    with _pytest.raises(ValueError, match="ts for a batch"):
+        f.render_batch(np.stack([frame] * 3), ts=[0.1, 0.2])
+
+
 def test_cli_reads_animated_gif(tmp_path):
     """CLI: a multi-frame GIF input becomes an animated input stack."""
     from PIL import Image
