@@ -642,18 +642,31 @@ class PreviewState:
 
     def set_input(self, png_bytes: bytes):
         """Replace the input image from uploaded file bytes (any PIL-readable
-        format) — the GIMP dialog's drawable-selection analog."""
+        format) — the GIMP dialog's drawable-selection analog. Multi-frame
+        files (animated GIFs) become ANIMATED (T, H, W, 4) inputs: the
+        preview's current frame and origValXY(x,y,frame) index them (the
+        GIMP layer-stack animation analog)."""
         import io as _io
 
         from PIL import Image
 
         from .imgio.images import to_float_rgba
 
-        img = np.asarray(Image.open(_io.BytesIO(png_bytes)).convert("RGBA"))
+        img = Image.open(_io.BytesIO(png_bytes))
+        frames = []
+        try:
+            i = 0
+            while True:
+                img.seek(i)
+                frames.append(to_float_rgba(np.asarray(img.convert("RGBA"))))
+                i += 1
+        except EOFError:
+            pass
+        stack = np.stack(frames)
         with self.lock:
-            self.input_image = to_float_rgba(img)
+            self.input_image = stack if stack.shape[0] > 1 else stack[0]
             self._filter_cache.clear()  # cached jits keyed old input sizes
-        return self.input_image.shape[1], self.input_image.shape[0]
+        return self.input_image.shape[-2], self.input_image.shape[-3]
 
     def animate(self, source: str, params: dict, num_frames: int):
         """One-program t-sweep (render_animation) -> list of (H,W,4)."""
@@ -662,7 +675,7 @@ class PreviewState:
             inputs = [self.input_image] if filt.image_params else []
             w = h = self.size
             if inputs:
-                h, w = inputs[0].shape[:2]
+                h, w = inputs[0].shape[-3], inputs[0].shape[-2]
             return filt.render_animation(
                 *inputs, num_frames=num_frames, width=w, height=h,
                 params=params,
@@ -748,7 +761,7 @@ class PreviewState:
             h = self.size
             w = self.size
             if inputs:
-                h, w = inputs[0].shape[:2]
+                h, w = inputs[0].shape[-3], inputs[0].shape[-2]
             out = filt.render(*inputs, width=w, height=h, t=t, params=params)
             meta = [
                 {

@@ -82,6 +82,29 @@ def test_upload_endpoint(server):
     assert (r["width"], r["height"]) == (30, 20)
 
 
+def test_upload_animated_gif_becomes_animated_input(server):
+    """A multi-frame GIF upload becomes an ANIMATED (T,H,W,4) input: the
+    animate endpoint then maps input frames to output frames (the GIMP
+    layer-stack animation analog)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    frames = [Image.fromarray(
+        np.full((12, 18, 4), 30 + 180 * i, np.uint8), "RGBA").convert("P")
+        for i in range(2)]
+    buf = io.BytesIO()
+    frames[0].save(buf, "GIF", save_all=True, append_images=frames[1:],
+                   duration=100, loop=0)
+    out = _post(server + "/upload", {
+        "data": base64.b64encode(buf.getvalue()).decode()})
+    assert out == {"width": 18, "height": 12}
+    out = _post(server + "/animate", {"source": "origVal(xy)", "frames": 2})
+    assert len(out["frames"]) == 2
+    assert out["frames"][0] != out["frames"][1]  # distinct input frames
+
+
 def test_animate_endpoint(server):
     out = _post(server + "/animate", {
         "source": "grayColor(t)", "frames": 4})
