@@ -106,6 +106,61 @@ def test_random_warp_random_ladder_matches_gather(seed):
                                err_msg=f"tiers={tiers} amp={amp}")
 
 
+@pytest.mark.parametrize("seed", range(200, 210))
+def test_random_anisotropic_subchunk_tier_matches_gather(seed):
+    """Random ANISOTROPIC affine warps through forced sub-chunk tiers
+    (subw on a 64-wide tile): the per-(8,16)-strip planner stats must
+    describe exactly what the masked-strip kernel samples (ADVICE r2 high
+    — the old contiguous-slice kernel failed this class with errors ~1.0);
+    unclaimed strips/blocks escalate or patch, staying exact."""
+    rng = np.random.RandomState(seed)
+    sx = float(rng.uniform(0.3, 3.5))
+    sy = float(rng.uniform(0.3, 3.5))
+    shear = float(rng.uniform(-1.5, 1.5))
+    src = (f"filter aff (image in)\n"
+           f"  in(xy:[x * {sx:.3f} + y * {shear:.3f}, y * {sy:.3f}])\nend")
+    wh = int(rng.choice([96, 128, 192]))
+    ww = int(rng.choice([96, 128, 192, 256]))
+    # sub-chunk subw must be a multiple of 32 and leave >=32 of window slack
+    sw = min(int(rng.choice([64, 96, 128])), min(wh, ww) - 32)
+    tiers = ((8, 64, wh, ww, sw),)
+    img = rng.rand(64, 256, 4).astype(np.float32)
+    interp = ["nearest", "bilinear", "bicubic"][seed % 3]
+    f = mm.compile(src)
+    a = f.render(img, width=256, height=64,
+                 options=mm.RenderOptions(
+                     sampler="pallas", pallas_precision="f32",
+                     pallas_per_tile="on", pallas_tiers=tiers,
+                     interpolation=interp))
+    b = f.render(img, width=256, height=64,
+                 options=mm.RenderOptions(sampler="gather",
+                                          interpolation=interp))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                               err_msg=f"tiers={tiers} sx={sx} sy={sy} shear={shear}")
+
+
+@pytest.mark.parametrize("seed", range(220, 228))
+def test_random_animated_frame_indexing_parity(seed):
+    """Random frame-index expressions over animated inputs: jit (gather or
+    frame-selected Pallas) must match the oracle."""
+    rng = np.random.RandomState(seed)
+    t_frames = int(rng.randint(2, 5))
+    k = int(rng.randint(0, t_frames + 2))  # may exceed T-1: clamps
+    exprs = [
+        f"origValXY(x, y, {k})",
+        f"origValXY(x * 0.9, y, if x > 0 then {k} else 0 end)",
+        "origVal(xy * 0.8)",
+    ]
+    src = exprs[seed % 3]
+    stack = rng.rand(t_frames, 24, 64, 4).astype(np.float32)
+    f = mm.compile(src)
+    frame = float(rng.randint(0, t_frames))
+    opts = mm.RenderOptions(interpolation=["nearest", "bilinear"][seed % 2])
+    a = f.render(stack, frame=frame, options=opts)
+    b = f.render(stack, frame=frame, options=opts, interpret=True)
+    np.testing.assert_allclose(a, b, atol=2e-5, err_msg=src)
+
+
 @pytest.mark.parametrize("seed", range(40, 60))
 def test_random_expression_supersampled_and_f64(seed):
     src = ExprGen(seed).program()
