@@ -75,7 +75,7 @@ def make_kernel(variant):
             win = win2[slot, pl.ds(cn * SUB, SUB), :]
             px = px_ref[cn, 0:1, :]
             py = py_ref[cn, 0:1, :]
-            if variant == "full":
+            if variant in ("full", "nosel", "vpusel"):
                 x0 = jnp.floor(px)
                 y0 = jnp.floor(py)
                 lx = jnp.clip(x0.astype(jnp.int32), 0, SUB - 2)
@@ -101,10 +101,21 @@ def make_kernel(variant):
                 win.astype(jnp.bfloat16), ox_mat.astype(jnp.bfloat16), dn,
                 preferred_element_type=jnp.float32)
             prod = tmp * oy_mat4
-            out4 = jax.lax.dot_general(
-                sel, prod.astype(jnp.bfloat16), dn_sel,
-                preferred_element_type=jnp.float32)
-            o_ref[cn, :, :] = out4
+            if variant == "nosel":
+                # timing-only: drop the (4, wh4)@(wh4, 512) channel-select
+                # matmul — is an M=4 matmul as expensive as the main one?
+                o_ref[cn, :, :] = prod[0:4, :]
+            elif variant == "vpusel":
+                # channel select as a strided-sublane VPU reduction:
+                # reshape (WH4, C) -> (WH4//8, 2, 4, C) groups row4 by
+                # sublane; sum over the row dims leaves (4, C) per group
+                p3 = prod.reshape(WH4 // 4, 4, CHUNK)
+                o_ref[cn, :, :] = jnp.sum(p3, axis=0)
+            else:
+                out4 = jax.lax.dot_general(
+                    sel, prod.astype(jnp.bfloat16), dn_sel,
+                    preferred_element_type=jnp.float32)
+                o_ref[cn, :, :] = out4
 
     return kernel
 
