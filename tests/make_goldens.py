@@ -21,6 +21,10 @@ FIXTURES = [
     "whirl_pinch", "water", "voronoi", "superformula", "tricorn",
     "porter_duff_xor", "soft_light", "chroma_key", "selective_desat",
     "warp_noise", "offset", "polar_wrap",
+    # round-3: composer compositions (pin the graph->source codegen AND
+    # the composed semantics, not just oracle-vs-jit consistency)
+    "neon_glow", "checker_pick", "deep_lens", "marble_relief",
+    "old_photo", "plasma_overlay",
 ]
 W, H = 20, 16
 
