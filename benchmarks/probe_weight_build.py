@@ -12,6 +12,9 @@ swappable x/y weight builds:
            can at best approach this)
   splat  : constant weights (vector splat) — no build work at all;
            the matmul+DMA floor. Output is garbage; timing only.
+  nosel  : drop the channel-select matmul (garbage output; timing only)
+  vpusel : channel select as a (WH4//4, 4, C) reshape + axis-0 sum
+           (semantically identical to sel; measured slower)
 
 If full ~= cheap ~= splat, the kernel is matmul/DMA-bound and an MXU-side
 weight build cannot win (documented negative). If full >> cheap, the
@@ -106,9 +109,10 @@ def make_kernel(variant):
                 # matmul — is an M=4 matmul as expensive as the main one?
                 o_ref[cn, :, :] = prod[0:4, :]
             elif variant == "vpusel":
-                # channel select as a strided-sublane VPU reduction:
-                # reshape (WH4, C) -> (WH4//8, 2, 4, C) groups row4 by
-                # sublane; sum over the row dims leaves (4, C) per group
+                # channel select as a VPU reduction: reshape (WH4, C) ->
+                # (WH4//4, 4, C) groups row4 = g*4 + ch by channel; the
+                # axis-0 sum leaves (4, C) — semantically identical to the
+                # sel one-hot matmul (measured SLOWER; see ROUND3_NOTES)
                 p3 = prod.reshape(WH4 // 4, 4, CHUNK)
                 o_ref[cn, :, :] = jnp.sum(p3, axis=0)
             else:

@@ -64,6 +64,22 @@ def time_filter(path_or_src, inputs, w, h, opts, iters, from_file=True):
     return fenced_time(lambda i: renderer(ins, {}, t=0.37 + 0.001 * i), iters)
 
 
+def fenced_batch_time(renderer, stack, ts):
+    """Best-of-3 seconds per render_batch dispatch of `stack` (leading
+    batch axis), fenced with a scalar readback."""
+    import jax.numpy as jnp
+
+    out = renderer.render_batch([stack], {}, ts)
+    _ = float(jnp.sum(out))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = renderer.render_batch([stack], {}, ts + 0.001)
+        _ = float(jnp.sum(out))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -93,15 +109,7 @@ def main():
     filt = mm.compile_file(os.path.join(root, "Colors", "invert.mm"))
     renderer = filt._renderer(w, h, mm.RenderOptions(), 1)
     batch = jax.device_put(np.stack([_img(h, w, seed=i) for i in range(nb)]))
-    ts = np.zeros(nb, np.float32)
-    out = renderer.render_batch([batch], {}, ts)  # compile
-    _ = float(jnp.sum(out))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = renderer.render_batch([batch], {}, ts + 0.001)
-        _ = float(jnp.sum(out))
-        best = min(best, time.perf_counter() - t0)
+    best = fenced_batch_time(renderer, batch, np.zeros(nb, np.float32))
     dt1 = time_filter(os.path.join(root, "Colors", "invert.mm"), [_img(h, w)], w, h,
                       mm.RenderOptions(), it)
     report("1_pointwise_invert_512", nb * w * h / best / 1e6,
@@ -126,19 +134,13 @@ def main():
         r = filt._renderer(w, h, mm.RenderOptions(interpolation="bilinear"), 1)
         stack = jax.device_put(np.stack([_img(h, w, seed=i) for i in range(nb2)]))
         ts2 = (np.arange(nb2, dtype=np.float32) + 0.37) / nb2
-        out = r.render_batch([stack], {}, ts2)
-        _ = float(jnp.sum(out))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = r.render_batch([stack], {}, ts2 + 0.001)
-            _ = float(jnp.sum(out))
-            best = min(best, time.perf_counter() - t0)
+        best = fenced_batch_time(r, stack, ts2)
         batched[name] = round(best / nb2 * 1e3, 2)
     mean_dt = sum(times.values()) / len(times) / 1e3
     mean_b = sum(batched.values()) / len(batched) / 1e3
     report("2_polar_distortions_1080p", w * h / mean_dt / 1e6,
-           {"ms_per_frame": times, "ms_per_frame_batched16": batched,
+           {"ms_per_frame": times, "ms_per_frame_batched": batched,
+            "batch": nb2,
             "mpix_per_s_batched": round(w * h / mean_b / 1e6, 2)})
 
     # 3. two-input compositing, edge variants

@@ -61,19 +61,24 @@ def read_image(path: str) -> np.ndarray:
     return to_float_rgba(np.asarray(img))
 
 
-def read_animation(path: str) -> np.ndarray:
+def read_animation(file) -> np.ndarray:
     """Read a multi-frame image file (animated GIF) -> float32 (T, H, W, 4)
     stack for ANIMATED inputs (origValXY frame-indexed sampling; the
     reference's multi-frame input drawables came from GIMP layer stacks
-    [unverified — mount empty]). Single-frame files return (1, H, W, 4)."""
+    [unverified — mount empty]). `file` is a path or a file-like object.
+    Single-frame files return (1, H, W, 4); multi-frame files whose frames
+    disagree in size (multi-page TIFF with a thumbnail page) keep only the
+    frames matching frame 0's geometry — an animation has one geometry."""
     pil = _pil()
-    img = pil.open(path)
+    img = pil.open(file)
     frames = []
     try:
         i = 0
         while True:
             img.seek(i)
-            frames.append(to_float_rgba(np.asarray(img.convert("RGBA"))))
+            f = to_float_rgba(np.asarray(img.convert("RGBA")))
+            if not frames or f.shape == frames[0].shape:
+                frames.append(f)
             i += 1
     except EOFError:
         pass

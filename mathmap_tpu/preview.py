@@ -648,25 +648,16 @@ class PreviewState:
         GIMP layer-stack animation analog)."""
         import io as _io
 
-        from PIL import Image
+        from .imgio.images import read_animation
 
-        from .imgio.images import to_float_rgba
-
-        img = Image.open(_io.BytesIO(png_bytes))
-        frames = []
-        try:
-            i = 0
-            while True:
-                img.seek(i)
-                frames.append(to_float_rgba(np.asarray(img.convert("RGBA"))))
-                i += 1
-        except EOFError:
-            pass
-        stack = np.stack(frames)
+        stack = read_animation(_io.BytesIO(png_bytes))
+        new_input = stack if stack.shape[0] > 1 else stack[0]
         with self.lock:
-            self.input_image = stack if stack.shape[0] > 1 else stack[0]
+            self.input_image = new_input
             self._filter_cache.clear()  # cached jits keyed old input sizes
-        return self.input_image.shape[-2], self.input_image.shape[-3]
+        # report THIS upload's geometry (a concurrent upload may already
+        # have replaced self.input_image by the time we return)
+        return new_input.shape[-2], new_input.shape[-3]
 
     def animate(self, source: str, params: dict, num_frames: int):
         """One-program t-sweep (render_animation) -> list of (H,W,4)."""
