@@ -106,3 +106,35 @@ def test_two_input_blend_cli(input_png, tmp_path):
     blended = mm.read_image(str(out))
     orig = mm.read_image(input_png)
     np.testing.assert_allclose(blended[..., :3], (orig[..., :3] + 1) / 2, atol=2 / 255)
+
+
+def test_input_dir_batch_mode(tmp_path):
+    """--input-dir: every image in a folder renders through render_batch
+    (same-geometry groups, N per fenced dispatch), outputs named after the
+    inputs as PNG; --resume skips existing outputs."""
+    ind = tmp_path / "ins"
+    outd = tmp_path / "outs"
+    ind.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        mm.write_image(str(ind / f"img{i}.png"),
+                       rng.rand(12, 16, 4).astype(np.float32))
+    mm.write_image(str(ind / "wide.png"),
+                   rng.rand(12, 32, 4).astype(np.float32))  # 2nd geometry
+    proc = run_cli("filters/Colors/invert.mm", str(outd),
+                   "--input-dir", str(ind), "--batch-size", "2", "-v")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    outs = sorted(os.listdir(outd))
+    assert outs == ["img0.png", "img1.png", "img2.png", "wide.png"]
+    # values actually inverted
+    from PIL import Image
+
+    orig = np.asarray(Image.open(ind / "img1.png").convert("RGBA"))
+    got = np.asarray(Image.open(outd / "img1.png").convert("RGBA"))
+    assert np.abs(got[..., :3].astype(int) + orig[..., :3] - 255).max() <= 1
+    # resume: second run writes nothing new (mtimes unchanged)
+    m0 = {n: os.path.getmtime(outd / n) for n in outs}
+    proc = run_cli("filters/Colors/invert.mm", str(outd),
+                   "--input-dir", str(ind), "--resume")
+    assert proc.returncode == 0, proc.stderr[-500:]
+    assert {n: os.path.getmtime(outd / n) for n in outs} == m0
