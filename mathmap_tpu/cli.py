@@ -126,22 +126,26 @@ def _run_batch_dir(args, filt, out_dir, width, height, opts, params, log):
     if not names:
         raise SystemExit(f"--input-dir: no images found in {args.input_dir}")
     os.makedirs(out_dir, exist_ok=True)
-    # group by geometry: one compiled program per (H, W)
+    # group by geometry (header-only reads — a big folder must not be
+    # decoded into RAM all at once); one compiled program per (H, W)
+    from PIL import Image
+
     groups: dict = {}
     for n in names:
-        img = read_image(os.path.join(args.input_dir, n))
-        groups.setdefault(img.shape[:2], []).append((n, img))
+        with Image.open(os.path.join(args.input_dir, n)) as im:
+            groups.setdefault((im.size[1], im.size[0]), []).append(n)
     done = 0
-    for (h, w), items in groups.items():
+    for (h, w), group in groups.items():
         ow, oh = width or w, height or h
-        log(f"batch group {w}x{h}: {len(items)} image(s) -> {ow}x{oh}")
-        for start in range(0, len(items), max(1, args.batch_size)):
-            chunk = items[start:start + max(1, args.batch_size)]
-            stack = np.stack([im for _, im in chunk])
+        log(f"batch group {w}x{h}: {len(group)} image(s) -> {ow}x{oh}")
+        for start in range(0, len(group), max(1, args.batch_size)):
+            chunk = group[start:start + max(1, args.batch_size)]
+            stack = np.stack([
+                read_image(os.path.join(args.input_dir, n)) for n in chunk])
             outs = filt.render_batch(stack, ts=[args.t] * len(chunk),
                                      width=ow, height=oh, options=opts,
                                      params=params)
-            for (n, _), frame in zip(chunk, outs):
+            for n, frame in zip(chunk, outs):
                 # outputs are RGBA: always write PNG (a .jpg input name
                 # would make PIL reject the alpha channel)
                 path = os.path.join(out_dir, os.path.splitext(n)[0] + ".png")
