@@ -82,22 +82,25 @@ def _edge_map_coord(jnp, p, n: int, behavior: str):
     return jnp.clip(p, -3.0, float(n) + 2.0)
 
 
+def _edge_pad_indices(n: int, behavior: str, lo: int, hi: int):
+    """Source-row indices (host ints) for positions [lo, hi) outside
+    [0, n) under wrap/reflect — valid for ANY n >= 1 (slice-based pads
+    crashed when n < pad width; review r3 finding)."""
+    import numpy as _np
+
+    pos = _np.arange(lo, hi)
+    if behavior == "wrap":
+        return _np.mod(pos, n)
+    m = _np.mod(pos, 2 * n)
+    return _np.where(m < n, m, 2 * n - 1 - m)
+
+
 def _apron(jnp, img, axis: int, n: int, behavior: str, edge_color, pad_l: int, pad_r: int):
     """Extend `img` along `axis` by pad_l before and pad_r after with
     behavior-encoded content ((H,W,4) channel-last layout)."""
-    def take(sl):
-        idx = [slice(None)] * img.ndim
-        idx[axis] = sl
-        return img[tuple(idx)]
-
-    if behavior == "wrap":
-        left = take(slice(n - pad_l, None))
-        right = jnp.concatenate([img, img], axis=axis)
-        right = jnp.take(right, jnp.arange(pad_r), axis=axis)
-    elif behavior == "reflect":
-        left = jnp.flip(take(slice(0, pad_l)), axis=axis)
-        right = jnp.concatenate([jnp.flip(img, axis=axis), img], axis=axis)
-        right = jnp.take(right, jnp.arange(pad_r), axis=axis)
+    if behavior in ("wrap", "reflect"):
+        left = jnp.take(img, _edge_pad_indices(n, behavior, -pad_l, 0), axis=axis)
+        right = jnp.take(img, _edge_pad_indices(n, behavior, n, n + pad_r), axis=axis)
     else:
         col = jnp.asarray(edge_color, dtype=img.dtype).reshape((1,) * (img.ndim - 1) + (4,))
         shape_l = list(img.shape)
@@ -146,15 +149,10 @@ def _weights(jnp, frac, interpolation: str):
         return [jnp.ones_like(frac)]
     if interpolation == "bilinear":
         return [1.0 - frac, frac]
-    f = frac
-    f2 = f * f
-    f3 = f2 * f
-    return [
-        -0.5 * f3 + f2 - 0.5 * f,
-        1.5 * f3 - 2.5 * f2 + 1.0,
-        -1.5 * f3 + 2.0 * f2 + 0.5 * f,
-        0.5 * f3 - 0.5 * f2,
-    ]
+    # the oracle's coefficients are THE spec — one implementation only
+    from ..runtime.sampling import _catmull_rom_weights
+
+    return list(_catmull_rom_weights(jnp, frac))
 
 
 #: pixels per sub-chunk piece in sub-chunk tiers: (8, 16) strips of a base
@@ -626,9 +624,14 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # ---- padded multi-copy x-major image ----
     # Renderer-precomputed pad (runtime/render.py caches it across frames
     # for device-resident inputs — the pad build costs ~3ms per 4K frame):
+    # Accept a renderer prepad only when THIS call uses the invocation's
+    # edge behaviors — the apron content bakes them in, and this function
+    # supports per-call overrides (apply_lut_pallas), whose callers must
+    # not silently sample another behavior's apron (review r3 finding).
     prepad = getattr(img, "prepad", None)
     if prepad is not None and tuple(prepad.shape) == (wp, N_COPIES * hp * 4) \
-            and prepad.dtype == img_dtype:
+            and prepad.dtype == img_dtype \
+            and (edge_x, edge_y) == (opts.edge_x, opts.edge_y):
         img_xm = prepad
     else:
         prepad = None
@@ -659,10 +662,18 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # plain axis reductions and the flatten/unflatten disappear entirely.
     LCM_W = 256
     half = 0.5 if interpolation == "nearest" else 0.0
+    # NaN/inf coords must FAIL every tier fit (the int cast of NaN is a
+    # backend-defined sentinel — 0 on CPU — which silently PASSED the
+    # max-only fit tests; review r3 finding). Poison non-finite values to
+    # a huge finite coordinate in the STATS source only: max_x blows past
+    # every window, the block stays unclaimed, and the exact subset patch
+    # or gather fallback (which see the original coords) handles it.
+    statx = jnp.where(jnp.isfinite(pxp), pxp, 1e9)
+    staty = jnp.where(jnp.isfinite(pyp), pyp, 1e9)
     if base_mode:
         nby, nbx = bl
-        x0g = jnp.floor(pxp + half).astype(jnp.int32)
-        y0g = jnp.floor(pyp + half).astype(jnp.int32)
+        x0g = jnp.floor(statx + half).astype(jnp.int32)
+        y0g = jnp.floor(staty + half).astype(jnp.int32)
         # each base-layout row IS one (8, 64) block: per-block stats are
         # plain full-row reductions (NO 4-D reshape — that would relayout
         # the whole 33MB/4K array lane->sublane just to reduce it)
@@ -678,10 +689,13 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         if (ht0, wt0) != (h_out, w_out):
             pxp0 = jnp.pad(pxp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
             pyp0 = jnp.pad(pyp, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
+            statx0 = jnp.pad(statx, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
+            staty0 = jnp.pad(staty, ((0, ht0 - h_out), (0, wt0 - w_out)), mode="edge")
         else:
             pxp0, pyp0 = pxp, pyp
-        x0g = jnp.floor(pxp0 + half).astype(jnp.int32)
-        y0g = jnp.floor(pyp0 + half).astype(jnp.int32)
+            statx0, staty0 = statx, staty
+        x0g = jnp.floor(statx0 + half).astype(jnp.int32)
+        y0g = jnp.floor(staty0 + half).astype(jnp.int32)
         nby, nbx = ht0 // TILE_H, wt0 // BW
         bx = x0g.reshape(nby, TILE_H, nbx, BW)
         by = y0g.reshape(nby, TILE_H, nbx, BW)
@@ -862,7 +876,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     per_tile_mode = getattr(opts, "pallas_per_tile", "auto")
     use_per_tile = (per_tile_mode != "off" and not truncated
-                    and len(plans) == len(tier_cfgs) and len(plans) > 0
+                    and len(plans) > 0
                     and (per_tile_mode == "on" or nby * nbx >= 1024))
     if not use_per_tile:
         return list(chain_from(0)())

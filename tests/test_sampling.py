@@ -399,6 +399,49 @@ def test_subchunk_tier_spiral_matches_gather(interp):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.parametrize("edge", ["wrap", "reflect"])
+def test_tiny_image_pallas_edge_behaviors(edge):
+    """Review r3: images smaller than the 8-px apron crashed the Pallas
+    pad's slice-based wrap/reflect construction; index-based pads handle
+    any size >= 1."""
+    img = np.random.RandomState(21).rand(4, 6, 4).astype(np.float32)
+    f = mm.compile("origVal(xy * 2)")
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            edge_x=edge, edge_y=edge)
+    a = f.render(img, width=6, height=4, options=opts)
+    b = f.render(img, width=6, height=4,
+                 options=mm.RenderOptions(sampler="gather",
+                                          edge_x=edge, edge_y=edge))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_nan_coords_fail_tier_fit():
+    """Review r3: floor(NaN)'s int-cast sentinel (0 on CPU) passed the
+    max-only fit tests, so NaN blocks were silently CLAIMED — the kernel
+    clamped the sentinel into its window and fabricated finite values.
+    Non-finite stats must fail every fit: finite-coord pixels match the
+    gather path exactly, and NaN-coord pixels propagate NaN under
+    bilinear weighting exactly where the gather path does (an int-cast
+    of NaN has no defined value, so nearest-mode NaN pixels are
+    program-dependent in BOTH paths — only the NaN-ness is the spec)."""
+    img = np.random.RandomState(22).rand(32, 128, 4).astype(np.float32)
+    # sqrt of a negative band -> NaN coords on the lower half
+    src = "filter nanwarp (image in)\n  in(xy:[x + sqrt(y), y])\nend"
+    f = mm.compile(src)
+    a = np.asarray(f.render(img, width=128, height=32,
+                            options=mm.RenderOptions(sampler="pallas",
+                                                     pallas_per_tile="on",
+                                                     pallas_precision="f32")))
+    b = np.asarray(f.render(img, width=128, height=32,
+                            options=mm.RenderOptions(sampler="gather")))
+    nan_a = np.isnan(a).any(axis=-1)
+    nan_b = np.isnan(b).any(axis=-1)
+    np.testing.assert_array_equal(nan_a, nan_b)
+    assert nan_b.any()  # the warp really produced a NaN band
+    finite = ~nan_b
+    np.testing.assert_allclose(a[finite], b[finite], atol=5e-5)
+
+
 def test_subchunk_tier_anisotropic_matches_gather():
     """ADVICE r2 (high): the sub-chunk planner's per-piece stats must
     describe the pieces the KERNEL actually samples — (8, 16) strips. An
