@@ -188,17 +188,14 @@ class Filter:
         """Render across a device mesh: frames shard over 'f' (DP), grid
         rows/cols over 'y'/'x' (parallel/shard.py — the multi-chip analog of
         the reference's slice threads). `mesh=None` builds a rows-only mesh
-        over all devices. Returns (H,W,4) or (F,H,W,4)."""
-        for a in inputs:
-            if getattr(np.asarray(a), "ndim", 0) == 4:
-                raise MMError(
-                    "animated (T,H,W,4) inputs are not supported by "
-                    "render_sharded yet — render per frame or use render()")
+        over all devices. 4-D inputs are ANIMATED (T,H,W,4) drawables
+        (replicated per device, frame-indexed by origValXY — same semantics
+        as render()). Returns (H,W,4) or (F,H,W,4)."""
         from .parallel.mesh import make_mesh
         from .parallel.shard import ShardedRenderer
 
         options = options or RenderOptions()
-        ins = [to_float_rgba(np.asarray(a)) for a in inputs]
+        ins = [self._conv_input(a) for a in inputs]
         width, height = self._resolve_size(ins, width, height)
         if mesh is None:
             mesh = make_mesh()

@@ -107,6 +107,43 @@ def test_render_sharded_with_params():
     assert np.abs(got - other).max() > 0.01
 
 
+def _anim_stack(t_frames=3, seed=7):
+    stack = np.random.RandomState(seed).rand(t_frames, H, W, 4).astype(np.float32)
+    stack[..., 3] = 1.0
+    return stack
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8, 1), (1, 2, 4)])
+def test_grid_sharded_animated_input(mesh_shape):
+    """Animated (T,H,W,4) inputs replicate per device; frame-indexed
+    origValXY sampling inside a shard_map tile is bitwise-identical to the
+    unsharded render (current-frame default + explicit index mixed)."""
+    f = mm.compile("0.5 * origVal(xy * 0.9) + 0.5 * origValXY(x, y, 1)")
+    stack = _anim_stack()
+    want = f.render(stack, width=W, height=H)
+    got = f.render_sharded(stack, mesh=make_mesh(*mesh_shape), width=W, height=H)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_frame_sharded_animated_input():
+    """Animation in -> animation out across the 'f' mesh axis: each output
+    frame samples its OWN input frame (current-frame semantics) on whichever
+    device renders it."""
+    f = mm.compile("origVal(xy)")
+    stack = _anim_stack(t_frames=8, seed=9)
+    num_frames = 8
+    opts = mm.RenderOptions(interpolation="nearest")
+    want = f.render_animation(stack, num_frames=num_frames, width=W, height=H,
+                              options=opts)
+    got = f.render_sharded(stack, mesh=make_mesh(4, 2, 1),
+                           num_frames=num_frames, width=W, height=H,
+                           options=opts)
+    assert got.shape == (num_frames, H, W, 4)
+    np.testing.assert_array_equal(got, want)
+    # identity warp + nearest + current-frame: frame k IS input frame k
+    np.testing.assert_allclose(got, stack, atol=1e-6)
+
+
 def test_pallas_sampler_under_shard_map():
     """The Pallas sampling kernel composes with mesh sharding (per-device
     tile planning inside shard_map); forced via sampler='pallas' so the
