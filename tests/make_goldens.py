@@ -13,29 +13,37 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-FIXTURES = [
-    "invert", "grayscale", "sepia", "solarize", "fisheye", "twirl", "pond",
-    "ripple", "wave", "blend", "mask", "mandelbrot", "moire", "checkerboard",
-    "kaleidoscope", "clouds", "julia", "sharpen",
-    # round-2 additions
-    "whirl_pinch", "water", "voronoi", "superformula", "tricorn",
-    "porter_duff_xor", "soft_light", "chroma_key", "selective_desat",
-    "warp_noise", "offset", "polar_wrap",
-    # round-3: composer compositions (pin the graph->source codegen AND
-    # the composed semantics, not just oracle-vs-jit consistency)
-    "neon_glow", "checker_pick", "deep_lens", "marble_relief",
-    "old_photo", "plasma_overlay",
-]
+_DB = None
+
+
+def _db():
+    global _DB
+    if _DB is None:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from mathmap_tpu.expression_db import default_db
+
+        _DB = default_db()
+    return _DB
+
+
+def _library_names():
+    """EVERY filter in the library database (155 .mm + the .mmc composer
+    gallery) — the whole language/library surface is golden-pinned, not a
+    curated subset (round 3; oracle renders of all of them take <1 s).
+    Composer entries additionally pin the graph->source codegen."""
+    return sorted(_db().names())
+
+
+FIXTURES = _library_names()
 W, H = 20, 16
 
 
 def render_fixture(name):
-    import mathmap_tpu as mm
-    from mathmap_tpu.expression_db import default_db
     from mathmap_tpu.imgio.images import to_uint8
 
-    db = default_db()
-    f = db.compile(name)
+    f = _db().compile(name)
     inputs = [
         _image(seed=11 + i) for i in range(len(f.image_params))
     ]
