@@ -46,6 +46,40 @@ _BINOP_NAME = {
 }
 _UNOP_NAME = {"-": "__neg", "!": "__not"}
 
+#: builtins safe to constant-fold at trace time: pure scalar arithmetic that
+#: only touches `ev.be` (no rand, no images, no curve/gradient/ctx state).
+#: Folding powers the static-trip-count while unroll (literal-driven loop
+#: counters — under jit even literals become staged tracers, so trip counts
+#: must be mirrored on the host side).
+_CONST_FOLD_OPS = frozenset({
+    "__add", "__sub", "__mul", "__div", "__mod", "__pow",
+    "__eq", "__ne", "__lt", "__gt", "__le", "__ge",
+    "__and", "__or", "__xor", "__neg", "__not",
+    "abs", "sign", "min", "max", "clamp", "floor", "ceil", "round",
+    "fmod", "sqrt", "exp", "log", "pow",
+})
+
+
+class _ConstShadowEv:
+    """Minimal evaluator stand-in for host-side constant folding: the
+    whitelisted builtins read nothing but `.be`. numpy float32 mirrors the
+    traced f32 arithmetic."""
+
+    __slots__ = ("be",)
+
+    def __init__(self):
+        import numpy as np
+
+        self.be = np
+
+
+_CONST_EV = _ConstShadowEv()
+
+#: static-trip-count unroll budget (iterations). Voronoi's 3x3 cell scan
+#: and fixed-tap convolutions sit well under this; longer literal loops
+#: fall back to the masked lax path. Module-level so probes can A/B it.
+WHILE_UNROLL_MAX = 64
+
 
 def np_like_u32(be, v):
     return be.asarray(v, dtype=be.uint32)
@@ -385,20 +419,40 @@ class Evaluator:
             return int(node.value)
         return None
 
+    def _fold_const(self, name: str, args, out: TupleValue) -> TupleValue:
+        """Attach a host-side constant mirror to `out` when every argument
+        carries one and the builtin is fold-safe. Runs the SAME builtin on
+        numpy float32, so the mirror follows oracle semantics exactly."""
+        if (out.const is not None or out.is_opaque
+                or name not in _CONST_FOLD_OPS or not args
+                or any(a.const is None or a.is_opaque
+                       or len(a.const) != len(a.arrays) for a in args)):
+            return out
+        import numpy as np
+
+        try:
+            shadow = [TupleValue(a.tag, tuple(np.float32(c) for c in a.const))
+                      for a in args]
+            res = R.lookup(name)(_CONST_EV, shadow, None)
+            if not res.is_opaque and len(res.arrays) == len(out.arrays):
+                out.const = tuple(float(c) for c in res.arrays)
+        except Exception:
+            pass
+        return out
+
     def _eval_BinOp(self, node: A.BinOp) -> TupleValue:
         name = _BINOP_NAME.get(node.op)
         if name is None:
             raise MMRuntimeError(f"unknown operator {node.op!r}", node.span)
         fn = R.lookup(name)
-        return fn(self, [self.eval(node.left), self.eval(node.right)], node.span)
+        args = [self.eval(node.left), self.eval(node.right)]
+        return self._fold_const(name, args, fn(self, args, node.span))
 
     def _eval_UnOp(self, node: A.UnOp) -> TupleValue:
-        fn = R.lookup(_UNOP_NAME[node.op])
+        name = _UNOP_NAME[node.op]
+        fn = R.lookup(name)
         operand = self.eval(node.operand)
-        out = fn(self, [operand], node.span)
-        if node.op == "-" and operand.const is not None:
-            out.const = tuple(-c for c in operand.const)
-        return out
+        return self._fold_const(name, [operand], fn(self, [operand], node.span))
 
     def _eval_Assign(self, node: A.Assign) -> TupleValue:
         v = self.eval(node.expr)
@@ -502,9 +556,16 @@ class Evaluator:
                         node.span,
                     )
             tag = v.tag if v.tag != NIL else target.tag
+            cst = None
+            if v.const is not None:
+                cs = (v.const * target.length
+                      if len(v.const) == 1 and target.length > 1 else v.const)
+                if len(cs) == target.length:
+                    cst = tuple(float(c) for c in cs)
             return TupleValue(
                 tag,
                 tuple(be.broadcast_to(self.lit(x), shape) for x in arrays),
+                const=cst,
             )
 
         init_env = dict(self.env)
@@ -512,7 +573,7 @@ class Evaluator:
         for n in names:
             tgt = probe_env[n]
             if n not in init_env:
-                init_env[n] = TupleValue(NIL, (self.lit(0.0),))
+                init_env[n] = TupleValue(NIL, (self.lit(0.0),), const=(0.0,))
             init_env[n] = widen(init_env[n], tgt)
             carried.append(n)
         lengths = {n: init_env[n].length for n in carried}
@@ -524,14 +585,31 @@ class Evaluator:
                 flat.extend(env[n].arrays)
             return tuple(flat)
 
-        def unpack(flat, base_env=None):
+        def unpack(flat, base_env=None, consts=None):
             env = dict(init_env if base_env is None else base_env)
             i = 0
             for n in carried:
                 k = lengths[n]
-                env[n] = TupleValue(tags[n], tuple(flat[i : i + k]))
+                cst = None
+                if consts is not None:
+                    comps = consts[i : i + k]
+                    if all(c is not None for c in comps):
+                        cst = tuple(comps)
+                env[n] = TupleValue(tags[n], tuple(flat[i : i + k]), const=cst)
                 i += k
             return env
+
+        def pack_const(env):
+            """Host-side mirror of pack(): per-slot trace-time constants
+            (None where unknown) — the carry for the static unroll."""
+            cs: list = []
+            for n in carried:
+                v = env[n]
+                if v.const is not None and len(v.const) == len(v.arrays):
+                    cs.extend(float(c) for c in v.const)
+                else:
+                    cs.extend(None for _ in range(lengths[n]))
+            return tuple(cs)
 
         max_iters = self.ctx.opts.max_loop_iters
 
@@ -559,17 +637,29 @@ class Evaluator:
                 i += k
             return tuple(new_flat)
 
-        def eval_cond(flat, mask, salt, tile=None):
+        #: trace-time truth of the most recent cond evaluation (None =
+        #: dynamic) — drives the static-trip-count unroll below
+        cond_const = [None]
+        #: pack_const() of the env after the latest const-threaded
+        #: eval_cond — the unroll's next-iteration const carry
+        carry_consts = [None]
+
+        def eval_cond(flat, mask, salt, tile=None, consts=None):
             """Evaluate the condition sequence on the carried env. Its
             assignments persist (sequential cond-statement semantics) for
             the pixels that evaluated it, i.e. those active in `mask`."""
             ctx, x, y, base_env = tile or (self.ctx, self.x, self.y, None)
-            env = unpack(flat, base_env)
+            env = unpack(flat, base_env, consts=consts)
             ev = Evaluator(ctx, x, y, env, salt_extra=salt)
-            cond_mask = ev._truthy_mask(ev.eval(node.cond), node.span)
+            cond_tv = ev.eval(node.cond)
+            cond_mask = ev._truthy_mask(cond_tv, node.span)
+            c = cond_tv.const
+            cond_const[0] = (bool(c[0] != 0)
+                             if c is not None and len(c) == 1 else None)
+            carry_consts[0] = pack_const(env) if consts is not None else None
             return repack(env, flat, mask, grid_shape=ctx.shape), cond_mask
 
-        def step(flat, mask, loop_i, tile=None):
+        def step(flat, mask, loop_i, tile=None, consts=None):
             """One iteration under `mask`; returns (new_flat, next_mask).
             The mask is carried and ANDed monotonically, so the condition is
             evaluated once per iteration (not again in lax's cond_fn).
@@ -582,17 +672,27 @@ class Evaluator:
             ctx.rand_counter = counter_loop + nonce * 1000003
             ctx.rand_loop_nonce = nonce_loop
             salt = self._mix_salt(loop_i)
-            env = unpack(flat, base_env)
+            env = unpack(flat, base_env, consts=consts)
             ev = Evaluator(ctx, x, y, env, salt_extra=salt)
             ev.eval(node.body)
             new_flat = repack(env, flat, mask, grid_shape=ctx.shape)
-            new_flat, cond_mask = eval_cond(new_flat, mask, salt, tile=tile)
-            return new_flat, mask & cond_mask
+            new_flat, cond_mask = eval_cond(
+                new_flat, mask, salt, tile=tile,
+                consts=pack_const(env) if consts is not None else None)
+            # mask=None = statically-unrolled step: all pixels active, no
+            # where-merging; the caller tracks liveness via cond_const
+            return new_flat, (cond_mask if mask is None else mask & cond_mask)
 
         flat0 = pack(init_env)
+        consts0 = pack_const(init_env)
         if node.post:
+            # do-while's pre-pass strips consts; its first cond can still
+            # fold when literal-only, but counter-driven ones stay dynamic
             flat0 = self._run_body_once(node, flat0, unpack, pack, carried, lengths)
-        flat0, mask0 = eval_cond(flat0, None, self.salt_extra)
+            consts0 = tuple(None for _ in consts0)
+        flat0, mask0 = eval_cond(flat0, None, self.salt_extra, consts=consts0)
+        cond0_t = cond_const[0]   # before pallas/lax tracing clobbers it
+        consts0 = carry_consts[0]  # post-cond-sequence const carry
         mask0 = be.broadcast_to(mask0, self.ctx.shape)
         counter_loop = self.ctx.rand_counter
         nonce = self.ctx.rand_loop_nonce
@@ -619,6 +719,42 @@ class Evaluator:
                 self.ctx.rand_counter = counter_loop
                 self.ctx.rand_loop_nonce = nonce_loop
                 final_env = unpack(flat_pallas)
+                for n in carried:
+                    self.env[n] = final_env[n]
+                return TupleValue(NIL, (self.lit(0.0),))
+
+            # Static-trip-count unroll: when the condition folds to a
+            # trace-time constant (literal-driven counters — voronoi's 3x3
+            # cell scan, fixed convolution taps), run the loop AT TRACE
+            # TIME exactly like the oracle: the precise iteration count,
+            # no lax.while_loop carry round-trips through HBM, no K-step
+            # mask overshoot (the masked path evaluates bodies in blocks
+            # of K=4, overshooting short loops by up to K-1 noise-call-
+            # heavy bodies), and straight-line code XLA fuses across
+            # iterations. Bails to the lax path the moment a cond stops
+            # folding or the count exceeds the budget; partially traced
+            # steps become dead code XLA eliminates.
+            unrolled = None
+            if cond0_t is not None:
+                flat_u, consts_u, active, n_u = flat0, consts0, cond0_t, 0
+                self.ctx.loop_depth += 1
+                try:
+                    while (active and n_u < max_iters
+                           and n_u < WHILE_UNROLL_MAX):
+                        flat_u, _ = step(flat_u, None,
+                                         loop_i=np_like_u32(be, n_u + 1),
+                                         consts=consts_u)
+                        consts_u = carry_consts[0]
+                        n_u += 1
+                        active = cond_const[0]
+                finally:
+                    self.ctx.loop_depth -= 1
+                if active is False or (active and n_u >= max_iters):
+                    unrolled = flat_u
+            if unrolled is not None:
+                self.ctx.rand_counter = counter_loop
+                self.ctx.rand_loop_nonce = nonce_loop
+                final_env = unpack(unrolled)
                 for n in carried:
                     self.env[n] = final_env[n]
                 return TupleValue(NIL, (self.lit(0.0),))
@@ -703,7 +839,7 @@ class Evaluator:
             fn = R.lookup(name)
             if fn is not None:
                 args = [self.eval(a) for a in node.args]
-                return fn(self, args, node.span)
+                return self._fold_const(name, args, fn(self, args, node.span))
             raise MMNameError(f"unknown function {name!r}", node.span)
         # computed callee: must evaluate to an applicable value
         v = self.eval(func)

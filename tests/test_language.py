@@ -606,3 +606,109 @@ def test_pallas_while_engine_rand_and_odd_size():
     j = f.render(img, width=w, height=h,
                  options=mm.RenderOptions(sampler="pallas", pallas_while="on"))
     np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# static-trip-count while unroll (trace-time const folding)
+# ----------------------------------------------------------------------
+class _WhileSpy:
+    """Counts jax.lax.while_loop entries during a render."""
+
+    def __enter__(self):
+        import jax
+
+        self._orig = jax.lax.while_loop
+        self.calls = 0
+
+        def spy(*a, **k):
+            self.calls += 1
+            return self._orig(*a, **k)
+
+        jax.lax.while_loop = spy
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.lax.while_loop = self._orig
+        return False
+
+
+def test_static_unroll_elides_while_loop():
+    """A literal-driven counter folds at trace time: the loop is unrolled
+    into straight-line code — no lax.while_loop in the program — and the
+    result matches the oracle exactly."""
+    src = ("s = 0; i = 0; while i < 9 do "
+           "s = s + sin(i + x * 0.1) * 0.1; i = i + 1 end; "
+           "grayColor(s * 0.3 + 0.5)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls == 0
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_static_unroll_nested_loops():
+    """voronoi-style nested literal loops: both levels unroll."""
+    src = ("acc = 0; j = -1; while j <= 1 do "
+           "  i = -1; while i <= 1 do "
+           "    acc = acc + noise([x * 0.1 + i, y * 0.1 + j, 0.5]); "
+           "    i = i + 1 end; "
+           "  j = j + 1 end; "
+           "grayColor(acc / 9 + 0.5)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls == 0
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_dynamic_cond_keeps_while_loop():
+    """A pixel-dependent condition must NOT unroll."""
+    src = ("v = abs(x) + 1; n = 0; while v > 1 do "
+           "v = v / 2; n = n + 1 end; grayColor(n / 4)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls >= 1
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_static_unroll_budget_bails_to_lax():
+    """A 200-iteration literal counter exceeds the unroll budget and takes
+    the masked lax path — still exact."""
+    src = ("s = 0; i = 0; while i < 200 do "
+           "s = s + 0.005; i = i + 1 end; grayColor(s)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls >= 1
+    np.testing.assert_allclose(j, o, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j)[..., 0], 1.0, atol=1e-4)
+
+
+def test_static_unroll_rand_stream_matches_oracle():
+    """rand() inside an unrolled loop draws the same per-iteration stream
+    as the oracle (salted by the host-side iteration index)."""
+    src = ("s = 0; i = 0; while i < 5 do "
+           "s = s + rand(0, 1); i = i + 1 end; grayColor(s / 5)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls == 0
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_do_while_literal_cond_still_exact():
+    """post-loop (do-while) strips the const carry; parity retained."""
+    src = ("i = 0; s = 0; do s = s + 0.25; i = i + 1 while i < 3 end; "
+           "grayColor(s)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
