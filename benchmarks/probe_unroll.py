@@ -1,0 +1,75 @@
+"""A/B the static-trip-count while unroll on real TPU.
+
+Variants are interleaved inside the same fenced batches (relay drift hits
+all equally — CLAUDE.md measurement rule). Voronoi: masked-lax vs unroll
+(WK ineligible: noise in body). Lissajous: WK engine vs unroll vs lax.
+
+Usage: python benchmarks/probe_unroll.py [--size 3840x2160]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import mathmap_tpu as mm
+import mathmap_tpu.runtime.tracer as TR
+
+W, H = 3840, 2160
+for a in sys.argv[1:]:
+    if a.startswith("--size"):
+        W, H = map(int, a.split("=", 1)[1].split("x"))
+
+MPIX = W * H / 1e6
+
+
+def make(path, unroll_max, pallas_while="auto"):
+    """Fresh filter + renderer traced under the given unroll budget."""
+    TR.WHILE_UNROLL_MAX = unroll_max
+    f = mm.compile_file(path)
+    opts = mm.RenderOptions(pallas_while=pallas_while)
+    r = f._renderer(W, H, opts, 1)
+    out = r([], {}, t=0.37)           # trace+compile under this budget
+    print(f"  compiled {path} unroll={unroll_max} pw={pallas_while} "
+          f"sum={float(jnp.sum(out)):.3f}", file=sys.stderr, flush=True)
+    return r
+
+
+def timed(variants, reps=6, calls=4):
+    """Interleaved fenced batches: each rep fences one batch containing
+    `calls` back-to-back launches of EVERY variant (pipelined)."""
+    best = {k: 1e9 for k in variants}
+    for rep in range(reps):
+        for name, r in variants.items():
+            acc = jnp.float32(0)
+            t0 = time.perf_counter()
+            for i in range(calls):
+                out = r([], {}, t=0.37 + 0.001 * i)
+                acc = acc + jnp.sum(out)
+            _ = float(acc)
+            dt = (time.perf_counter() - t0) / calls
+            best[name] = min(best[name], dt)
+    return best
+
+
+def report(tag, best):
+    for name, dt in best.items():
+        print(f"{tag:12s} {name:10s} {dt*1e3:7.2f} ms/frame  "
+              f"{MPIX/dt:7.1f} Mpix/s", flush=True)
+
+
+print(f"grid {W}x{H}, platform={jax.devices()[0].platform}", flush=True)
+
+vor = {
+    "lax": make("filters/Render/voronoi.mm", 0),
+    "unroll": make("filters/Render/voronoi.mm", 64),
+}
+report("voronoi", timed(vor))
+
+lis = {
+    "wk": make("filters/Render/lissajous.mm", 0, pallas_while="auto"),
+    "lax": make("filters/Render/lissajous.mm", 0, pallas_while="off"),
+    "unroll": make("filters/Render/lissajous.mm", 64, pallas_while="off"),
+}
+report("lissajous", timed(lis))
+TR.WHILE_UNROLL_MAX = 64

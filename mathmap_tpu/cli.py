@@ -54,6 +54,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    metavar="N", help="NxN supersampling AA (default 2 when given bare)")
     p.add_argument("--filter", dest="filter_name", default=None, help="filter name when the file defines several")
     p.add_argument("--param", action="append", default=[], metavar="NAME=VALUE", help="set a userval")
+    p.add_argument("--static-params", default="", metavar="NAME[,NAME...]",
+                   help="bake these uservals into the compiled program as "
+                   "constants (recompiles per value; a baked int loop bound "
+                   "statically unrolls its loop)")
     p.add_argument("--seed", type=int, default=0, help="rand() seed")
     p.add_argument("--sampler", choices=("auto", "pallas", "gather"), default="auto",
                    help="origVal backend: Pallas MXU kernel (auto: on TPU) or XLA gather")
@@ -248,6 +252,7 @@ def main(argv=None) -> int:
         pallas_precision=args.precision,
         pallas_per_tile=args.pallas_per_tile,
         pallas_while=args.pallas_while,
+        static_params=tuple(n for n in args.static_params.split(",") if n),
     )
     params = _parse_params(args.param)
 

@@ -44,6 +44,14 @@ class RenderOptions:
     periodic: bool = True
     #: PRNG seed for rand()
     seed: int = 0
+    #: param names whose values are BAKED into the compiled program as
+    #: trace-time constants (the reference's cgen.c bakes ALL uservals and
+    #: recompiles on change; here it is opt-in since traced params avoid
+    #: the 1-3 min remote recompile). A baked int param driving a loop
+    #: bound statically unrolls the loop (tracer.py). Each distinct value
+    #: compiles its own program (cached). Unpassed params always bake
+    #: their declared default.
+    static_params: tuple = ()
     #: origVal sampler backend: 'auto' uses the Pallas MXU kernel on TPU
     #: with whole-frame XLA-gather fallback on window overflow; 'pallas'
     #: forces the kernel (interpret-mode off-TPU — slow, for tests);
@@ -128,6 +136,9 @@ class RenderOptions:
                     "sub-chunk tier (tile_w 64) subw must be a multiple of 32")
         if self.pallas_while not in ("auto", "on", "off"):
             raise ValueError("pallas_while must be 'auto', 'on' or 'off'")
+        if not isinstance(self.static_params, tuple) or not all(
+                isinstance(n, str) for n in self.static_params):
+            raise ValueError("static_params must be a tuple of param names")
         if self.pallas_per_tile not in ("auto", "on", "off"):
             raise ValueError("pallas_per_tile must be 'auto', 'on' or 'off'")
         if self.pallas_precision not in ("bf16", "f32"):

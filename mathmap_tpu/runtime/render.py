@@ -255,13 +255,21 @@ def _userval_pytree(ctx, fdef: A.FilterDef, params: dict):
 
     Numeric/color/curve/gradient/image values become traced arrays so
     changing them does NOT retrigger compilation — mirroring the reference,
-    where uservals are runtime inputs to the compiled .so."""
+    where uservals are runtime inputs to the compiled .so. Names listed in
+    opts.static_params instead BAKE the value into the static spec (the
+    reference's cgen.c behavior — recompile per value), which lets a baked
+    loop bound statically unroll (tracer.py)."""
     arrays = {}
     kinds = {}
+    static_names = getattr(ctx.opts, "static_params", ())
     for p in fdef.params:
         if p.name not in params:
             continue
         tv = convert_userval(ctx, p, params[p.name])
+        if p.name in static_names and not tv.is_opaque:
+            vals = ",".join(repr(float(a)) for a in tv.arrays)
+            kinds[p.name] = f"static:{tv.tag}:{vals}"
+            continue
         if tv.is_opaque:
             payload = tv.payload
             if hasattr(payload, "lut"):
@@ -282,6 +290,13 @@ def _rebuild_uservals(be, arrays: dict, kinds: tuple):
 
     out = {}
     for name, kind in kinds:
+        if kind.startswith("static:"):
+            _, tag, vals = kind.split(":", 2)
+            comps = tuple(float(v) for v in vals.split(","))
+            out[name] = TupleValue(
+                tag, tuple(be.asarray(v, dtype=be.float32) for v in comps),
+                const=comps)
+            continue
         payload = arrays[name]
         if kind.startswith("tuple:"):
             out[name] = TupleValue(kind.split(":", 1)[1], tuple(payload))

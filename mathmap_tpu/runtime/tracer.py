@@ -703,26 +703,6 @@ class Evaluator:
 
             from ..pallas_kernels import while_kernel as WK
 
-            flat_pallas = None
-            if self.salt_extra is None and WK.eligible(self.ctx, node):
-                # in-VMEM fractal fast path (HBM carry traffic 1/8th);
-                # None = a dependency disqualified it, use the XLA loop
-                self.ctx.loop_depth += 1
-                try:
-                    flat_pallas = WK.launch(
-                        self, node, flat0, mask0, init_env=init_env,
-                        carried=carried, step=step, max_iters=max_iters,
-                    )
-                finally:
-                    self.ctx.loop_depth -= 1
-            if flat_pallas is not None:
-                self.ctx.rand_counter = counter_loop
-                self.ctx.rand_loop_nonce = nonce_loop
-                final_env = unpack(flat_pallas)
-                for n in carried:
-                    self.env[n] = final_env[n]
-                return TupleValue(NIL, (self.lit(0.0),))
-
             # Static-trip-count unroll: when the condition folds to a
             # trace-time constant (literal-driven counters — voronoi's 3x3
             # cell scan, fixed convolution taps), run the loop AT TRACE
@@ -731,9 +711,14 @@ class Evaluator:
             # mask overshoot (the masked path evaluates bodies in blocks
             # of K=4, overshooting short loops by up to K-1 noise-call-
             # heavy bodies), and straight-line code XLA fuses across
-            # iterations. Bails to the lax path the moment a cond stops
-            # folding or the count exceeds the budget; partially traced
-            # steps become dead code XLA eliminates.
+            # iterations. Tried BEFORE the in-VMEM while engine: with a
+            # static trip count there is no divergence for its early-exit
+            # masking to exploit (measured 1024² lissajous/64-iter:
+            # unroll 11.2 ms vs engine 14.2 vs lax 11.8; voronoi
+            # 28.3 vs lax 55.6 — benchmarks/probe_unroll.py). Bails
+            # onward the moment a cond stops folding or the count
+            # exceeds the budget; partially traced steps become dead
+            # code XLA eliminates.
             unrolled = None
             if cond0_t is not None:
                 flat_u, consts_u, active, n_u = flat0, consts0, cond0_t, 0
@@ -755,6 +740,26 @@ class Evaluator:
                 self.ctx.rand_counter = counter_loop
                 self.ctx.rand_loop_nonce = nonce_loop
                 final_env = unpack(unrolled)
+                for n in carried:
+                    self.env[n] = final_env[n]
+                return TupleValue(NIL, (self.lit(0.0),))
+
+            flat_pallas = None
+            if self.salt_extra is None and WK.eligible(self.ctx, node):
+                # in-VMEM fractal fast path (HBM carry traffic 1/8th);
+                # None = a dependency disqualified it, use the XLA loop
+                self.ctx.loop_depth += 1
+                try:
+                    flat_pallas = WK.launch(
+                        self, node, flat0, mask0, init_env=init_env,
+                        carried=carried, step=step, max_iters=max_iters,
+                    )
+                finally:
+                    self.ctx.loop_depth -= 1
+            if flat_pallas is not None:
+                self.ctx.rand_counter = counter_loop
+                self.ctx.rand_loop_nonce = nonce_loop
+                final_env = unpack(flat_pallas)
                 for n in carried:
                     self.env[n] = final_env[n]
                 return TupleValue(NIL, (self.lit(0.0),))

@@ -19,17 +19,25 @@ from .value import Curve, Gradient, InputImage, TupleValue, curve_value, gradien
 
 def default_userval(ctx, p: Param) -> TupleValue:
     be = ctx.be
+    # Numeric defaults carry a trace-time const mirror: a default-valued
+    # loop bound (ridged_noise's `octaves`) is a compile-time constant of
+    # that program — the jit cache's static `kinds` spec records which
+    # params were passed, so an explicitly-passed value always retraces —
+    # and the while engine can statically unroll it (tracer.py).
     if p.kind in ("int", "float"):
         v = p.default
         if v is None:
             v = p.lo if p.lo is not None else 0.0
-        return TupleValue(NIL, (be.asarray(float(v), dtype=be.float32),))
+        return TupleValue(NIL, (be.asarray(float(v), dtype=be.float32),),
+                          const=(float(v),))
     if p.kind == "bool":
         v = p.default if p.default is not None else 0.0
-        return TupleValue(NIL, (be.asarray(1.0 if v else 0.0, dtype=be.float32),))
+        v = 1.0 if v else 0.0
+        return TupleValue(NIL, (be.asarray(v, dtype=be.float32),), const=(v,))
     if p.kind == "color":
         # default opaque black [unverified GUI default]
-        return TupleValue("rgba", tuple(be.asarray(c, dtype=be.float32) for c in (0.0, 0.0, 0.0, 1.0)))
+        return TupleValue("rgba", tuple(be.asarray(c, dtype=be.float32) for c in (0.0, 0.0, 0.0, 1.0)),
+                          const=(0.0, 0.0, 0.0, 1.0))
     if p.kind == "curve":
         return curve_value(Curve.identity(be))
     if p.kind == "gradient":

@@ -507,11 +507,13 @@ def test_pallas_while_engine_excludes_atan2_body():
         launches.append(1)
         return orig(*a, **kw)
 
+    # `x * 0` keeps the condition DYNAMIC (x carries no trace-time const)
+    # so the static unroll doesn't swallow the loop before the engine
     src_ok = ("i = 0; acc = 0;"
-              "while i < 4 do acc = acc + 0.1 * i * (x / W); i = i + 1 end;"
+              "while i + x * 0 < 4 do acc = acc + 0.1 * i * (x / W); i = i + 1 end;"
               "grayColor(acc / 8)")
     src_bad = ("i = 0; acc = 0;"
-               "while i < 4 do acc = acc + atan2(y, x + 10 + i); i = i + 1 end;"
+               "while i + x * 0 < 4 do acc = acc + atan2(y, x + 10 + i); i = i + 1 end;"
                "grayColor(acc / 8)")
     opts = mm.RenderOptions(sampler="pallas", pallas_while="on")
     WK.launch = counting
@@ -598,8 +600,8 @@ def test_pallas_while_engine_rand_and_odd_size():
     non-tile-aligned grid (masked edge tiles) both match the oracle."""
     h, w = 13, 100  # not multiples of (8, 256)
     img = np.zeros((h, w, 4), np.float32)
-    src = ("s = 0; i = 0;"
-           "while i < 6 do s = s + rand(0, 1); i = i + 1 end;"
+    src = ("s = 0; i = 0;"          # x*0: keep the cond dynamic (engine path)
+           "while i + x * 0 < 6 do s = s + rand(0, 1); i = i + 1 end;"
            "grayColor(s / 6)")
     f = mm.compile(src)
     o = f.render(img, width=w, height=h, interpret=True)
@@ -712,3 +714,62 @@ def test_do_while_literal_cond_still_exact():
     o = f.render(BLANK, interpret=True)
     j = f.render(BLANK)
     np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_static_unroll_cond_sequence_assignments():
+    """Assignments in the condition statement-sequence execute once per
+    check and persist — preserved under the static unroll."""
+    src = ("s = 0; i = 0; while k = i * 2; i < 4 do "
+           "s = s + k; i = i + 1 end; grayColor((s + k) / 20)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls == 0
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_default_int_param_bakes_and_unrolls():
+    """An UNPASSED int param is a trace-time constant of that program
+    (the jit cache's static kinds spec records which params were passed),
+    so a default-driven loop bound unrolls; passing the param explicitly
+    keeps it traced and the loop dynamic. Both match the oracle."""
+    src = ("filter f (int n: 1-8 (3)) "
+           "s = 0; i = 0; while i < n do s = s + 0.125; i = i + 1 end; "
+           "grayColor(s) end")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls == 0, "default-valued bound must bake + unroll"
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+    o2 = f.render(BLANK, interpret=True, params={"n": 5})
+    with _WhileSpy() as spy:
+        j2 = f.render(BLANK, params={"n": 5})
+    assert spy.calls >= 1, "explicitly-passed bound must stay traced"
+    np.testing.assert_allclose(j2, o2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j2)[..., 0], 0.625, atol=1e-6)
+
+
+def test_static_params_bakes_explicit_value():
+    """opts.static_params bakes a PASSED value into the program (the
+    reference's cgen.c recompile-on-change behavior, opt-in): the loop
+    unrolls and each distinct value compiles its own correct program."""
+    src = ("filter f (int n: 1-8 (3)) "
+           "s = 0; i = 0; while i < n do s = s + 0.125; i = i + 1 end; "
+           "grayColor(s) end")
+    f = mm.compile(src)
+    so = mm.RenderOptions(static_params=("n",))
+    for n, want in ((2, 0.25), (6, 0.75)):
+        o = f.render(BLANK, interpret=True, params={"n": n}, options=so)
+        with _WhileSpy() as spy:
+            j = f.render(BLANK, params={"n": n}, options=so)
+        assert spy.calls == 0
+        np.testing.assert_allclose(j, o, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j)[..., 0], want, atol=1e-6)
+
+
+def test_static_params_validation():
+    with pytest.raises(ValueError):
+        mm.RenderOptions(static_params="n")  # must be a tuple
