@@ -321,28 +321,34 @@ class Evaluator:
         elif name == "frame":
             v = TupleValue(NIL, (self.lit(ctx.frame),))
         elif name == "X":
-            v = TupleValue(NIL, (self.lit(ctx.width * 0.5),))
+            # geometry internals are uniform trace-time constants: const
+            # mirrors let W/H-derived loop bounds statically unroll
+            v = TupleValue(NIL, (self.lit(ctx.width * 0.5),),
+                           const=(ctx.width * 0.5,))
         elif name == "Y":
-            v = TupleValue(NIL, (self.lit(ctx.height * 0.5),))
+            v = TupleValue(NIL, (self.lit(ctx.height * 0.5),),
+                           const=(ctx.height * 0.5,))
         elif name == "W":
-            v = TupleValue(NIL, (self.lit(float(ctx.width)),))
+            v = TupleValue(NIL, (self.lit(float(ctx.width)),),
+                           const=(float(ctx.width),))
         elif name == "H":
-            v = TupleValue(NIL, (self.lit(float(ctx.height)),))
+            v = TupleValue(NIL, (self.lit(float(ctx.height)),),
+                           const=(float(ctx.height),))
         elif name == "R":
-            v = TupleValue(
-                NIL,
-                (self.lit(((ctx.width * 0.5) ** 2 + (ctx.height * 0.5) ** 2) ** 0.5),),
-            )
+            _R = ((ctx.width * 0.5) ** 2 + (ctx.height * 0.5) ** 2) ** 0.5
+            v = TupleValue(NIL, (self.lit(_R),), const=(_R,))
         elif name == "xy":
             v = TupleValue("xy", (self.x, self.y))
         elif name == "WH" or name == "wh":
-            v = TupleValue(NIL, (self.lit(float(ctx.width)), self.lit(float(ctx.height))))
+            v = TupleValue(NIL, (self.lit(float(ctx.width)), self.lit(float(ctx.height))),
+                           const=(float(ctx.width), float(ctx.height)))
         elif name == "pi":
-            v = TupleValue(NIL, (self.lit(_PI),))
+            v = TupleValue(NIL, (self.lit(_PI),), const=(_PI,))
         elif name == "e":
-            v = TupleValue(NIL, (self.lit(_E),))
+            v = TupleValue(NIL, (self.lit(_E),), const=(_E,))
         elif name == "I":
-            v = TupleValue("ri", (self.lit(0.0), self.lit(1.0)))
+            v = TupleValue("ri", (self.lit(0.0), self.lit(1.0)),
+                           const=(0.0, 1.0))
         if v is not None:
             self._cache[name] = v
         return v
@@ -376,10 +382,14 @@ class Evaluator:
 
     def _eval_TupleLit(self, node: A.TupleLit) -> TupleValue:
         comps = []
+        consts: list = []
         for item in node.items:
             v = self.eval(item)
             comps.append(v.scalar(item.span))
-        return TupleValue(NIL, tuple(comps))
+            consts.append(v.const[0] if v.const is not None
+                          and len(v.const) == 1 else None)
+        cst = tuple(consts) if all(c is not None for c in consts) else None
+        return TupleValue(NIL, tuple(comps), const=cst)
 
     def _eval_Cast(self, node: A.Cast) -> TupleValue:
         v = self.eval(node.expr)
@@ -387,7 +397,9 @@ class Evaluator:
         if want is not None and not v.is_opaque and v.length != want:
             if v.length == 1:
                 # scalar widens to the tag's arity (0 -> ri:[0,0] etc.)
-                v = TupleValue(v.tag, v.arrays * want)
+                v = TupleValue(v.tag, v.arrays * want,
+                               const=None if v.const is None
+                               else v.const * want)
             else:
                 raise MMTypeError(
                     f"cannot retag length-{v.length} tuple as {node.tag}: (length {want})",
@@ -405,7 +417,10 @@ class Evaluator:
                 raise MMTypeError(
                     f"index {idx} out of range for length-{base.length} tuple", node.span
                 )
-            return TupleValue(NIL, (base.arrays[idx],))
+            cst = (None if base.const is None
+                   or len(base.const) != base.length
+                   else (base.const[idx],))
+            return TupleValue(NIL, (base.arrays[idx],), const=cst)
         # dynamic index: select chain
         iv = self.eval(node.index).scalar(node.span)
         be = self.be
