@@ -42,16 +42,32 @@ class ExprGen:
     def program(self):
         kind = self.rng.rand()
         body = self.scalar()
-        if kind < 0.6:
+        if kind < 0.5:
             return f"grayColor(clamp({body}, 0, 1))"
-        if kind < 0.8:
+        if kind < 0.65:
             return (f"v = {body}; w = {self.scalar()}; "
                     f"grayColor(clamp(v * 0.5 + w * 0.25, 0, 1))"
                     )
-        if kind < 0.9:
+        if kind < 0.75:
             n = int(self.rng.randint(2, 8))  # NOT pinned to the K=4 unroll
             return (f"i = 0; s = 0; while i < {n} do s = s + {body}; "
                     f"i = i + 1 end; grayColor(clamp(s / {n}, 0, 1))")
+        if kind < 0.82:
+            # static bound derived from geometry internals (W=12 here) —
+            # folds through the const mirror and unrolls
+            return (f"i = 0; s = 0; while i < W / 4 do s = s + {body}; "
+                    f"i = i + 1 end; grayColor(clamp(s / 3, 0, 1))")
+        if kind < 0.9:
+            # nested loops: outer static (unrolls), inner alternates
+            # static / pixel-dependent (stays masked-lax) per seed
+            ni, no = int(self.rng.randint(2, 5)), int(self.rng.randint(2, 4))
+            inner_cond = (f"j < {ni}" if self.rng.rand() < 0.5
+                          else f"j + abs(x) * 0 < {ni}")
+            return (f"s = 0; i = 0; while i < {no} do "
+                    f"  j = 0; while {inner_cond} do "
+                    f"    s = s + {body} * 0.1; j = j + 1 end; "
+                    f"  i = i + 1 end; "
+                    f"grayColor(clamp(s / {ni * no}, 0, 1))")
         # rand() inside a loop + after it (the r1 divergence class), and
         # assignments in the loop condition
         n = int(self.rng.randint(2, 7))
