@@ -1,10 +1,13 @@
 """A/B the static-trip-count while unroll on real TPU.
 
-Variants are interleaved inside the same fenced batches (relay drift hits
-all equally — CLAUDE.md measurement rule). Voronoi: masked-lax vs unroll
-(WK ineligible: noise in body). Lissajous: WK engine vs unroll vs lax.
+Variants run as ALTERNATING fenced batches within the same measurement
+window (relay drift hits all variants equally — CLAUDE.md measurement
+rule) with >=8 pipelined calls per fence to amortize dispatch; per-
+variant best-of-reps is reported. Voronoi: masked-lax vs unroll (WK
+ineligible: noise in body). Lissajous: WK engine vs unroll vs lax.
 
-Usage: python benchmarks/probe_unroll.py [--size 3840x2160]
+Usage: python - --size=3840x2160 < benchmarks/probe_unroll.py
+(PYTHONPATH breaks the axon plugin — run via stdin from the repo cwd.)
 """
 import sys
 import time
@@ -35,9 +38,10 @@ def make(path, unroll_max, pallas_while="auto"):
     return r
 
 
-def timed(variants, reps=6, calls=4):
-    """Interleaved fenced batches: each rep fences one batch containing
-    `calls` back-to-back launches of EVERY variant (pipelined)."""
+def timed(variants, reps=6, calls=8):
+    """Alternating per-variant fenced batches (A,B,...,A,B,... within one
+    window so drift hits all variants); each fence pipelines `calls`
+    launches; best-of-reps per variant."""
     best = {k: 1e9 for k in variants}
     for rep in range(reps):
         for name, r in variants.items():

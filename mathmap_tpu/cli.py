@@ -252,7 +252,8 @@ def main(argv=None) -> int:
         pallas_precision=args.precision,
         pallas_per_tile=args.pallas_per_tile,
         pallas_while=args.pallas_while,
-        static_params=tuple(n for n in args.static_params.split(",") if n),
+        static_params=tuple(n.strip() for n in args.static_params.split(",")
+                            if n.strip()),
     )
     params = _parse_params(args.param)
 

@@ -39,6 +39,12 @@ class RenderOptions:
     #: masked). Higher helps long fractal loops; short loops pay up to
     #: while_unroll-1 wasted masked steps.
     while_unroll: int = 4
+    #: static-trip-count unroll budget (iterations): loops whose condition
+    #: folds to a trace-time constant unroll into straight-line code up to
+    #: this many steps (0 disables). A bailed attempt (count > budget)
+    #: traces up to this many dead body copies before falling back, so
+    #: raise with care on noise-heavy bodies.
+    while_static_unroll: int = 64
     #: periodic animation: t = frame/N (wraps); non-periodic: t = frame/(N-1)
     #: so the last frame reaches t=1 (SURVEY §2.1 render-engine row).
     periodic: bool = True

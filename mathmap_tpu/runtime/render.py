@@ -262,6 +262,19 @@ def _userval_pytree(ctx, fdef: A.FilterDef, params: dict):
     arrays = {}
     kinds = {}
     static_names = getattr(ctx.opts, "static_params", ())
+    if static_names:
+        declared = {p.name: p for p in fdef.params}
+        unknown = [n for n in static_names if n not in declared]
+        if unknown:
+            raise ValueError(
+                f"static_params names not declared by filter "
+                f"{fdef.name!r}: {unknown} (has: {sorted(declared)})")
+        bad = [n for n in static_names
+               if declared[n].kind in ("curve", "gradient", "image")]
+        if bad:
+            raise ValueError(
+                f"static_params cannot bake opaque params {bad} "
+                f"(curve/gradient/image values stay traced)")
     for p in fdef.params:
         if p.name not in params:
             continue

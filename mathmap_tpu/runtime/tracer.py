@@ -437,7 +437,9 @@ class Evaluator:
     def _fold_const(self, name: str, args, out: TupleValue) -> TupleValue:
         """Attach a host-side constant mirror to `out` when every argument
         carries one and the builtin is fold-safe. Runs the SAME builtin on
-        numpy float32, so the mirror follows oracle semantics exactly."""
+        numpy in the context's float dtype (f32 default, f64 under the
+        precision='f64' oracle), so the mirror follows the active
+        backend's semantics exactly."""
         if (out.const is not None or out.is_opaque
                 or name not in _CONST_FOLD_OPS or not args
                 or any(a.const is None or a.is_opaque
@@ -445,8 +447,10 @@ class Evaluator:
             return out
         import numpy as np
 
+        dt = (np.float64 if self.ctx.dtype is not None
+              and np.dtype(self.ctx.dtype) == np.float64 else np.float32)
         try:
-            shadow = [TupleValue(a.tag, tuple(np.float32(c) for c in a.const))
+            shadow = [TupleValue(a.tag, tuple(dt(c) for c in a.const))
                       for a in args]
             res = R.lookup(name)(_CONST_EV, shadow, None)
             if not res.is_opaque and len(res.arrays) == len(out.arrays):
@@ -734,13 +738,21 @@ class Evaluator:
             # onward the moment a cond stops folding or the count
             # exceeds the budget; partially traced steps become dead
             # code XLA eliminates.
+            # pallas_while='on' is documented as FORCING the in-VMEM
+            # engine (options.py) — honor it over the unroll when the
+            # loop is engine-eligible
+            wk_forced = (getattr(self.ctx.opts, "pallas_while", "auto")
+                         == "on" and self.salt_extra is None
+                         and WK.eligible(self.ctx, node))
+            unroll_max = int(getattr(self.ctx.opts, "while_static_unroll",
+                                     WHILE_UNROLL_MAX))
             unrolled = None
-            if cond0_t is not None:
+            if cond0_t is not None and not wk_forced and unroll_max > 0:
                 flat_u, consts_u, active, n_u = flat0, consts0, cond0_t, 0
                 self.ctx.loop_depth += 1
                 try:
                     while (active and n_u < max_iters
-                           and n_u < WHILE_UNROLL_MAX):
+                           and n_u < unroll_max):
                         flat_u, _ = step(flat_u, None,
                                          loop_i=np_like_u32(be, n_u + 1),
                                          consts=consts_u)

@@ -773,3 +773,48 @@ def test_static_params_bakes_explicit_value():
 def test_static_params_validation():
     with pytest.raises(ValueError):
         mm.RenderOptions(static_params="n")  # must be a tuple
+
+
+def test_pallas_while_on_overrides_static_unroll():
+    """pallas_while='on' is documented as FORCING the in-VMEM engine —
+    it must win over the static unroll even for foldable conditions."""
+    from mathmap_tpu.pallas_kernels import while_kernel as WK
+
+    launches = []
+    orig = WK.launch
+    WK.launch = lambda *a, **k: (launches.append(1), orig(*a, **k))[1]
+    try:
+        img = np.zeros((8, 256, 4), np.float32)
+        src = ("i = 0; s = 0; while i < 4 do s = s + 0.125 * (x / W); "
+               "i = i + 1 end; grayColor(s + 0.5)")
+        f = mm.compile(src)
+        j = f.render(img, width=256, height=8,
+                     options=mm.RenderOptions(sampler="pallas",
+                                              pallas_while="on"))
+    finally:
+        WK.launch = orig
+    assert launches, "engine must be launched when forced"
+    o = f.render(img, width=256, height=8, interpret=True)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_while_static_unroll_option_disables():
+    src = "i = 0; s = 0; while i < 3 do s = s + 0.2; i = i + 1 end; grayColor(s)"
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK, options=mm.RenderOptions(while_static_unroll=0))
+    assert spy.calls >= 1
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_static_params_unknown_and_opaque_rejected():
+    src = "filter g (int n: 1-8 (3), curve c) grayColor(c(n / 8)) end"
+    f = mm.compile(src)
+    img = np.zeros((8, 8, 4), np.float32)
+    with pytest.raises(ValueError, match="not declared"):
+        f.render(img, width=8, height=8,
+                 options=mm.RenderOptions(static_params=("nope",)))
+    with pytest.raises(ValueError, match="opaque"):
+        f.render(img, width=8, height=8,
+                 options=mm.RenderOptions(static_params=("c",)))
