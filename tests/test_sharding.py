@@ -280,3 +280,17 @@ print('OK')
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def test_render_sharded_static_unroll_loop():
+    """A statically-unrolled loop (literal counter, noise in the body)
+    inside shard_map tiles: row-sharded output must equal unsharded
+    bitwise (const folding is host-side and mesh-independent)."""
+    f = mm.compile(
+        "s = 0; i = 0; while i < 5 do "
+        "s = s + noise([x / 9 + i, y / 9, 0.3]); i = i + 1 end; "
+        "grayColor(clamp(s / 5 + 0.5, 0, 1))")
+    img = _image()
+    got = f.render_sharded(img, mesh=make_mesh(1, 8, 1), width=W, height=H)
+    want = f.render(img, width=W, height=H)
+    np.testing.assert_array_equal(got, want)
