@@ -68,7 +68,39 @@ def main(argv=None):
     ap.add_argument("--size", default="3840x2160")
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--quick", action="store_true", help="small size, 2 iters")
+    ap.add_argument("--budget-s", type=float, default=540.0,
+                    help="soft wall-clock budget: optional phases are "
+                    "skipped once exceeded so the JSON line always lands")
     args = ap.parse_args(argv)
+
+    # The shared relay has been observed hanging for minutes at a time —
+    # guarantee the driver ALWAYS gets the one JSON line: a hard alarm
+    # dumps whatever was measured if the normal path stalls past
+    # budget + 240s (a blocking remote call cannot be preempted softly).
+    t_start = time.perf_counter()
+    partial = {"metric": ("distortion_suite_quick" if args.quick
+                          else "distortion_suite_4k_bilinear"),
+               "value": 0.0, "unit": "Mpix/s/chip", "vs_baseline": 0.0,
+               "health_gate": "TIMEOUT"}
+    emitted = [False]
+
+    def over():
+        return time.perf_counter() - t_start > args.budget_s
+
+    def _alarm(_sig, _frm):
+        if not emitted[0]:
+            emitted[0] = True
+            print(json.dumps(partial), flush=True)
+        sys.stderr.write("# bench hard-timeout: emitted partial JSON\n")
+        os._exit(0)
+
+    import os
+    import signal
+    try:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(args.budget_s) + 240)
+    except (ValueError, AttributeError):  # non-main thread / platform
+        pass
 
     import mathmap_tpu as mm
 
@@ -116,7 +148,13 @@ def main(argv=None):
         health_ms = min(health_ms, h0)
         for k, renderer in enumerate(renderers):
             best_dt[k] = min(best_dt[k], time_tpu(renderer, [img], iters))
+        partial["value"] = round(
+            float(np.mean([w * h / dt / 1e6 for dt in best_dt])), 2)
+        partial["relay_health_ms"] = round(health_ms, 1)
         if h0 <= HEALTHY_MS:
+            break
+        if over():
+            print("# budget exhausted — skipping retries", file=sys.stderr)
             break
         print(f"# relay degraded ({h0:.1f} ms) on attempt {attempt + 1} — "
               f"{'retrying' if attempt < 2 else 'giving up'}", file=sys.stderr)
@@ -141,6 +179,8 @@ def main(argv=None):
     ts_sw = (np.arange(n_sw, dtype=np.float32) + 0.37) / n_sw
     suite_sust = []
     for path, renderer in zip(suite, renderers):
+        if over():
+            break
         out = renderer.render_all_frames([dev_img], {}, ts_sw)
         _ = float(jnp.sum(out))
         best = float("inf")
@@ -152,14 +192,15 @@ def main(argv=None):
         suite_sust.append(w * h / best / 1e6)
         print(f"# {path} sustained x{n_sw}: {best * 1e3:.2f} ms/frame  "
               f"{suite_sust[-1]:.1f} Mpix/s", file=sys.stderr)
-    suite_batched = float(np.mean(suite_sust))
+    suite_batched = float(np.mean(suite_sust)) if suite_sust else 0.0
 
     # diagnostics (not part of the headline metric): generative filter
     # (no sampling, no input) isolates raw compute from gather cost
-    filt, renderer = _build("filters/Render/moire.mm", w, h, opts)
-    dt = time_tpu(renderer, [], iters)
-    print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  {w * h / dt / 1e6:.1f} Mpix/s",
-          file=sys.stderr)
+    if not over():
+        filt, renderer = _build("filters/Render/moire.mm", w, h, opts)
+        dt = time_tpu(renderer, [], iters)
+        print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  "
+              f"{w * h / dt / 1e6:.1f} Mpix/s", file=sys.stderr)
 
     value = float(np.mean(tpu_mpix))
 
@@ -193,27 +234,29 @@ def main(argv=None):
     # (ONE device program via lax.map) amortizes the relay's ~10ms/call
     # dispatch tax — this is the production animation path (BASELINE
     # config 4 shape) and the closer measure of chip capability.
-    filt, renderer = _build("filters/Distorts/ripple.mm", 1920, 1080, opts)
-    n_sweep = 24 if not args.quick else 6
-    ts = np.arange(n_sweep, dtype=np.float32) / n_sweep
-    import jax
+    sustained = 0.0
+    if not over():
+        filt, renderer = _build("filters/Distorts/ripple.mm", 1920, 1080, opts)
+        n_sweep = 24 if not args.quick else 6
+        ts = np.arange(n_sweep, dtype=np.float32) / n_sweep
+        import jax
 
-    import jax.numpy as jnp
+        import jax.numpy as jnp
 
-    sweep_in = [jax.device_put(jnp.asarray(img[:1080, :1920]))]
-    jax.block_until_ready(sweep_in)
-    out = renderer.render_all_frames(sweep_in, {}, ts)
-    _ = float(jnp.sum(out))  # warmup+compile, fenced
-    best = float("inf")
-    for _ in range(3):
-        start = time.perf_counter()
+        sweep_in = [jax.device_put(jnp.asarray(img[:1080, :1920]))]
+        jax.block_until_ready(sweep_in)
         out = renderer.render_all_frames(sweep_in, {}, ts)
-        _ = float(jnp.sum(out))
-        best = min(best, time.perf_counter() - start)
-    sustained = 1920 * 1080 * n_sweep / best / 1e6
-    print(f"# sustained (ripple 1080p x{n_sweep} batched): "
-          f"{best / n_sweep * 1e3:.2f} ms/frame  {sustained:.1f} Mpix/s",
-          file=sys.stderr)
+        _ = float(jnp.sum(out))  # warmup+compile, fenced
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            out = renderer.render_all_frames(sweep_in, {}, ts)
+            _ = float(jnp.sum(out))
+            best = min(best, time.perf_counter() - start)
+        sustained = 1920 * 1080 * n_sweep / best / 1e6
+        print(f"# sustained (ripple 1080p x{n_sweep} batched): "
+              f"{best / n_sweep * 1e3:.2f} ms/frame  {sustained:.1f} Mpix/s",
+              file=sys.stderr)
 
     # gate derives from the FINAL best window (incl. this post-suite probe)
     # so the recorded health_ms and health_gate can never contradict
@@ -222,6 +265,11 @@ def main(argv=None):
     print(f"# relay health: {health_ms:.1f} ms best window for a 16MB fenced "
           f"elementwise op (healthy <5ms) — gate {health_gate}", file=sys.stderr)
 
+    emitted[0] = True
+    try:
+        signal.alarm(0)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": ("distortion_suite_quick" if args.quick
                    else "distortion_suite_4k_bilinear"),
