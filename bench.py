@@ -202,6 +202,16 @@ def main(argv=None):
         print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  "
               f"{w * h / dt / 1e6:.1f} Mpix/s", file=sys.stderr)
 
+    # loop-class secondary: a 64-iteration literal-counter loop that the
+    # tracer statically unrolls (docs/PERFORMANCE.md static-unroll table)
+    loop_mpix = 0.0
+    if not over():
+        filt, renderer = _build("filters/Render/lissajous.mm", w, h, opts)
+        dt = time_tpu(renderer, [], iters)
+        loop_mpix = w * h / dt / 1e6
+        print(f"# lissajous (64-iter static unroll): {dt * 1e3:.2f} ms/frame"
+              f"  {loop_mpix:.1f} Mpix/s", file=sys.stderr)
+
     value = float(np.mean(tpu_mpix))
 
     # Measured C per-pixel baseline (the honest vs_baseline denominator).
@@ -280,6 +290,7 @@ def main(argv=None):
         "c_threads": c_threads,
         "sustained_ripple_mpix": round(sustained, 1),
         "suite_batched_mpix": round(suite_batched, 1),
+        "loop_unroll_mpix": round(loop_mpix, 1),
         "relay_health_ms": round(health_ms, 1),
         "health_gate": health_gate,
     }))
