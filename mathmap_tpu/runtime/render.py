@@ -250,6 +250,26 @@ def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
 # JAX product path: jitted, cached per static configuration
 # ---------------------------------------------------------------------------
 
+def _validate_static_params(fdef: A.FilterDef, static_names) -> None:
+    """Reject static_params names the filter doesn't declare, and opaque
+    (curve/gradient/image) params that cannot be baked. Shared by the jit
+    path and the oracle so both raise identically."""
+    if not static_names:
+        return
+    declared = {p.name: p for p in fdef.params}
+    unknown = [n for n in static_names if n not in declared]
+    if unknown:
+        raise ValueError(
+            f"static_params names not declared by filter "
+            f"{fdef.name!r}: {unknown} (has: {sorted(declared)})")
+    bad = [n for n in static_names
+           if declared[n].kind in ("curve", "gradient", "image")]
+    if bad:
+        raise ValueError(
+            f"static_params cannot bake opaque params {bad} "
+            f"(curve/gradient/image values stay traced)")
+
+
 def _userval_pytree(ctx, fdef: A.FilterDef, params: dict):
     """Split user params into (traced pytree of arrays, static remainder).
 
@@ -262,19 +282,7 @@ def _userval_pytree(ctx, fdef: A.FilterDef, params: dict):
     arrays = {}
     kinds = {}
     static_names = getattr(ctx.opts, "static_params", ())
-    if static_names:
-        declared = {p.name: p for p in fdef.params}
-        unknown = [n for n in static_names if n not in declared]
-        if unknown:
-            raise ValueError(
-                f"static_params names not declared by filter "
-                f"{fdef.name!r}: {unknown} (has: {sorted(declared)})")
-        bad = [n for n in static_names
-               if declared[n].kind in ("curve", "gradient", "image")]
-        if bad:
-            raise ValueError(
-                f"static_params cannot bake opaque params {bad} "
-                f"(curve/gradient/image values stay traced)")
+    _validate_static_params(fdef, static_names)
     for p in fdef.params:
         if p.name not in params:
             continue
@@ -582,6 +590,7 @@ def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params
         filters=program_filters, t=dt(t), frame=dt(frame),
         num_frames=num_frames, is_jax=False, dtype=dt,
     )
+    _validate_static_params(fdef, getattr(opts, "static_params", ()))
     uservals = {}
     for p in fdef.params:
         if p.name in params:

@@ -189,3 +189,35 @@ def test_random_expression_supersampled_and_f64(seed):
                    options=mm.RenderOptions(supersample=2))
     assert np.isfinite(o32).all(), src
     np.testing.assert_allclose(o32, o64, atol=2e-4, err_msg=src)
+
+
+@pytest.mark.parametrize("seed", range(200, 206))
+def test_random_static_vs_traced_param_parity(seed):
+    """Baking an int param (static_params) must be bit-identical to the
+    traced-param program AND the oracle, for random loop bodies."""
+    g = ExprGen(seed)
+    body = g.scalar()
+    n = int(g.rng.randint(2, 7))
+    src = (f"filter f (int n: 1-8 ({n})) "
+           f"s = 0; i = 0; while i < n do s = s + {body} * 0.1; "
+           f"i = i + 1 end; grayColor(clamp(s / n, 0, 1)) end")
+    f = mm.compile(src)
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    val = int(g.rng.randint(1, 9))
+    o = f.render(img, interpret=True, params={"n": val})
+    traced = f.render(img, params={"n": val})
+    baked = f.render(img, params={"n": val},
+                     options=mm.RenderOptions(static_params=("n",)))
+    np.testing.assert_allclose(traced, o, rtol=1e-3, atol=1e-4, err_msg=src)
+    np.testing.assert_allclose(baked, o, rtol=1e-3, atol=1e-4, err_msg=src)
+
+
+def test_static_params_validation_consistent_with_oracle():
+    """The oracle path raises the same static_params errors as jit."""
+    f = mm.compile("filter f (int n: 1-8 (3)) grayColor(n / 8) end")
+    img = np.zeros((H, W, 4), np.float32)
+    for interp in (False, True):
+        with pytest.raises(ValueError, match="not declared"):
+            f.render(img, interpret=interp,
+                     options=mm.RenderOptions(static_params=("zzz",)))
