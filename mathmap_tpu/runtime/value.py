@@ -15,7 +15,7 @@ length-1 tuples with tags 'image'/'curve'/'gradient' holding the object in
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 from ..utils.errors import MMTypeError
