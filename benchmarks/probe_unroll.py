@@ -26,16 +26,18 @@ for a in sys.argv[1:]:
 MPIX = W * H / 1e6
 
 
-def make(path, unroll_max, pallas_while="auto"):
+def make(path, unroll_max, pallas_while="auto", params=None):
     """Fresh filter + renderer traced under the given unroll budget."""
     TR.WHILE_UNROLL_MAX = unroll_max
     f = mm.compile_file(path)
     opts = mm.RenderOptions(pallas_while=pallas_while)
     r = f._renderer(W, H, opts, 1)
-    out = r([], {}, t=0.37)           # trace+compile under this budget
+    p = params or {}
+    out = r([], p, t=0.37)            # trace+compile under this budget
     print(f"  compiled {path} unroll={unroll_max} pw={pallas_while} "
-          f"sum={float(jnp.sum(out)):.3f}", file=sys.stderr, flush=True)
-    return r
+          f"params={p} sum={float(jnp.sum(out)):.3f}",
+          file=sys.stderr, flush=True)
+    return r, p
 
 
 def timed(variants, reps=6, calls=8):
@@ -44,11 +46,11 @@ def timed(variants, reps=6, calls=8):
     launches; best-of-reps per variant."""
     best = {k: 1e9 for k in variants}
     for rep in range(reps):
-        for name, r in variants.items():
+        for name, (r, p) in variants.items():
             acc = jnp.float32(0)
             t0 = time.perf_counter()
             for i in range(calls):
-                out = r([], {}, t=0.37 + 0.001 * i)
+                out = r([], p, t=0.37 + 0.001 * i)
                 acc = acc + jnp.sum(out)
             _ = float(acc)
             dt = (time.perf_counter() - t0) / calls
@@ -76,4 +78,14 @@ lis = {
     "unroll": make("filters/Render/lissajous.mm", 64, pallas_while="off"),
 }
 report("lissajous", timed(lis))
+
+# userval baking: default octaves (4) bakes + unrolls; the SAME value
+# passed explicitly stays traced -> masked lax (the product-path delta
+# a user sees from baking)
+rid = {
+    "baked": make("filters/Noise/ridged_noise.mm", 64),
+    "traced": make("filters/Noise/ridged_noise.mm", 64,
+                   params={"octaves": 4}),
+}
+report("ridged", timed(rid))
 TR.WHILE_UNROLL_MAX = 64
