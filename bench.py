@@ -291,6 +291,8 @@ def main(argv=None):
         "sustained_ripple_mpix": round(sustained, 1),
         "suite_batched_mpix": round(suite_batched, 1),
         "loop_unroll_mpix": round(loop_mpix, 1),
+        "budget_exhausted": over(),  # true => 0-valued secondaries were
+                                     # skipped, not measured-as-zero
         "relay_health_ms": round(health_ms, 1),
         "health_gate": health_gate,
     }))
