@@ -178,8 +178,10 @@ def main(argv=None):
     n_sw = 8 if not args.quick else 3
     ts_sw = (np.arange(n_sw, dtype=np.float32) + 0.37) / n_sw
     suite_sust = []
+    skipped = []
     for path, renderer in zip(suite, renderers):
         if over():
+            skipped.append("suite_batched")
             break
         out = renderer.render_all_frames([dev_img], {}, ts_sw)
         _ = float(jnp.sum(out))
@@ -196,7 +198,9 @@ def main(argv=None):
 
     # diagnostics (not part of the headline metric): generative filter
     # (no sampling, no input) isolates raw compute from gather cost
-    if not over():
+    if over():
+        skipped.append("moire")
+    else:
         filt, renderer = _build("filters/Render/moire.mm", w, h, opts)
         dt = time_tpu(renderer, [], iters)
         print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  "
@@ -205,7 +209,9 @@ def main(argv=None):
     # loop-class secondary: a 64-iteration literal-counter loop that the
     # tracer statically unrolls (docs/PERFORMANCE.md static-unroll table)
     loop_mpix = 0.0
-    if not over():
+    if over():
+        skipped.append("loop_unroll")
+    else:
         filt, renderer = _build("filters/Render/lissajous.mm", w, h, opts)
         dt = time_tpu(renderer, [], iters)
         loop_mpix = w * h / dt / 1e6
@@ -245,7 +251,9 @@ def main(argv=None):
     # dispatch tax — this is the production animation path (BASELINE
     # config 4 shape) and the closer measure of chip capability.
     sustained = 0.0
-    if not over():
+    if over():
+        skipped.append("sustained_ripple")
+    else:
         filt, renderer = _build("filters/Distorts/ripple.mm", 1920, 1080, opts)
         n_sweep = 24 if not args.quick else 6
         ts = np.arange(n_sweep, dtype=np.float32) / n_sweep
@@ -275,11 +283,14 @@ def main(argv=None):
     print(f"# relay health: {health_ms:.1f} ms best window for a 16MB fenced "
           f"elementwise op (healthy <5ms) — gate {health_gate}", file=sys.stderr)
 
-    emitted[0] = True
+    # disarm BEFORE flipping emitted: if the alarm fired in between, the
+    # handler would skip the partial (emitted True) and exit before the
+    # final print — zero JSON lines
     try:
         signal.alarm(0)
     except Exception:
         pass
+    emitted[0] = True
     print(json.dumps({
         "metric": ("distortion_suite_quick" if args.quick
                    else "distortion_suite_4k_bilinear"),
@@ -291,8 +302,10 @@ def main(argv=None):
         "sustained_ripple_mpix": round(sustained, 1),
         "suite_batched_mpix": round(suite_batched, 1),
         "loop_unroll_mpix": round(loop_mpix, 1),
-        "budget_exhausted": over(),  # true => 0-valued secondaries were
-                                     # skipped, not measured-as-zero
+        "budget_exhausted": bool(skipped),  # true => the 0-valued
+                                            # secondaries named here were
+                                            # SKIPPED, not measured-as-zero
+        "skipped_phases": skipped,
         "relay_health_ms": round(health_ms, 1),
         "health_gate": health_gate,
     }))

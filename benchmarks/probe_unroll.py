@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 import mathmap_tpu as mm
-import mathmap_tpu.runtime.tracer as TR
 
 W, H = 3840, 2160
 for a in sys.argv[1:]:
@@ -27,10 +26,13 @@ MPIX = W * H / 1e6
 
 
 def make(path, unroll_max, pallas_while="auto", params=None):
-    """Fresh filter + renderer traced under the given unroll budget."""
-    TR.WHILE_UNROLL_MAX = unroll_max
+    """Fresh filter + renderer traced under the given unroll budget.
+    NOTE: the tracer reads RenderOptions.while_static_unroll (the module
+    global TR.WHILE_UNROLL_MAX is only its default) — the budget MUST go
+    through the options or the A/B silently measures identical programs."""
     f = mm.compile_file(path)
-    opts = mm.RenderOptions(pallas_while=pallas_while)
+    opts = mm.RenderOptions(pallas_while=pallas_while,
+                            while_static_unroll=unroll_max)
     r = f._renderer(W, H, opts, 1)
     p = params or {}
     out = r([], p, t=0.37)            # trace+compile under this budget
@@ -88,4 +90,3 @@ rid = {
                    params={"octaves": 4}),
 }
 report("ridged", timed(rid))
-TR.WHILE_UNROLL_MAX = 64

@@ -620,14 +620,22 @@ class Evaluator:
 
         def pack_const(env):
             """Host-side mirror of pack(): per-slot trace-time constants
-            (None where unknown) — the carry for the static unroll."""
+            (None where unknown) — the carry for the static unroll. MUST
+            emit exactly lengths[n] slots per variable, mirroring repack's
+            scalar->tuple widening, or the carry misaligns and wrong
+            constants attach to later variables."""
             cs: list = []
             for n in carried:
+                k = lengths[n]
                 v = env[n]
-                if v.const is not None and len(v.const) == len(v.arrays):
-                    cs.extend(float(c) for c in v.const)
+                c = v.const if (v.const is not None
+                                and len(v.const) == len(v.arrays)) else None
+                if c is not None and len(c) != k:
+                    c = tuple(c) * k if len(c) == 1 else None
+                if c is not None:
+                    cs.extend(float(x) for x in c)
                 else:
-                    cs.extend(None for _ in range(lengths[n]))
+                    cs.extend(None for _ in range(k))
             return tuple(cs)
 
         max_iters = self.ctx.opts.max_loop_iters
@@ -741,9 +749,10 @@ class Evaluator:
             # pallas_while='on' is documented as FORCING the in-VMEM
             # engine (options.py) — honor it over the unroll when the
             # loop is engine-eligible
+            wk_eligible = (self.salt_extra is None
+                           and WK.eligible(self.ctx, node))
             wk_forced = (getattr(self.ctx.opts, "pallas_while", "auto")
-                         == "on" and self.salt_extra is None
-                         and WK.eligible(self.ctx, node))
+                         == "on" and wk_eligible)
             unroll_max = int(getattr(self.ctx.opts, "while_static_unroll",
                                      WHILE_UNROLL_MAX))
             unrolled = None
@@ -766,13 +775,16 @@ class Evaluator:
             if unrolled is not None:
                 self.ctx.rand_counter = counter_loop
                 self.ctx.rand_loop_nonce = nonce_loop
-                final_env = unpack(unrolled)
+                # keep the final const carry: a constant loop result (e.g.
+                # an accumulated count) can drive a later loop's bound or
+                # a static_scalar consumer
+                final_env = unpack(unrolled, consts=consts_u)
                 for n in carried:
                     self.env[n] = final_env[n]
                 return TupleValue(NIL, (self.lit(0.0),))
 
             flat_pallas = None
-            if self.salt_extra is None and WK.eligible(self.ctx, node):
+            if wk_eligible:
                 # in-VMEM fractal fast path (HBM carry traffic 1/8th);
                 # None = a dependency disqualified it, use the XLA loop
                 self.ctx.loop_depth += 1

@@ -818,3 +818,18 @@ def test_static_params_unknown_and_opaque_rejected():
     with pytest.raises(ValueError, match="opaque"):
         f.render(img, width=8, height=8,
                  options=mm.RenderOptions(static_params=("c",)))
+
+
+def test_static_unroll_cond_seq_length_change_const_alignment():
+    """A cond-sequence assignment that narrows a carried tuple variable to
+    a scalar must not misalign the const side-channel (the per-variable
+    slot count is fixed at the probed length): regression for a confirmed
+    wrong-pixels bug where `i`'s const read `s`'s slot and the unroll
+    stopped after one iteration (jit 0.25 vs oracle 0.75)."""
+    src = ("a = xy; i = 3; s = 0; while a = 0; i > 0 do "
+           "a = a + xy * 0 + 1; s = s + 1; i = i - 1 end; grayColor(s / 4)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    j = f.render(BLANK)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(j)[..., 0], 0.75, atol=1e-6)
