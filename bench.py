@@ -153,8 +153,14 @@ def main(argv=None):
         partial["relay_health_ms"] = round(health_ms, 1)
         if h0 <= HEALTHY_MS:
             break
-        if over():
-            print("# budget exhausted — skipping retries", file=sys.stderr)
+        # retries may spend at most half the budget: the secondaries
+        # (sustained/batched/loop-unroll) are part of the recorded JSON and
+        # a run that burns the whole budget re-measuring a degraded suite
+        # records them as 0.0 (observed: a 108-ms relay spike on attempt 1
+        # consumed the budget and skipped every secondary)
+        if time.perf_counter() - t_start > args.budget_s * 0.5:
+            print("# retry budget exhausted — keeping best suite window",
+                  file=sys.stderr)
             break
         print(f"# relay degraded ({h0:.1f} ms) on attempt {attempt + 1} — "
               f"{'retrying' if attempt < 2 else 'giving up'}", file=sys.stderr)

@@ -57,6 +57,18 @@ _CONST_FOLD_OPS = frozenset({
     "__and", "__or", "__xor", "__neg", "__not",
     "abs", "sign", "min", "max", "clamp", "floor", "ceil", "round",
     "fmod", "sqrt", "exp", "log", "pow",
+    # round-3 extension from the library fold-miss scan
+    # (benchmarks/scan_loops.py): pure scalar transcendentals and
+    # tuple/color constructors that were breaking const chains
+    # (lissajous's sin(const), tricorn's conj, fractal palettes'
+    # rgbaColor). Same contract as exp/log above: the numpy-f32 shadow
+    # mirrors the traced f32 builtin (tests/test_static_unroll.py
+    # fuzzes mirror-vs-traced parity).
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "exp2", "log2", "log10", "deg2rad", "rad2deg", "hypot",
+    "lerp", "smoothstep", "inintv",
+    "conj", "rgbaColor", "rgbColor", "grayColor", "grayaColor", "gray",
 })
 
 
@@ -79,6 +91,18 @@ _CONST_EV = _ConstShadowEv()
 #: and fixed-tap convolutions sit well under this; longer literal loops
 #: fall back to the masked lax path. Module-level so probes can A/B it.
 WHILE_UNROLL_MAX = 64
+
+#: Trace-time record of which engine each while loop compiled to:
+#: ("unroll", n) | ("wk", max_iters) | ("lax", max_iters) | ("oracle", n).
+#: Appended during tracing (tracing is single-threaded); diagnostic only —
+#: cleared/read by CLI --stats and benchmarks/scan_loops.py. Module-level
+#: because the RenderContext lives inside the jitted trace.
+TRACE_LOOP_PATHS: list = []
+
+#: Builtins whose call had all-constant arguments but is NOT in
+#: _CONST_FOLD_OPS (so the constant chain broke there). Diagnostic for
+#: whitelist coverage: benchmarks/scan_loops.py reports these per filter.
+TRACE_FOLD_MISSES: set = set()
 
 
 def np_like_u32(be, v):
@@ -444,6 +468,11 @@ class Evaluator:
                 or name not in _CONST_FOLD_OPS or not args
                 or any(a.const is None or a.is_opaque
                        or len(a.const) != len(a.arrays) for a in args)):
+            if (out.const is None and not out.is_opaque
+                    and name not in _CONST_FOLD_OPS and args
+                    and all(a.const is not None and not a.is_opaque
+                            and len(a.const) == len(a.arrays) for a in args)):
+                TRACE_FOLD_MISSES.add(name)
             return out
         import numpy as np
 
@@ -773,6 +802,7 @@ class Evaluator:
                 if active is False or (active and n_u >= max_iters):
                     unrolled = flat_u
             if unrolled is not None:
+                TRACE_LOOP_PATHS.append(("unroll", n_u))
                 self.ctx.rand_counter = counter_loop
                 self.ctx.rand_loop_nonce = nonce_loop
                 # keep the final const carry: a constant loop result (e.g.
@@ -796,6 +826,7 @@ class Evaluator:
                 finally:
                     self.ctx.loop_depth -= 1
             if flat_pallas is not None:
+                TRACE_LOOP_PATHS.append(("wk", max_iters))
                 self.ctx.rand_counter = counter_loop
                 self.ctx.rand_loop_nonce = nonce_loop
                 final_env = unpack(flat_pallas)
@@ -821,6 +852,7 @@ class Evaluator:
                     flat, mask = step(flat, mask & gate, loop_i=i + (k + 1))
                 return (i + K, mask, flat)
 
+            TRACE_LOOP_PATHS.append(("lax", max_iters))
             self.ctx.loop_depth += 1
             try:
                 _, _, flat_out = jax.lax.while_loop(
@@ -838,6 +870,7 @@ class Evaluator:
                     i += 1
             finally:
                 self.ctx.loop_depth -= 1
+            TRACE_LOOP_PATHS.append(("oracle", i))
             flat_out = flat
 
         # The number of steps is data-dependent; leave the counter at the

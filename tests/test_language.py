@@ -833,3 +833,51 @@ def test_static_unroll_cond_seq_length_change_const_alignment():
     j = f.render(BLANK)
     np.testing.assert_allclose(j, o, atol=1e-6)
     np.testing.assert_allclose(np.asarray(j)[..., 0], 0.75, atol=1e-6)
+
+
+# round-3 _CONST_FOLD_OPS extension (scan_loops fold-miss closure): every
+# newly whitelisted builtin drives a literal loop bound through the const
+# mirror; the loop must UNROLL (no lax.while_loop) and match the oracle.
+_FOLD_EXT_BOUNDS = [
+    ("sin", "floor(sin(1) * 5) + 1"),            # 5
+    ("cos", "floor(cos(1) * 5) + 2"),            # 4
+    ("tan", "floor(tan(1) * 2) + 1"),            # 4
+    ("asin", "floor(asin(0.5) * 4) + 1"),        # 3
+    ("acos", "floor(acos(0.5) * 2) + 1"),        # 3
+    ("atan", "floor(atan(1) * 4) + 2"),          # 5
+    ("atan2", "floor(atan2(1, 1) * 4) + 1"),     # 4
+    ("sinh", "floor(sinh(1) * 2) + 1"),          # 3
+    ("cosh", "floor(cosh(1) * 2) + 1"),          # 4
+    ("tanh", "floor(tanh(1) * 4) + 1"),          # 4
+    ("asinh", "floor(asinh(1) * 4) + 1"),        # 4
+    ("acosh", "floor(acosh(2) * 3) + 1"),        # 4
+    ("atanh", "floor(atanh(0.5) * 5) + 1"),      # 3
+    ("exp2", "floor(exp2(2)) + 1"),              # 5
+    ("log2", "floor(log2(8)) + 1"),              # 4
+    ("log10", "floor(log10(100)) + 1"),          # 3
+    ("deg2rad", "floor(deg2rad(180) * 2) + 0"),  # 6
+    ("rad2deg", "floor(rad2deg(0.1)) + 0"),      # 5
+    ("hypot", "floor(hypot(3, 4)) + 0"),         # 5
+    ("lerp", "floor(lerp(0.5, 2, 8)) + 0"),      # 5
+    ("smoothstep", "floor(smoothstep(0, 1, 0.5) * 8) + 0"),  # 4
+    ("inintv", "inintv(0.5, 0, 1) * 3 + 1"),     # 4
+    ("conj", "floor(conj(ri:[3.2, 1])[0]) + 1"),   # 4
+    ("rgbaColor", "floor(rgbaColor(0.5, 1, 0, 1)[0] * 6) + 1"),  # 4
+    ("rgbColor", "floor(rgbColor(0.5, 1, 0)[1] * 3) + 1"),       # 4
+    ("grayColor", "floor(grayColor(0.5)[0] * 6) + 1"),           # 4
+    ("grayaColor", "floor(grayaColor(0.5, 1)[3] * 3) + 1"),      # 4
+    ("gray", "floor(gray(rgbaColor(1, 1, 1, 1)) * 3) + 1"),      # 4
+]
+
+
+@pytest.mark.parametrize("opname,bound", _FOLD_EXT_BOUNDS,
+                         ids=[b[0] for b in _FOLD_EXT_BOUNDS])
+def test_const_fold_extension_unrolls_loop_bound(opname, bound):
+    src = (f"n = {bound}; s = 0; i = 0; while i < n do "
+           "s = s + 1; i = i + 1 end; grayColor(s / 8)")
+    f = mm.compile(src)
+    o = f.render(BLANK, interpret=True)
+    with _WhileSpy() as spy:
+        j = f.render(BLANK)
+    assert spy.calls == 0, f"{opname}-derived bound must fold + unroll"
+    np.testing.assert_allclose(j, o, atol=1e-6)
