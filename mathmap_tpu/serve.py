@@ -1,0 +1,379 @@
+"""Production render service: micro-batching queue + HTTP front end.
+
+The reference ships as an in-process GIMP plugin / CLI; its production
+analog for a TPU-backed deployment is a long-lived service that keeps
+compiled programs warm and amortizes the per-dispatch cost across
+concurrent requests (docs/SERVING.md rules 1-2). This module is that
+component:
+
+- `RenderService`: a thread-safe job queue. A single dispatcher thread
+  drains the queue, groups jobs that share a program signature
+  (filter, size, options, param values — `render_batch` shares params
+  across a batch), and issues ONE batched device dispatch per group
+  (api.Filter.render_batch). Sub-Mpix frames gain 10-40x from this on
+  the measured relay (512²: 5-24 Mpix/s unbatched -> 202-217 batched).
+- `serve()` / `python -m mathmap_tpu.serve`: a stdlib ThreadingHTTPServer
+  JSON API over the service. Concurrent HTTP clients are what feed the
+  micro-batcher; each handler thread blocks on its own job's future.
+
+Endpoints:
+  GET  /healthz          {"ok": true, "platform": ..., "programs": N}
+  GET  /stats            counters + batch-size histogram + latency
+  POST /warmup           {"filter": name|{"source": src}, "width", "height",
+                          ...options} -> precompiles the program
+  POST /render           {"filter": ..., "width", "height", "t", "params",
+                          "inputs": [base64 PNG/JPEG/GIF, ...],
+                          "format": "png"|"raw"} -> {"image": base64}
+
+No external dependencies (stdlib http.server + the package's own imgio).
+Reference analog: mathmap.c's PDB entry point / mathmap_cmdline.c driver
+[unverified — reference mount empty, SURVEY.md §0]; the batching layer is
+TPU-native design (no reference equivalent — the C renderer has no
+per-dispatch cost to amortize).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from .runtime.options import RenderOptions
+
+#: options forwarded from request JSON to RenderOptions
+_OPT_KEYS = ("interpolation", "edge_x", "edge_y", "supersample",
+             "pallas_precision")
+
+
+def _opts_from(req: dict) -> RenderOptions:
+    kw = {k: req[k] for k in _OPT_KEYS if k in req}
+    return RenderOptions(**kw)
+
+
+def _params_key(params: dict) -> tuple:
+    def norm(v):
+        if isinstance(v, (list, tuple)):
+            return tuple(float(x) for x in v)
+        if isinstance(v, (int, float, bool)):
+            return float(v)
+        return str(v)
+
+    return tuple(sorted((str(k), norm(v)) for k, v in params.items()))
+
+
+@dataclass
+class _Job:
+    sig: tuple
+    filt: Any
+    inputs: list  # list of (H, W, 4) float arrays (may be empty)
+    t: float
+    params: dict
+    width: int
+    height: int
+    options: RenderOptions
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Exception | None = None
+    enqueued: float = field(default_factory=time.perf_counter)
+
+
+class RenderService:
+    """Micro-batching render queue over compiled filters.
+
+    One dispatcher thread; jobs whose (filter, size, options, params)
+    signature matches are rendered in a single `render_batch` dispatch.
+    `window_ms` is how long the dispatcher waits to gather companions for
+    the first job of a group; `max_batch` bounds a group's size.
+    """
+
+    def __init__(self, db=None, max_batch: int = 32, window_ms: float = 4.0):
+        from .expression_db import default_db
+
+        self.db = db if db is not None else default_db()
+        self.max_batch = int(max_batch)
+        self.window_ms = float(window_ms)
+        self._q: queue.Queue = queue.Queue()
+        self._filters: dict = {}     # cache key -> Filter
+        self._lock = threading.Lock()
+        self.stats = {
+            "jobs": 0, "dispatches": 0, "errors": 0,
+            "batch_hist": {},        # batch size -> count
+            "latency_ms_sum": 0.0,   # submit -> result, summed over jobs
+        }
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="mmtpu-dispatcher")
+        self._thread.start()
+
+    # -- filter/program management ------------------------------------
+    def get_filter(self, spec):
+        """spec: a library filter name, or {"source": mm_source}."""
+        from . import compile_source
+
+        if isinstance(spec, dict) and "source" in spec:
+            key = ("src", spec["source"], spec.get("main"))
+        else:
+            key = ("name", str(spec))
+        with self._lock:
+            filt = self._filters.get(key)
+            if filt is None:
+                if key[0] == "src":
+                    filt = compile_source(spec["source"], spec.get("main"))
+                else:
+                    filt = self.db.compile(str(spec))
+                self._filters[key] = filt
+            return filt
+
+    def warmup(self, spec, width: int, height: int,
+               options: RenderOptions | None = None, params: dict | None = None):
+        """Precompile the program for a configuration (blocking)."""
+        filt = self.get_filter(spec)
+        n_img = sum(1 for p in filt.fdef.params if p.kind == "image")
+        blank = np.zeros((height, width, 4), np.float32)
+        filt.render(*([blank] * n_img), width=width, height=height,
+                    options=options or RenderOptions(),
+                    params=params or {})
+        return filt
+
+    # -- job path -------------------------------------------------------
+    def submit(self, spec, inputs, width: int, height: int, t: float = 0.0,
+               params: dict | None = None,
+               options: RenderOptions | None = None) -> _Job:
+        from .imgio.images import to_float_rgba
+
+        filt = self.get_filter(spec)
+        params = params or {}
+        options = options or RenderOptions()
+        inputs = [a if (isinstance(a, np.ndarray) and a.ndim == 4
+                        and a.dtype == np.float32)
+                  else to_float_rgba(np.asarray(a)) for a in inputs]
+        # RenderOptions is a frozen dataclass (hashable); render_batch
+        # shares params across a batch, so param VALUES are part of the
+        # grouping signature, as are input geometries (batching stacks
+        # inputs). Animated (T, H, W, 4) inputs can't join a batch stack —
+        # give them a unique signature so they dispatch as singletons.
+        shapes = tuple(tuple(a.shape) for a in inputs)
+        animated = any(a.ndim == 4 for a in inputs)
+        sig = (id(filt), width, height, options,
+               _params_key(params), shapes,
+               object() if animated else None)
+        job = _Job(sig=sig, filt=filt, inputs=list(inputs), t=float(t),
+                   params=params, width=width, height=height, options=options)
+        self._q.put(job)
+        return job
+
+    def render_sync(self, spec, inputs, width: int, height: int,
+                    t: float = 0.0, params: dict | None = None,
+                    options: RenderOptions | None = None,
+                    timeout: float | None = 600.0) -> np.ndarray:
+        job = self.submit(spec, inputs, width, height, t, params, options)
+        if not job.done.wait(timeout):
+            raise TimeoutError("render timed out")
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    # -- dispatcher -----------------------------------------------------
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            others = []
+            deadline = time.perf_counter() + self.window_ms / 1e3
+            while len(group) < self.max_batch:
+                remain = deadline - time.perf_counter()
+                if remain <= 0:
+                    break
+                try:
+                    j = self._q.get(timeout=remain)
+                except queue.Empty:
+                    break
+                (group if j.sig == first.sig else others).append(j)
+            for j in others:   # different signature: back on the queue
+                self._q.put(j)
+            self._dispatch(group)
+
+    def _dispatch(self, group: list):
+        t0 = time.perf_counter()
+        try:
+            if len(group) == 1:
+                j = group[0]
+                out = j.filt.render(*j.inputs, width=j.width, height=j.height,
+                                    t=j.t, params=j.params, options=j.options)
+                j.result = np.asarray(out)
+            else:
+                j0 = group[0]
+                stacks = [np.stack([g.inputs[i] for g in group])
+                          for i in range(len(j0.inputs))]
+                ts = np.asarray([g.t for g in group], np.float32)
+                outs = j0.filt.render_batch(
+                    *stacks, ts=ts, width=j0.width, height=j0.height,
+                    params=j0.params, options=j0.options)
+                for i, g in enumerate(group):
+                    g.result = np.asarray(outs[i])
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for g in group:
+                g.error = e
+            with self._lock:
+                self.stats["errors"] += len(group)
+        finally:
+            now = time.perf_counter()
+            with self._lock:
+                self.stats["jobs"] += len(group)
+                self.stats["dispatches"] += 1
+                h = self.stats["batch_hist"]
+                h[str(len(group))] = h.get(str(len(group)), 0) + 1
+                for g in group:
+                    self.stats["latency_ms_sum"] += (now - g.enqueued) * 1e3
+            for g in group:
+                g.done.set()
+            del t0
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            s = dict(self.stats)
+            s["batch_hist"] = dict(self.stats["batch_hist"])
+            s["programs"] = len(self._filters)
+            if s["jobs"]:
+                s["mean_latency_ms"] = round(s.pop("latency_ms_sum") / s["jobs"], 2)
+            else:
+                s.pop("latency_ms_sum")
+        return s
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# HTTP front end
+# ---------------------------------------------------------------------------
+
+def _decode_input(b64: str) -> np.ndarray:
+    from .imgio.images import read_animation
+
+    stack = read_animation(io.BytesIO(base64.b64decode(b64)))
+    # single-frame files render as plain (H, W, 4) inputs; multi-frame
+    # stays (T, H, W, 4) for origValXY frame-indexed sampling
+    return stack[0] if stack.shape[0] == 1 else stack
+
+
+def _encode_png(arr: np.ndarray) -> str:
+    from .imgio.images import _pil, to_uint8
+
+    Image = _pil()
+    buf = io.BytesIO()
+    Image.fromarray(to_uint8(arr)).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def make_handler(service: RenderService):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._json(200, {"ok": True,
+                                 "platform": jax.default_backend(),
+                                 "programs": len(service._filters)})
+            elif self.path == "/stats":
+                self._json(200, service.snapshot())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception as e:  # noqa: BLE001
+                return self._json(400, {"error": f"bad JSON: {e}"})
+            try:
+                if self.path == "/warmup":
+                    filt = service.warmup(
+                        req["filter"], int(req.get("width", 256)),
+                        int(req.get("height", 256)), _opts_from(req),
+                        req.get("params"))
+                    return self._json(200, {"ok": True, "filter": filt.name})
+                if self.path == "/render":
+                    inputs = [_decode_input(b) for b in req.get("inputs", [])]
+                    w = int(req.get("width") or
+                            (inputs[0].shape[1] if inputs else 256))
+                    h = int(req.get("height") or
+                            (inputs[0].shape[0] if inputs else 256))
+                    out = service.render_sync(
+                        req["filter"], inputs, w, h,
+                        t=float(req.get("t", 0.0)),
+                        params=req.get("params"),
+                        options=_opts_from(req))
+                    if req.get("format") == "raw":
+                        return self._json(200, {
+                            "shape": list(out.shape),
+                            "data": base64.b64encode(
+                                np.ascontiguousarray(out).tobytes()).decode(),
+                        })
+                    return self._json(200, {"image": _encode_png(out)})
+                return self._json(404, {"error": "unknown path"})
+            except KeyError as e:
+                return self._json(400, {"error": f"missing field {e}"})
+            except Exception as e:  # noqa: BLE001
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(port: int = 8723, host: str = "127.0.0.1",
+          service: RenderService | None = None, block: bool = True):
+    """Start the HTTP render service; returns (httpd, service)."""
+    from http.server import ThreadingHTTPServer
+
+    service = service or RenderService()
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    if block:
+        try:
+            httpd.serve_forever()
+        finally:
+            service.shutdown()
+    return httpd, service
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="mathmap_tpu production render service")
+    ap.add_argument("--port", type=int, default=8723)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--window-ms", type=float, default=4.0)
+    args = ap.parse_args(argv)
+    svc = RenderService(max_batch=args.max_batch, window_ms=args.window_ms)
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
+    serve(args.port, args.host, svc)
+
+
+if __name__ == "__main__":
+    main()

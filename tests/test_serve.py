@@ -1,0 +1,170 @@
+"""Production serving component (mathmap_tpu/serve.py): micro-batching
+correctness + HTTP endpoints (SURVEY §2.1 front-end rows' production
+analog; docs/SERVING.md)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+from mathmap_tpu.serve import RenderService, make_handler
+
+H, W = 24, 32
+
+
+@pytest.fixture(scope="module")
+def service():
+    svc = RenderService(max_batch=8, window_ms=30.0)
+    yield svc
+    svc.shutdown()
+
+
+def _img(seed=0):
+    return np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+
+
+def test_render_sync_matches_direct(service):
+    img = _img()
+    out = service.render_sync("twirl", [img], W, H, t=0.3,
+                              params={"angle": 2.0})
+    filt = mm.default_db().compile("twirl")
+    direct = filt.render(img, width=W, height=H, t=0.3,
+                         params={"angle": 2.0})
+    np.testing.assert_allclose(out, np.asarray(direct), atol=1e-6)
+
+
+def test_concurrent_jobs_microbatch_and_match(service):
+    """N concurrent same-signature jobs coalesce into batched dispatches
+    and each result equals its per-frame render."""
+    imgs = [_img(s) for s in range(6)]
+    ts = [0.1 * (i + 1) for i in range(6)]
+    before = service.snapshot()["dispatches"]
+    results = [None] * 6
+
+    def go(i):
+        results[i] = service.render_sync("pond", [imgs[i]], W, H, t=ts[i])
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    after = service.snapshot()
+    # at least one dispatch grouped >1 job (the 30 ms window is wide)
+    assert any(int(k) > 1 for k in after["batch_hist"]), after["batch_hist"]
+    assert after["dispatches"] - before < 6, "no batching happened"
+    filt = mm.default_db().compile("pond")
+    for i in range(6):
+        direct = filt.render(imgs[i], width=W, height=H, t=ts[i])
+        np.testing.assert_allclose(results[i], np.asarray(direct), atol=1e-6)
+
+
+def test_different_signatures_do_not_group(service):
+    """Jobs with different param VALUES must not share a render_batch
+    dispatch (render_batch shares params across its batch)."""
+    img = _img()
+    r1 = service.render_sync("twirl", [img], W, H, params={"angle": 1.0})
+    r2 = service.render_sync("twirl", [img], W, H, params={"angle": 4.0})
+    assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 1e-3
+
+
+def test_error_propagates(service):
+    with pytest.raises(Exception):
+        service.render_sync("no_such_filter_xyz", [], W, H)
+
+
+def test_source_spec_compiles(service):
+    out = service.render_sync(
+        {"source": "filter f () grayColor(0.25) end"}, [], W, H)
+    np.testing.assert_allclose(out[..., 0], 0.25, atol=1e-6)
+
+
+# -- HTTP front end ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def http_server(service):
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(base, path, obj):
+    req = urllib.request.Request(
+        base + path, json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path) as r:
+        return r.status, json.loads(r.read())
+
+
+def _png_b64(arr):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(arr[..., :3], 0, 1) * 255).astype(np.uint8)
+                    ).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_http_healthz_stats(http_server):
+    code, body = _get(http_server, "/healthz")
+    assert code == 200 and body["ok"] is True
+    code, body = _get(http_server, "/stats")
+    assert code == 200 and "dispatches" in body
+
+
+def test_http_render_roundtrip(http_server):
+    from PIL import Image
+
+    img = _img(3)
+    code, body = _post(http_server, "/render", {
+        "filter": "twirl", "width": W, "height": H, "t": 0.2,
+        "params": {"angle": 3.0}, "inputs": [_png_b64(img)]})
+    assert code == 200, body
+    png = base64.b64decode(body["image"])
+    arr = np.asarray(Image.open(io.BytesIO(png)))
+    assert arr.shape == (H, W, 4)
+
+
+def test_http_render_raw_format(http_server):
+    code, body = _post(http_server, "/render", {
+        "filter": {"source": "filter f () grayColor(x / W + 0.5) end"},
+        "width": W, "height": H, "format": "raw"})
+    assert code == 200, body
+    arr = np.frombuffer(base64.b64decode(body["data"]),
+                        np.float32).reshape(body["shape"])
+    assert arr.shape == (H, W, 4)
+    assert arr[..., 0].min() >= 0.0 and arr[..., 0].max() <= 1.0
+    assert arr[0, -1, 0] > arr[0, 0, 0]  # ramps left -> right
+
+
+def test_http_bad_requests(http_server):
+    code, body = _post(http_server, "/render", {"width": W})  # no filter
+    assert code == 400 and "error" in body
+    code, body = _post(http_server, "/render", {
+        "filter": "twirl (", "width": W, "height": H})
+    assert code == 400
+    code, body = _post(http_server, "/nope", {})
+    assert code == 404
+
+
+def test_http_warmup(http_server):
+    code, body = _post(http_server, "/warmup", {
+        "filter": "pond", "width": W, "height": H})
+    assert code == 200 and body["ok"] is True
