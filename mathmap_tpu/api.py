@@ -143,7 +143,10 @@ class Filter:
 
         Each batched input is an (N, H, W, 4) stack (or a list of (H, W, 4)
         frames); job i renders the i-th slice of every input at t=ts[i]
-        (default 0.0). All jobs share `params` and the render options. This
+        (default 0.0). `params` may be one dict shared by every job, or a
+        list of N dicts with per-job VALUES for the same param names (the
+        serving layer batches same-filter requests this way). All jobs
+        share the render options. This
         is the batched small-render entry: one fenced dispatch covers the
         whole batch, so the per-call dispatch cost amortizes across N
         frames — the TPU analog of the reference's in-process render loop,

@@ -480,6 +480,22 @@ class JitRenderer:
 
         self._jitted_jobs = jax.jit(run_jobs, static_argnums=(2,))
 
+        def run_jobs_pp(batched_inputs, batched_uv, kinds, ts, frames):
+            # per-job PARAMS variant: every userval leaf carries a leading
+            # N axis and rides the same lax.map (the serving layer batches
+            # same-filter requests whose param VALUES differ — the kinds
+            # spec must still match, so one trace covers the batch)
+            grids = compute_grids() if base_layout is not None else None
+
+            def one(args):
+                frame, t, uv_i, ins_i = args
+                return run(ins_i, uv_i, kinds, t, frame, None, grids)
+
+            return jax.lax.map(
+                one, (frames, ts, batched_uv, [a for a in batched_inputs]))
+
+        self._jitted_jobs_pp = jax.jit(run_jobs_pp, static_argnums=(2,))
+
     def _prepads_on(self) -> bool:
         from .sampling import pallas_policy
 
@@ -535,16 +551,19 @@ class JitRenderer:
         """Render N independent jobs in one device call -> (N, H, W, 4).
 
         Each element of `batched_inputs` is an (N, H, W, 4) stack; job i
-        renders inputs [a[i] for a in batched_inputs] at t=ts[i]. The
-        uservals are shared across the batch. This is the product path's
-        answer to the dispatch floor on small frames (a fenced 512² render
-        pays ~10-50 ms of relay round-trip for ~0.5 ms of device work)."""
+        renders inputs [a[i] for a in batched_inputs] at t=ts[i]. `params`
+        is either ONE dict shared across the batch, or a LIST of N dicts —
+        per-job values for the same param names (each value set rides the
+        lax.map as a stacked traced pytree; the static kinds spec must
+        match across jobs, so static_params values may not vary). This is
+        the product path's answer to the dispatch floor on small frames (a
+        fenced 512² render pays ~10-50 ms of relay round-trip for ~0.5 ms
+        of device work)."""
         jnp = self.jnp
         ctx = RenderContext(
             be=jnp, width=self.width, height=self.height, opts=self.opts,
             inputs=[], filters=self.filters, is_jax=True,
         )
-        arrays, kinds = _userval_pytree(ctx, self.fdef, params)
         ins = [
             a if isinstance(a, jnp.ndarray)
             else jnp.asarray(np.asarray(a, dtype=np.float32))
@@ -555,6 +574,26 @@ class JitRenderer:
             frames = jnp.arange(ts.shape[0], dtype=jnp.float32)
         else:
             frames = jnp.asarray(frames, dtype=jnp.float32)
+        if isinstance(params, (list, tuple)):
+            import jax
+
+            if len(params) != int(ts.shape[0]):
+                raise ValueError(
+                    f"render_batch: {len(params)} param dicts for a batch "
+                    f"of {int(ts.shape[0])} jobs")
+            per = [_userval_pytree(ctx, self.fdef, p) for p in params]
+            kinds = per[0][1]
+            if any(k != kinds for _, k in per[1:]):
+                raise ValueError(
+                    "render_batch: per-job params must declare the same "
+                    "names and kinds in every job (and identical values "
+                    "for any static_params — baked values key the "
+                    "compiled program)")
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[a for a, _ in per]) if per[0][0] else {}
+            return self._jitted_jobs_pp(ins, stacked, kinds, ts, frames)
+        arrays, kinds = _userval_pytree(ctx, self.fdef, params)
         return self._jitted_jobs(ins, arrays, kinds, ts, frames)
 
     def render_all_frames(self, input_arrays, params: dict, ts, frame0: float = 0.0):

@@ -57,12 +57,16 @@ def _opts_from(req: dict) -> RenderOptions:
     return RenderOptions(**kw)
 
 
-def _params_key(params: dict) -> tuple:
+def _params_key(params: dict, by_value: bool) -> tuple:
+    """Grouping key for a job's params. render_batch accepts per-job param
+    VALUES (a params list), so by default only the param NAMES and value
+    SHAPES must match for jobs to share a dispatch; with static_params in
+    play the values are baked into the program, so group by value."""
     def norm(v):
         if isinstance(v, (list, tuple)):
-            return tuple(float(x) for x in v)
+            return tuple(float(x) for x in v) if by_value else len(v)
         if isinstance(v, (int, float, bool)):
-            return float(v)
+            return float(v) if by_value else 0
         return str(v)
 
     return tuple(sorted((str(k), norm(v)) for k, v in params.items()))
@@ -162,8 +166,8 @@ class RenderService:
         shapes = tuple(tuple(a.shape) for a in inputs)
         animated = any(a.ndim == 4 for a in inputs)
         sig = (id(filt), width, height, options,
-               _params_key(params), shapes,
-               object() if animated else None)
+               _params_key(params, by_value=bool(options.static_params)),
+               shapes, object() if animated else None)
         job = _Job(sig=sig, filt=filt, inputs=list(inputs), t=float(t),
                    params=params, width=width, height=height, options=options)
         self._q.put(job)
@@ -218,7 +222,7 @@ class RenderService:
                 ts = np.asarray([g.t for g in group], np.float32)
                 outs = j0.filt.render_batch(
                     *stacks, ts=ts, width=j0.width, height=j0.height,
-                    params=j0.params, options=j0.options)
+                    params=[g.params for g in group], options=j0.options)
                 for i, g in enumerate(group):
                     g.result = np.asarray(outs[i])
         except Exception as e:  # noqa: BLE001 — propagate to every waiter

@@ -64,13 +64,51 @@ def test_concurrent_jobs_microbatch_and_match(service):
         np.testing.assert_allclose(results[i], np.asarray(direct), atol=1e-6)
 
 
-def test_different_signatures_do_not_group(service):
-    """Jobs with different param VALUES must not share a render_batch
-    dispatch (render_batch shares params across its batch)."""
-    img = _img()
-    r1 = service.render_sync("twirl", [img], W, H, params={"angle": 1.0})
-    r2 = service.render_sync("twirl", [img], W, H, params={"angle": 4.0})
-    assert np.abs(np.asarray(r1) - np.asarray(r2)).max() > 1e-3
+def test_per_job_param_values_batch_and_match(service):
+    """Same-filter jobs whose param VALUES differ still coalesce (grouping
+    keys on param NAMES; render_batch takes a per-job params list) and
+    each result equals its own per-frame render."""
+    img = _img(9)
+    angles = [1.0, 2.5, 4.0, 5.5]
+    before = service.snapshot()["dispatches"]
+    results = [None] * len(angles)
+
+    def go(i):
+        results[i] = service.render_sync("twirl", [img], W, H,
+                                         params={"angle": angles[i]})
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    after = service.snapshot()
+    assert after["dispatches"] - before < 4, "no batching across values"
+    filt = mm.default_db().compile("twirl")
+    for i, a in enumerate(angles):
+        direct = filt.render(img, width=W, height=H, params={"angle": a})
+        np.testing.assert_allclose(results[i], np.asarray(direct), atol=1e-6)
+    r1, r2 = np.asarray(results[0]), np.asarray(results[2])
+    assert np.abs(r1 - r2).max() > 1e-3  # values actually took effect
+
+
+def test_render_batch_params_list_api():
+    """Filter.render_batch accepts a per-job params list; mismatched names
+    or lengths raise."""
+    filt = mm.default_db().compile("twirl")
+    imgs = np.stack([_img(s) for s in range(3)])
+    outs = filt.render_batch(imgs, ts=[0.1, 0.2, 0.3], width=W, height=H,
+                             params=[{"angle": a} for a in (1.0, 3.0, 5.0)])
+    for i, a in enumerate((1.0, 3.0, 5.0)):
+        direct = filt.render(imgs[i], width=W, height=H, t=0.1 * (i + 1),
+                             params={"angle": a})
+        np.testing.assert_allclose(outs[i], np.asarray(direct), atol=1e-6)
+    with pytest.raises(ValueError, match="param dicts"):
+        filt.render_batch(imgs, ts=[0.1, 0.2, 0.3], width=W, height=H,
+                          params=[{"angle": 1.0}])
+    with pytest.raises(ValueError, match="same"):
+        filt.render_batch(imgs, ts=[0.1, 0.2, 0.3], width=W, height=H,
+                          params=[{"angle": 1.0}, {}, {"angle": 2.0}])
 
 
 def test_error_propagates(service):
