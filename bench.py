@@ -224,6 +224,49 @@ def main(argv=None):
         print(f"# lissajous (64-iter static unroll): {dt * 1e3:.2f} ms/frame"
               f"  {loop_mpix:.1f} Mpix/s", file=sys.stderr)
 
+    # 8K secondary: 4x the pixels per dispatch amortizes the per-call relay
+    # tax — the closest single-dispatch measure of the chip's kernel rate
+    # (docs/PERFORMANCE.md roofline: pond 8K ~781 Mpix/s at a 3x-degraded
+    # relay vs 590 at 4K).
+    pond8k_mpix = 0.0
+    if args.quick or over():
+        if not args.quick:
+            skipped.append("pond_8k")
+    else:
+        w8, h8 = 7680, 4320
+        img8 = np.broadcast_to(img, (2, h, w, 4)).reshape(2 * h, w, 4)
+        img8 = np.ascontiguousarray(
+            np.broadcast_to(img8[:, None], (h8, 2, w, 4)).reshape(h8, 2 * w, 4))
+        _, r8 = _build("filters/Distorts/pond.mm", w8, h8, opts)
+        dt8 = time_tpu(r8, [img8], 8)
+        pond8k_mpix = w8 * h8 / dt8 / 1e6
+        print(f"# pond 8K: {dt8 * 1e3:.2f} ms/frame  {pond8k_mpix:.1f} Mpix/s",
+              file=sys.stderr)
+
+    # strict-precision secondary: the same suite in the split-float 'f32'
+    # sampler mode (<=7e-5 vs the exact gather path — the STRICT reading of
+    # BASELINE's 1-ulp tolerance clause; the bf16 default is ~1.5 LSB of
+    # the reference's uint8 output packing).
+    suite_f32 = 0.0
+    if args.quick or over():
+        if not args.quick:
+            skipped.append("suite_f32")
+    else:
+        opts_f32 = mm.RenderOptions(interpolation="bilinear",
+                                    pallas_precision="f32")
+        f32_mpix = []
+        for path in suite:
+            if over():
+                skipped.append("suite_f32")
+                break
+            _, rf = _build(path, w, h, opts_f32)
+            dt = time_tpu(rf, [img], max(8, iters // 2))
+            f32_mpix.append(w * h / dt / 1e6)
+            print(f"# {path} f32: {dt * 1e3:.2f} ms/frame  "
+                  f"{f32_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
+        if len(f32_mpix) == len(suite):
+            suite_f32 = float(np.mean(f32_mpix))
+
     value = float(np.mean(tpu_mpix))
 
     # Measured C per-pixel baseline (the honest vs_baseline denominator).
@@ -308,6 +351,8 @@ def main(argv=None):
         "sustained_ripple_mpix": round(sustained, 1),
         "suite_batched_mpix": round(suite_batched, 1),
         "loop_unroll_mpix": round(loop_mpix, 1),
+        "pond_8k_mpix": round(pond8k_mpix, 1),
+        "suite_f32_mpix": round(suite_f32, 1),
         "budget_exhausted": bool(skipped),  # true => the 0-valued
                                             # secondaries named here were
                                             # SKIPPED, not measured-as-zero

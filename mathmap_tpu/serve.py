@@ -86,6 +86,9 @@ class _Job:
     result: Any = None
     error: Exception | None = None
     enqueued: float = field(default_factory=time.perf_counter)
+    #: not None -> an animation job: one render_animation dispatch for the
+    #: whole t-sweep (never grouped; its sig is unique)
+    num_frames: int | None = None
 
 
 class RenderService:
@@ -149,7 +152,8 @@ class RenderService:
     # -- job path -------------------------------------------------------
     def submit(self, spec, inputs, width: int, height: int, t: float = 0.0,
                params: dict | None = None,
-               options: RenderOptions | None = None) -> _Job:
+               options: RenderOptions | None = None,
+               num_frames: int | None = None) -> _Job:
         from .imgio.images import to_float_rgba
 
         filt = self.get_filter(spec)
@@ -167,9 +171,11 @@ class RenderService:
         animated = any(a.ndim == 4 for a in inputs)
         sig = (id(filt), width, height, options,
                _params_key(params, by_value=bool(options.static_params)),
-               shapes, object() if animated else None)
+               shapes,
+               object() if (animated or num_frames is not None) else None)
         job = _Job(sig=sig, filt=filt, inputs=list(inputs), t=float(t),
-                   params=params, width=width, height=height, options=options)
+                   params=params, width=width, height=height,
+                   options=options, num_frames=num_frames)
         self._q.put(job)
         return job
 
@@ -180,6 +186,20 @@ class RenderService:
         job = self.submit(spec, inputs, width, height, t, params, options)
         if not job.done.wait(timeout):
             raise TimeoutError("render timed out")
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    def animate_sync(self, spec, inputs, width: int, height: int,
+                     num_frames: int, params: dict | None = None,
+                     options: RenderOptions | None = None,
+                     timeout: float | None = 600.0) -> np.ndarray:
+        """Whole t-sweep as ONE device program -> (F, H, W, 4). Queued like
+        any job (serializes device access) but never grouped."""
+        job = self.submit(spec, inputs, width, height, 0.0, params, options,
+                          num_frames=int(num_frames))
+        if not job.done.wait(timeout):
+            raise TimeoutError("animation timed out")
         if job.error is not None:
             raise job.error
         return job.result
@@ -212,8 +232,14 @@ class RenderService:
         try:
             if len(group) == 1:
                 j = group[0]
-                out = j.filt.render(*j.inputs, width=j.width, height=j.height,
-                                    t=j.t, params=j.params, options=j.options)
+                if j.num_frames is not None:
+                    out = j.filt.render_animation(
+                        *j.inputs, num_frames=j.num_frames, width=j.width,
+                        height=j.height, params=j.params, options=j.options)
+                else:
+                    out = j.filt.render(*j.inputs, width=j.width,
+                                        height=j.height, t=j.t,
+                                        params=j.params, options=j.options)
                 j.result = np.asarray(out)
             else:
                 j0 = group[0]
@@ -321,12 +347,41 @@ def make_handler(service: RenderService):
                         int(req.get("height", 256)), _opts_from(req),
                         req.get("params"))
                     return self._json(200, {"ok": True, "filter": filt.name})
+                if self.path == "/animate":
+                    inputs = [_decode_input(b) for b in req.get("inputs", [])]
+                    w = int(req.get("width") or
+                            (inputs[0].shape[-2] if inputs else 256))
+                    h = int(req.get("height") or
+                            (inputs[0].shape[-3] if inputs else 256))
+                    frames = service.animate_sync(
+                        req["filter"], inputs, w, h,
+                        num_frames=int(req.get("num_frames", 8)),
+                        params=req.get("params"), options=_opts_from(req))
+                    from .imgio.images import to_uint8
+
+                    if req.get("format") == "raw":
+                        return self._json(200, {
+                            "shape": list(frames.shape),
+                            "data": base64.b64encode(
+                                np.ascontiguousarray(frames).tobytes(),
+                            ).decode()})
+                    from PIL import Image
+
+                    pil_frames = [Image.fromarray(to_uint8(f))
+                                  for f in frames]
+                    buf = io.BytesIO()
+                    pil_frames[0].save(
+                        buf, format="GIF", save_all=True, loop=0,
+                        append_images=pil_frames[1:],
+                        duration=int(1000 / float(req.get("fps", 25))))
+                    return self._json(200, {"gif": base64.b64encode(
+                        buf.getvalue()).decode()})
                 if self.path == "/render":
                     inputs = [_decode_input(b) for b in req.get("inputs", [])]
                     w = int(req.get("width") or
-                            (inputs[0].shape[1] if inputs else 256))
+                            (inputs[0].shape[-2] if inputs else 256))
                     h = int(req.get("height") or
-                            (inputs[0].shape[0] if inputs else 256))
+                            (inputs[0].shape[-3] if inputs else 256))
                     out = service.render_sync(
                         req["filter"], inputs, w, h,
                         t=float(req.get("t", 0.0)),

@@ -206,3 +206,22 @@ def test_http_warmup(http_server):
     code, body = _post(http_server, "/warmup", {
         "filter": "pond", "width": W, "height": H})
     assert code == 200 and body["ok"] is True
+
+
+def test_animate_sync_matches_render_animation(service):
+    img = _img(7)
+    frames = service.animate_sync("ripple", [img], W, H, num_frames=3)
+    filt = mm.default_db().compile("ripple")
+    direct = filt.render_animation(img, num_frames=3, width=W, height=H)
+    np.testing.assert_allclose(frames, np.asarray(direct), atol=1e-6)
+
+
+def test_http_animate_gif(http_server):
+    from PIL import Image
+
+    code, body = _post(http_server, "/animate", {
+        "filter": "ripple", "width": W, "height": H, "num_frames": 3,
+        "inputs": [_png_b64(_img(2))]})
+    assert code == 200, body
+    gif = Image.open(io.BytesIO(base64.b64decode(body["gif"])))
+    assert gif.n_frames == 3
