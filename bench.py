@@ -171,20 +171,103 @@ def main(argv=None):
         tpu_mpix.append(mpix)
         print(f"# {path}: {dt * 1e3:.2f} ms/frame  {mpix:.1f} Mpix/s", file=sys.stderr)
 
+
+
+    import jax
+    import jax.numpy as jnp
+
+    skipped = []
+
+    # loop-class secondary: a 64-iteration literal-counter loop that the
+    # tracer statically unrolls (docs/PERFORMANCE.md static-unroll table)
+    loop_mpix = 0.0
+    if over():
+        skipped.append("loop_unroll")
+    else:
+        filt, renderer = _build("filters/Render/lissajous.mm", w, h, opts)
+        dt = time_tpu(renderer, [], iters)
+        loop_mpix = w * h / dt / 1e6
+        print(f"# lissajous (64-iter static unroll): {dt * 1e3:.2f} ms/frame"
+              f"  {loop_mpix:.1f} Mpix/s", file=sys.stderr)
+
+    # 8K secondary: 4x the pixels per dispatch amortizes the per-call relay
+    # tax — the closest single-dispatch measure of the chip's kernel rate
+    # (docs/PERFORMANCE.md roofline: pond 8K ~781 Mpix/s at a 3x-degraded
+    # relay vs 590 at 4K).
+    pond8k_mpix = 0.0
+    if args.quick or over():
+        if not args.quick:
+            skipped.append("pond_8k")
+    else:
+        w8, h8 = 2 * w, 2 * h  # 2x2-tile whatever --size gave (default: 8K)
+        img8 = np.tile(img, (2, 2, 1))
+        _, r8 = _build("filters/Distorts/pond.mm", w8, h8, opts)
+        dt8 = time_tpu(r8, [img8], 8)
+        pond8k_mpix = w8 * h8 / dt8 / 1e6
+        print(f"# pond 8K: {dt8 * 1e3:.2f} ms/frame  {pond8k_mpix:.1f} Mpix/s",
+              file=sys.stderr)
+
+    # Sustained throughput: a 24-frame t-sweep through render_all_frames
+    # (ONE device program via lax.map) amortizes the relay's ~10ms/call
+    # dispatch tax — this is the production animation path (BASELINE
+    # config 4 shape) and the closer measure of chip capability.
+    sustained = 0.0
+    if over():
+        skipped.append("sustained_ripple")
+    else:
+        filt, renderer = _build("filters/Distorts/ripple.mm", 1920, 1080, opts)
+        n_sweep = 24 if not args.quick else 6
+        ts = np.arange(n_sweep, dtype=np.float32) / n_sweep
+        sweep_in = [jax.device_put(jnp.asarray(img[:1080, :1920]))]
+        jax.block_until_ready(sweep_in)
+        out = renderer.render_all_frames(sweep_in, {}, ts)
+        _ = float(jnp.sum(out))  # warmup+compile, fenced
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            out = renderer.render_all_frames(sweep_in, {}, ts)
+            _ = float(jnp.sum(out))
+            best = min(best, time.perf_counter() - start)
+        sh, sw = sweep_in[0].shape[:2]  # quick mode's img is smaller
+        sustained = sw * sh * n_sweep / best / 1e6
+        print(f"# sustained (ripple 1080p x{n_sweep} batched): "
+              f"{best / n_sweep * 1e3:.2f} ms/frame  {sustained:.1f} Mpix/s",
+              file=sys.stderr)
+
+    # strict-precision secondary: the same suite in the split-float 'f32'
+    # sampler mode (<=7e-5 vs the exact gather path — the STRICT reading of
+    # BASELINE's 1-ulp tolerance clause; the bf16 default is ~1.5 LSB of
+    # the reference's uint8 output packing).
+    suite_f32 = 0.0
+    if args.quick or over():
+        if not args.quick:
+            skipped.append("suite_f32")
+    else:
+        opts_f32 = mm.RenderOptions(interpolation="bilinear",
+                                    pallas_precision="f32")
+        f32_mpix = []
+        for path in suite:
+            if over():
+                skipped.append("suite_f32")
+                break
+            _, rf = _build(path, w, h, opts_f32)
+            dt = time_tpu(rf, [img], max(8, iters // 2))
+            f32_mpix.append(w * h / dt / 1e6)
+            print(f"# {path} f32: {dt * 1e3:.2f} ms/frame  "
+                  f"{f32_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
+        if len(f32_mpix) == len(suite):
+            suite_f32 = float(np.mean(f32_mpix))
+
     # Secondary metric: the same suite as 8-frame t-sweeps in ONE device
     # program each (render_all_frames) — the chip rate with the relay's
     # per-dispatch cost amortized to ~nothing. The headline stays the
     # per-frame number (comparable across rounds); this one tracks the
     # code when the shared relay degrades (3-5x degraded all of round 3).
-    import jax
-    import jax.numpy as jnp
-
     dev_img = jax.device_put(img)
     jax.block_until_ready(dev_img)
     n_sw = 8 if not args.quick else 3
     ts_sw = (np.arange(n_sw, dtype=np.float32) + 0.37) / n_sw
     suite_sust = []
-    skipped = []
     for path, renderer in zip(suite, renderers):
         if over():
             skipped.append("suite_batched")
@@ -211,61 +294,6 @@ def main(argv=None):
         dt = time_tpu(renderer, [], iters)
         print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  "
               f"{w * h / dt / 1e6:.1f} Mpix/s", file=sys.stderr)
-
-    # loop-class secondary: a 64-iteration literal-counter loop that the
-    # tracer statically unrolls (docs/PERFORMANCE.md static-unroll table)
-    loop_mpix = 0.0
-    if over():
-        skipped.append("loop_unroll")
-    else:
-        filt, renderer = _build("filters/Render/lissajous.mm", w, h, opts)
-        dt = time_tpu(renderer, [], iters)
-        loop_mpix = w * h / dt / 1e6
-        print(f"# lissajous (64-iter static unroll): {dt * 1e3:.2f} ms/frame"
-              f"  {loop_mpix:.1f} Mpix/s", file=sys.stderr)
-
-    # 8K secondary: 4x the pixels per dispatch amortizes the per-call relay
-    # tax — the closest single-dispatch measure of the chip's kernel rate
-    # (docs/PERFORMANCE.md roofline: pond 8K ~781 Mpix/s at a 3x-degraded
-    # relay vs 590 at 4K).
-    pond8k_mpix = 0.0
-    if args.quick or over():
-        if not args.quick:
-            skipped.append("pond_8k")
-    else:
-        w8, h8 = 7680, 4320
-        img8 = np.broadcast_to(img, (2, h, w, 4)).reshape(2 * h, w, 4)
-        img8 = np.ascontiguousarray(
-            np.broadcast_to(img8[:, None], (h8, 2, w, 4)).reshape(h8, 2 * w, 4))
-        _, r8 = _build("filters/Distorts/pond.mm", w8, h8, opts)
-        dt8 = time_tpu(r8, [img8], 8)
-        pond8k_mpix = w8 * h8 / dt8 / 1e6
-        print(f"# pond 8K: {dt8 * 1e3:.2f} ms/frame  {pond8k_mpix:.1f} Mpix/s",
-              file=sys.stderr)
-
-    # strict-precision secondary: the same suite in the split-float 'f32'
-    # sampler mode (<=7e-5 vs the exact gather path — the STRICT reading of
-    # BASELINE's 1-ulp tolerance clause; the bf16 default is ~1.5 LSB of
-    # the reference's uint8 output packing).
-    suite_f32 = 0.0
-    if args.quick or over():
-        if not args.quick:
-            skipped.append("suite_f32")
-    else:
-        opts_f32 = mm.RenderOptions(interpolation="bilinear",
-                                    pallas_precision="f32")
-        f32_mpix = []
-        for path in suite:
-            if over():
-                skipped.append("suite_f32")
-                break
-            _, rf = _build(path, w, h, opts_f32)
-            dt = time_tpu(rf, [img], max(8, iters // 2))
-            f32_mpix.append(w * h / dt / 1e6)
-            print(f"# {path} f32: {dt * 1e3:.2f} ms/frame  "
-                  f"{f32_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
-        if len(f32_mpix) == len(suite):
-            suite_f32 = float(np.mean(f32_mpix))
 
     value = float(np.mean(tpu_mpix))
 
@@ -295,35 +323,6 @@ def main(argv=None):
         c_threads = 0
         print(f"# oracle stand-in baseline: {cpu_mpix:.2f} Mpix/s", file=sys.stderr)
 
-    # Sustained throughput: a 24-frame t-sweep through render_all_frames
-    # (ONE device program via lax.map) amortizes the relay's ~10ms/call
-    # dispatch tax — this is the production animation path (BASELINE
-    # config 4 shape) and the closer measure of chip capability.
-    sustained = 0.0
-    if over():
-        skipped.append("sustained_ripple")
-    else:
-        filt, renderer = _build("filters/Distorts/ripple.mm", 1920, 1080, opts)
-        n_sweep = 24 if not args.quick else 6
-        ts = np.arange(n_sweep, dtype=np.float32) / n_sweep
-        import jax
-
-        import jax.numpy as jnp
-
-        sweep_in = [jax.device_put(jnp.asarray(img[:1080, :1920]))]
-        jax.block_until_ready(sweep_in)
-        out = renderer.render_all_frames(sweep_in, {}, ts)
-        _ = float(jnp.sum(out))  # warmup+compile, fenced
-        best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            out = renderer.render_all_frames(sweep_in, {}, ts)
-            _ = float(jnp.sum(out))
-            best = min(best, time.perf_counter() - start)
-        sustained = 1920 * 1080 * n_sweep / best / 1e6
-        print(f"# sustained (ripple 1080p x{n_sweep} batched): "
-              f"{best / n_sweep * 1e3:.2f} ms/frame  {sustained:.1f} Mpix/s",
-              file=sys.stderr)
 
     # gate derives from the FINAL best window (incl. this post-suite probe)
     # so the recorded health_ms and health_gate can never contradict

@@ -22,7 +22,7 @@ def main():
         t0 = time.perf_counter()
         _ = float(pf(img) + pf(img))
         best = min(best, (time.perf_counter() - t0) / 2 * 1e3)
-    gate = "HEALTHY" if best < 6.0 else "DEGRADED"
+    gate = "HEALTHY" if best < 5.0 else "DEGRADED"
     print(f"relay_health_ms={best:.1f} {gate}")
 
 

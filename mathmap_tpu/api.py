@@ -135,7 +135,8 @@ class Filter:
             ))
         return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
-    def render_batch(self, *batched_inputs, ts=None, width: int | None = None,
+    def render_batch(self, *batched_inputs, ts=None, frames=None,
+                     width: int | None = None,
                      height: int | None = None,
                      options: RenderOptions | None = None,
                      params: dict | None = None):
@@ -145,7 +146,10 @@ class Filter:
         frames); job i renders the i-th slice of every input at t=ts[i]
         (default 0.0). `params` may be one dict shared by every job, or a
         list of N dicts with per-job VALUES for the same param names (the
-        serving layer batches same-filter requests this way). All jobs
+        serving layer batches same-filter requests this way). `frames`
+        optionally sets each job's `frame` internal (default: job index,
+        the t-sweep reading; the serving layer passes zeros so a batched
+        render equals its lone-render twin). All jobs
         share the render options. This
         is the batched small-render entry: one fenced dispatch covers the
         whole batch, so the per-call dispatch cost amortizes across N
@@ -182,7 +186,10 @@ class Filter:
         if ts is None:
             ts = np.zeros(n, dtype=np.float32)
         renderer = self._renderer(width, height, options, 1)
-        return np.asarray(renderer.render_batch(ins, params, ts))
+        if frames is not None and len(frames) != n:
+            raise ValueError(
+                f"render_batch: {len(frames)} frames for a batch of {n} jobs")
+        return np.asarray(renderer.render_batch(ins, params, ts, frames))
 
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
                        width: int | None = None, height: int | None = None,

@@ -8,10 +8,15 @@ component:
 
 - `RenderService`: a thread-safe job queue. A single dispatcher thread
   drains the queue, groups jobs that share a program signature
-  (filter, size, options, param values — `render_batch` shares params
-  across a batch), and issues ONE batched device dispatch per group
-  (api.Filter.render_batch). Sub-Mpix frames gain 10-40x from this on
-  the measured relay (512²: 5-24 Mpix/s unbatched -> 202-217 batched).
+  (filter, size, options, param NAMES — values may differ per job via
+  `render_batch`'s per-job params list; with static_params the values
+  are baked into the program, so grouping falls back to values), and
+  issues ONE batched device dispatch per group (api.Filter.render_batch,
+  padded to power-of-2 bucket sizes so at most log2(max_batch)+1 batch
+  programs exist per configuration). Groups dispatch OLDEST-FIRST, so a
+  minority signature can never be starved by sustained traffic of
+  another. Sub-Mpix frames gain 10-40x from this on the measured relay
+  (512²: 5-24 Mpix/s unbatched -> 202-217 batched).
 - `serve()` / `python -m mathmap_tpu.serve`: a stdlib ThreadingHTTPServer
   JSON API over the service. Concurrent HTTP clients are what feed the
   micro-batcher; each handler thread blocks on its own job's future.
@@ -20,10 +25,19 @@ Endpoints:
   GET  /healthz          {"ok": true, "platform": ..., "programs": N}
   GET  /stats            counters + batch-size histogram + latency
   POST /warmup           {"filter": name|{"source": src}, "width", "height",
-                          ...options} -> precompiles the program
+                          "batch_sizes": [1, 4, ...], ...options} ->
+                          precompiles the single-frame program and the
+                          batched program at each requested bucket size
   POST /render           {"filter": ..., "width", "height", "t", "params",
                           "inputs": [base64 PNG/JPEG/GIF, ...],
                           "format": "png"|"raw"} -> {"image": base64}
+  POST /animate          {"filter": ..., "num_frames", "fps", ...} ->
+                          {"gif": base64} (or "format": "raw" ->
+                          (F, H, W, 4) f32 bytes) — whole t-sweep in ONE
+                          device program (render_animation)
+
+Client errors (bad JSON, unknown filter, bad params) return 400; render
+timeouts 503; backend/compile failures 500.
 
 No external dependencies (stdlib http.server + the package's own imgio).
 Reference analog: mathmap.c's PDB entry point / mathmap_cmdline.c driver
@@ -139,14 +153,30 @@ class RenderService:
             return filt
 
     def warmup(self, spec, width: int, height: int,
-               options: RenderOptions | None = None, params: dict | None = None):
-        """Precompile the program for a configuration (blocking)."""
+               options: RenderOptions | None = None,
+               params: dict | None = None, batch_sizes=(1,)):
+        """Precompile the programs for a configuration (blocking).
+
+        Each bucket size in `batch_sizes` is a DISTINCT jit program (the
+        dispatcher pads groups to power-of-2 buckets, so (1, 2, 4, ...,
+        max_batch) covers every dispatch this configuration can see)."""
         filt = self.get_filter(spec)
+        options = options or RenderOptions()
+        params = params or {}
         n_img = sum(1 for p in filt.fdef.params if p.kind == "image")
         blank = np.zeros((height, width, 4), np.float32)
-        filt.render(*([blank] * n_img), width=width, height=height,
-                    options=options or RenderOptions(),
-                    params=params or {})
+        for n in batch_sizes:
+            n = int(n)
+            if n <= 1:
+                filt.render(*([blank] * n_img), width=width, height=height,
+                            options=options, params=params)
+                continue
+            stacks = [np.broadcast_to(blank, (n, height, width, 4))
+                      for _ in range(n_img)]
+            filt.render_batch(*stacks, ts=np.zeros(n, np.float32),
+                              frames=np.zeros(n, np.float32),
+                              width=width, height=height, options=options,
+                              params=[params] * n)
         return filt
 
     # -- job path -------------------------------------------------------
@@ -154,19 +184,18 @@ class RenderService:
                params: dict | None = None,
                options: RenderOptions | None = None,
                num_frames: int | None = None) -> _Job:
-        from .imgio.images import to_float_rgba
-
         filt = self.get_filter(spec)
         params = params or {}
         options = options or RenderOptions()
-        inputs = [a if (isinstance(a, np.ndarray) and a.ndim == 4
-                        and a.dtype == np.float32)
-                  else to_float_rgba(np.asarray(a)) for a in inputs]
-        # RenderOptions is a frozen dataclass (hashable); render_batch
-        # shares params across a batch, so param VALUES are part of the
-        # grouping signature, as are input geometries (batching stacks
-        # inputs). Animated (T, H, W, 4) inputs can't join a batch stack —
-        # give them a unique signature so they dispatch as singletons.
+        # Filter._conv_input handles (H,W,C) and animated (T,H,W,4) inputs
+        # in any convertible dtype — the same normalization render() does
+        inputs = [filt._conv_input(a) for a in inputs]
+        # RenderOptions is a frozen dataclass (hashable). Grouping keys on
+        # param NAMES (render_batch takes per-job values) — except under
+        # static_params, where values are baked into the program (see
+        # _params_key). Input geometries join the signature (batching
+        # stacks inputs). Animated (T, H, W, 4) inputs can't join a batch
+        # stack — they get a unique signature and dispatch as singletons.
         shapes = tuple(tuple(a.shape) for a in inputs)
         animated = any(a.ndim == 4 for a in inputs)
         sig = (id(filt), width, height, options,
@@ -206,29 +235,44 @@ class RenderService:
 
     # -- dispatcher -----------------------------------------------------
     def _run(self):
+        # pending groups live HERE, not on the queue: the previous design
+        # requeued mismatched jobs to the tail, which let sustained traffic
+        # of one signature starve another indefinitely. Groups now dispatch
+        # oldest-first; a group goes when its window expires or it fills.
+        pending: dict = {}  # sig -> list[_Job], each list enqueue-ordered
         while not self._stop.is_set():
             try:
-                first = self._q.get(timeout=0.1)
+                j = self._q.get(timeout=0.005 if pending else 0.1)
+                pending.setdefault(j.sig, []).append(j)
+                while True:  # drain whatever else arrived, without blocking
+                    try:
+                        j = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    pending.setdefault(j.sig, []).append(j)
             except queue.Empty:
+                pass
+            if not pending:
                 continue
-            group = [first]
-            others = []
-            deadline = time.perf_counter() + self.window_ms / 1e3
-            while len(group) < self.max_batch:
-                remain = deadline - time.perf_counter()
-                if remain <= 0:
-                    break
-                try:
-                    j = self._q.get(timeout=remain)
-                except queue.Empty:
-                    break
-                (group if j.sig == first.sig else others).append(j)
-            for j in others:   # different signature: back on the queue
-                self._q.put(j)
-            self._dispatch(group)
+            sig, group = min(pending.items(),
+                             key=lambda kv: kv[1][0].enqueued)
+            now = time.perf_counter()
+            if (len(group) < self.max_batch
+                    and now - group[0].enqueued < self.window_ms / 1e3):
+                continue  # oldest group's window still open — keep gathering
+            rest = group[self.max_batch:]
+            if rest:
+                pending[sig] = rest
+            else:
+                del pending[sig]
+            self._dispatch(group[:self.max_batch])
+        # unblock anything still waiting at shutdown
+        for group in pending.values():
+            for g in group:
+                g.error = RuntimeError("service shut down")
+                g.done.set()
 
     def _dispatch(self, group: list):
-        t0 = time.perf_counter()
         try:
             if len(group) == 1:
                 j = group[0]
@@ -243,12 +287,25 @@ class RenderService:
                 j.result = np.asarray(out)
             else:
                 j0 = group[0]
-                stacks = [np.stack([g.inputs[i] for g in group])
+                # pad to the next power-of-2 bucket (repeat the last job):
+                # each batch size N is a distinct jit program (~1-3 min
+                # remote compile), so buckets bound the program count per
+                # configuration to log2(max_batch)+1 — a padded lax.map
+                # frame costs microseconds, a surprise compile costs
+                # minutes of every client's latency
+                n = len(group)
+                bucket = 1
+                while bucket < n:
+                    bucket *= 2
+                padded = group + [group[-1]] * (bucket - n)
+                stacks = [np.stack([g.inputs[i] for g in padded])
                           for i in range(len(j0.inputs))]
-                ts = np.asarray([g.t for g in group], np.float32)
+                ts = np.asarray([g.t for g in padded], np.float32)
+                # a lone render runs at frame=0 — its batched twin must too
                 outs = j0.filt.render_batch(
-                    *stacks, ts=ts, width=j0.width, height=j0.height,
-                    params=[g.params for g in group], options=j0.options)
+                    *stacks, ts=ts, frames=np.zeros(bucket, np.float32),
+                    width=j0.width, height=j0.height,
+                    params=[g.params for g in padded], options=j0.options)
                 for i, g in enumerate(group):
                     g.result = np.asarray(outs[i])
         except Exception as e:  # noqa: BLE001 — propagate to every waiter
@@ -267,7 +324,6 @@ class RenderService:
                     self.stats["latency_ms_sum"] += (now - g.enqueued) * 1e3
             for g in group:
                 g.done.set()
-            del t0
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -345,7 +401,8 @@ def make_handler(service: RenderService):
                     filt = service.warmup(
                         req["filter"], int(req.get("width", 256)),
                         int(req.get("height", 256)), _opts_from(req),
-                        req.get("params"))
+                        req.get("params"),
+                        batch_sizes=tuple(req.get("batch_sizes", (1,))))
                     return self._json(200, {"ok": True, "filter": filt.name})
                 if self.path == "/animate":
                     inputs = [_decode_input(b) for b in req.get("inputs", [])]
@@ -397,8 +454,19 @@ def make_handler(service: RenderService):
                 return self._json(404, {"error": "unknown path"})
             except KeyError as e:
                 return self._json(400, {"error": f"missing field {e}"})
+            except TimeoutError as e:
+                # the device/relay stalled — a retryable server condition
+                return self._json(503, {"error": f"render timed out: {e}"})
             except Exception as e:  # noqa: BLE001
-                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                from .utils.errors import MMError
+
+                # caller mistakes (bad source, unknown filter/param, bad
+                # values) are 4xx; backend/compile failures are 5xx so load
+                # balancers and retry middleware treat them as server
+                # health, not client bugs
+                code = 400 if isinstance(e, (MMError, ValueError, TypeError,
+                                             KeyError)) else 500
+                return self._json(code, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

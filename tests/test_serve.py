@@ -225,3 +225,37 @@ def test_http_animate_gif(http_server):
     assert code == 200, body
     gif = Image.open(io.BytesIO(base64.b64decode(body["gif"])))
     assert gif.n_frames == 3
+
+
+def test_dispatch_pads_to_bucket_and_frame_zero(service):
+    """A non-power-of-2 group pads to the next bucket (program-count bound)
+    and batched jobs render at frame=0 — identical to their lone twins,
+    even for a filter that READS the frame internal."""
+    from mathmap_tpu.serve import _Job
+
+    src = ("filter fr (image in) "
+           "in(xy) * 0.5 + grayColor(frame * 0.1) * 0.5 end")
+    filt = service.get_filter({"source": src})
+    imgs = [_img(s) for s in (11, 12, 13)]  # 3 jobs -> bucket 4
+    jobs = [_Job(sig="s", filt=filt, inputs=[imgs[i]], t=0.2 * i, params={},
+                 width=W, height=H, options=mm.RenderOptions())
+            for i in range(3)]
+    service._dispatch(jobs)
+    hist = service.snapshot()["batch_hist"]
+    assert "3" in hist  # the GROUP size is what's recorded
+    for i, j in enumerate(jobs):
+        assert j.error is None, j.error
+        direct = filt.render(imgs[i], width=W, height=H, t=0.2 * i)
+        np.testing.assert_allclose(j.result, np.asarray(direct), atol=1e-6)
+
+
+def test_warmup_batch_sizes(service):
+    """warmup(batch_sizes=...) precompiles the batched program: a following
+    grouped dispatch reuses it (smoke: no error, correct output)."""
+    filt = service.warmup("pond", W, H, batch_sizes=(1, 2))
+    imgs = np.stack([_img(20), _img(21)])
+    outs = filt.render_batch(imgs, ts=[0.3, 0.4],
+                             frames=np.zeros(2, np.float32),
+                             width=W, height=H, params=[{}, {}])
+    direct = filt.render(imgs[1], width=W, height=H, t=0.4)
+    np.testing.assert_allclose(outs[1], np.asarray(direct), atol=1e-6)
