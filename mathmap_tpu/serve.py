@@ -159,7 +159,9 @@ class RenderService:
 
         Each bucket size in `batch_sizes` is a DISTINCT jit program (the
         dispatcher pads groups to power-of-2 buckets, so (1, 2, 4, ...,
-        max_batch) covers every dispatch this configuration can see)."""
+        max_batch) covers every dispatch this configuration can see).
+        The param NAME SET is part of the program signature — warm with
+        the same `params` names production requests will send."""
         filt = self.get_filter(spec)
         options = options or RenderOptions()
         params = params or {}
