@@ -221,3 +221,49 @@ def test_static_params_validation_consistent_with_oracle():
         with pytest.raises(ValueError, match="not declared"):
             f.render(img, interpret=interp,
                      options=mm.RenderOptions(static_params=("zzz",)))
+
+
+class ConstBoundGen:
+    """Random literal-only expressions through the round-3 extended
+    _CONST_FOLD_OPS (transcendentals, constructors): used as while-loop
+    bounds, they must fold at trace time and the loop must UNROLL, with
+    jit == oracle. NaN-producing compositions (log2 of a negative, ...)
+    are fair game: a NaN bound means a 0-iteration loop on BOTH paths."""
+
+    LITS = ["1.3", "0.7", "2.0", "0.25", "3.1", "-0.6"]
+    UN = ["sin", "cos", "tanh", "exp2", "log2", "atan", "sinh", "asinh",
+          "deg2rad", "rad2deg", "sqrt", "acos", "atanh"]
+    BIN = ["+", "*", "-"]
+
+    def __init__(self, seed):
+        self.rng = np.random.RandomState(seed)
+
+    def expr(self, depth=0):
+        roll = self.rng.rand()
+        if depth > 2 or roll < 0.35:
+            return self.rng.choice(self.LITS)
+        if roll < 0.6:
+            return f"{self.rng.choice(self.UN)}({self.expr(depth + 1)})"
+        if roll < 0.75:
+            return (f"atan2({self.expr(depth + 1)}, {self.expr(depth + 1)})")
+        if roll < 0.85:
+            return f"gray(rgbaColor({self.expr(depth + 1)}, 0.5, 0.25, 1))"
+        op = self.rng.choice(self.BIN)
+        return f"({self.expr(depth + 1)} {op} {self.expr(depth + 1)})"
+
+
+@pytest.mark.parametrize("seed", range(200, 215))
+def test_fuzz_const_bound_folds_and_unrolls(seed):
+    from tests.test_language import _WhileSpy
+
+    g = ConstBoundGen(seed)
+    bound = f"clamp(floor(abs({g.expr()})) % 5 + 2, 2, 8)"
+    src = (f"n = {bound}; s = 0; i = 0; while i < n do "
+           f"s = s + 0.1; i = i + 1 end; grayColor(clamp(s, 0, 1))")
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    f = mm.compile(src)
+    oracle = f.render(img, interpret=True)
+    with _WhileSpy() as spy:
+        jax_out = f.render(img)
+    assert spy.calls == 0, f"bound must fold+unroll: {src}"
+    np.testing.assert_allclose(jax_out, oracle, atol=1e-6, err_msg=src)
