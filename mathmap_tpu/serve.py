@@ -497,7 +497,13 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--window-ms", type=float, default=4.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (like preview --cpu)")
     args = ap.parse_args(argv)
+    if args.cpu or __import__("os").environ.get("MMTPU_PLATFORM") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     svc = RenderService(max_batch=args.max_batch, window_ms=args.window_ms)
     print(f"serving on http://{args.host}:{args.port}  "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
