@@ -90,6 +90,15 @@ def main(argv=None):
     def _alarm(_sig, _frm):
         if not emitted[0]:
             emitted[0] = True
+            if partial["value"] == 0.0:
+                # nothing measured: the relay/device hung before the first
+                # fenced suite attempt completed (observed: probe hangs
+                # >300 s, backend init "Unavailable"). Say so — a bare 0.0
+                # would read as a code regression.
+                partial["note"] = ("device unreachable before any suite "
+                                   "measurement — environment failure, not "
+                                   "a code rate; see BASELINE.md for "
+                                   "in-session records")
             print(json.dumps(partial), flush=True)
         sys.stderr.write("# bench hard-timeout: emitted partial JSON\n")
         os._exit(0)
