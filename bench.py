@@ -155,11 +155,16 @@ def main(argv=None):
     for attempt in range(3):
         h0 = relay_health()
         health_ms = min(health_ms, h0)
+        partial["relay_health_ms"] = round(health_ms, 1)
         for k, renderer in enumerate(renderers):
             best_dt[k] = min(best_dt[k], time_tpu(renderer, [img], iters))
-        partial["value"] = round(
-            float(np.mean([w * h / dt / 1e6 for dt in best_dt])), 2)
-        partial["relay_health_ms"] = round(health_ms, 1)
+            # update the alarm fallback per FILTER: a hang mid-attempt
+            # must not discard filters already measured (a 0.0 value
+            # would mislabel a partial hang as "nothing measured")
+            done = [dt for dt in best_dt if np.isfinite(dt)]
+            partial["value"] = round(
+                float(np.mean([w * h / dt / 1e6 for dt in done])), 2)
+            partial["suite_measured"] = f"{len(done)}/{len(suite)}"
         if h0 <= HEALTHY_MS:
             break
         # retries may spend at most half the budget: the secondaries

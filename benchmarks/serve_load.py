@@ -82,8 +82,11 @@ def main():
     t0 = time.time()
     # the PARAM NAME SET is part of the jit signature — warm with the same
     # names the load will send or the first dispatches recompile anyway
+    # warmup can legitimately take many minutes on the TPU relay (each
+    # bucket is a distinct remote compile) — don't time out under it
     post("/warmup", {"filter": filt_name, "width": w, "height": h,
-                     "batch_sizes": sizes, "params": {"angle": 1.0}})
+                     "batch_sizes": sizes, "params": {"angle": 1.0}},
+         timeout=3600)
     print(f"# warmup (buckets {sizes}): {time.time() - t0:.0f}s")
 
     latencies = []
@@ -136,4 +139,5 @@ def main():
     svc.shutdown()
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -500,10 +500,15 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (like preview --cpu)")
     args = ap.parse_args(argv)
-    if args.cpu or __import__("os").environ.get("MMTPU_PLATFORM") == "cpu":
+    import os
+
+    plat = os.environ.get("MMTPU_PLATFORM")  # mirror cli.py: any value
+    if args.cpu:
+        plat = "cpu"
+    if plat:
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", plat)
     svc = RenderService(max_batch=args.max_batch, window_ms=args.window_ms)
     print(f"serving on http://{args.host}:{args.port}  "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
