@@ -147,6 +147,11 @@ def _run_batch_dir(args, filt, out_dir, width, height, opts, params, log):
             stack = np.stack([
                 read_image(os.path.join(args.input_dir, n)) for n in chunk])
             outs = filt.render_batch(stack, ts=[args.t] * len(chunk),
+                                     # frame=0 for every image, like a lone
+                                     # render (the default arange is for
+                                     # t-sweeps — a frame-reading filter
+                                     # must not vary with chunk position)
+                                     frames=np.zeros(len(chunk), np.float32),
                                      width=ow, height=oh, options=opts,
                                      params=params)
             for n, frame in zip(chunk, outs):

@@ -59,6 +59,26 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def padded_dims(h_img: int, w_img: int) -> tuple:
+    """(hp, wp) of the padded multi-copy image: hp mult of 32 (the
+    multi-copy lane base c*hp*4 stays 128-aligned), wp mult of 16 (bf16
+    sublane tiling). ONE formula shared by the kernel and the renderer's
+    prepad builder (runtime/render.py) — a mismatch would make the kernel
+    silently reject every cached prepad and repay the ~3 ms/4K pad build
+    per frame."""
+    return (_round_up(h_img + PAD_L + 8, 32), _round_up(w_img + PAD_L + 8, 16))
+
+
+def image_dtype(opts):
+    """In-kernel image storage dtype for `opts` (shared for the same
+    reason as padded_dims)."""
+    import jax.numpy as jnp
+
+    return (jnp.bfloat16
+            if getattr(opts, "pallas_precision", "bf16") == "bf16"
+            else jnp.float32)
+
+
 class _Plan:
     """Per-tier planning result (window origins, per-tile fit, launchers)."""
 
@@ -605,10 +625,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     else:
         h_out, w_out = x.shape
 
-    # padded image dims: hp mult of 32 (so the multi-copy lane base c*hp*4
-    # stays 128-aligned), wp mult of 16 (bf16 sublane tiling)
-    hp = _round_up(h_img + PAD_L + 8, 32)
-    wp = _round_up(w_img + PAD_L + 8, 16)
+    hp, wp = padded_dims(h_img, w_img)
 
     # ---- coords + edge mapping (XLA, fused) ----
     px, py = S.world_to_pixel(jnp, x, y, w_img, h_img)
@@ -619,7 +636,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     interpret = jax.default_backend() != "tpu"
     precision = getattr(opts, "pallas_precision", "bf16")
-    img_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    img_dtype = image_dtype(opts)
 
     # ---- padded multi-copy x-major image ----
     # Renderer-precomputed pad (runtime/render.py caches it across frames

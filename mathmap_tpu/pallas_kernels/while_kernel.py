@@ -66,18 +66,47 @@ SAFE_CALLS = frozenset({
 })
 
 
-def _calls_safe(node) -> bool:
+#: internals whose EVALUATION reaches a Mosaic-rejected transcendental
+#: (tracer._internal: `a` and `ra` compute arctan2) — a body reading one
+#: of these UNSHADOWED would lower the atan2 inside the kernel and crash
+#: at Mosaic compile on real TPU (invisible to interpret-mode tests).
+#: Shadowed reads are fine: a pre-loop env binding, or an in-loop
+#: assignment (the name becomes a carried variable whose internal-seeded
+#: init evaluates OUTSIDE the kernel).
+_UNSAFE_INTERNALS = frozenset({"a", "ra"})
+
+
+def _calls_safe(node, env=None, filters=None) -> bool:
     for sub in A.walk(node):
         if isinstance(sub, A.Call):
             f = sub.func
             if not isinstance(f, A.Var) or f.name not in SAFE_CALLS:
+                return False
+            # a SAFE_CALLS name shadowed by an env value (curve param
+            # named `sin`) or a user filter resolves to THAT in the
+            # evaluator — but launch() drops opaque deps, so the
+            # in-kernel call would silently fall through to the builtin
+            # and diverge from the XLA/oracle path (review r3 finding)
+            if env is not None and f.name in env:
+                return False
+            if filters and f.name in filters:
                 return False
         if isinstance(sub, A.While) and sub is not node:
             return False  # nested while: scf lowering limits
     return True
 
 
-def eligible(ctx, node: A.While) -> bool:
+def _reads_unsafe_internal(node, env) -> bool:
+    assigned = A.assigned_names(node.body) | A.assigned_names(node.cond)
+    for sub in A.walk(node):
+        if (isinstance(sub, A.Var) and sub.name in _UNSAFE_INTERNALS
+                and (env is None or sub.name not in env)
+                and sub.name not in assigned):
+            return True
+    return False
+
+
+def eligible(ctx, node: A.While, env=None) -> bool:
     from ..runtime.sampling import pallas_policy
 
     if not ctx.is_jax or getattr(ctx, "in_pallas", False):
@@ -90,9 +119,16 @@ def eligible(ctx, node: A.While) -> bool:
     h, w = ctx.shape
     if mode != "on" and h * w < (1 << 20):
         return False  # tiny grids don't amortize a pallas launch
-    if not pallas_policy(ctx.opts):
+    if mode != "on" and not pallas_policy(ctx.opts):
+        # 'on' is documented as FORCING the engine — it must not be
+        # silently vetoed by the sampler knob (review r3 finding); 'auto'
+        # still follows the device policy
         return False
-    body_ok = _calls_safe(node.body) and _calls_safe(node.cond)
+    filters = getattr(ctx, "filters", None)
+    body_ok = (_calls_safe(node.body, env, filters)
+               and _calls_safe(node.cond, env, filters))
+    if body_ok and _reads_unsafe_internal(node, env):
+        return False
     return body_ok and not any(
         isinstance(s, A.While) and s is not node for s in A.walk(node))
 

@@ -32,7 +32,13 @@ def _tile_layout_kwargs(program_filters, fdef, opts, tile_h, tile_w,
     (the perf path: per-tile tier claims, donated-buffer launches — VERDICT
     r2 item 3) is gated by the SAME predicate the unsharded JitRenderer
     uses (render.base_layout_enabled), so the two paths cannot diverge;
-    otherwise the (H, W) grid_shape layout with pixel offsets."""
+    otherwise the (H, W) grid_shape layout with pixel offsets.
+
+    Unlike the unsharded JitRenderer, coordinate grids are NOT
+    host-precomputed here: a tile's origin comes from lax.axis_index (a
+    traced value), so the grids can only be built inside the trace. In
+    the run_frames lax.map they are loop-invariant and XLA hoists them;
+    only repeated single-frame __call__s repay the ~1 ms/4K-tile build."""
     if base_layout_enabled(program_filters, fdef, opts):
         return dict(base_layout=base_layout_for(tile_w, tile_h),
                     local_height=tile_h, local_width=tile_w,

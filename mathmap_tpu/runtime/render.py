@@ -250,6 +250,20 @@ def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
 # JAX product path: jitted, cached per static configuration
 # ---------------------------------------------------------------------------
 
+def _validate_param_names(fdef: A.FilterDef, params: dict) -> None:
+    """Reject param NAMES the filter doesn't declare: a typo'd
+    `--param raduis=5` would otherwise render with the default and exit 0
+    — silently wrong output. Shared by the jit path and the oracle.
+    (The reference's userval binding is by declared name too —
+    userval.c [unverified, mount empty].)"""
+    declared = {p.name for p in fdef.params}
+    unknown = [n for n in params if n not in declared]
+    if unknown:
+        raise ValueError(
+            f"unknown param(s) for filter {fdef.name!r}: {unknown} "
+            f"(declares: {sorted(declared)})")
+
+
 def _validate_static_params(fdef: A.FilterDef, static_names) -> None:
     """Reject static_params names the filter doesn't declare, and opaque
     (curve/gradient/image) params that cannot be baked. Shared by the jit
@@ -283,6 +297,7 @@ def _userval_pytree(ctx, fdef: A.FilterDef, params: dict):
     kinds = {}
     static_names = getattr(ctx.opts, "static_params", ())
     _validate_static_params(fdef, static_names)
+    _validate_param_names(fdef, params)
     for p in fdef.params:
         if p.name not in params:
             continue
@@ -356,10 +371,11 @@ class JitRenderer:
             pads = []
             for a in input_arrays:
                 h, w = int(a.shape[-3]), int(a.shape[-2])
-                hp = SK._round_up(h + SK.PAD_L + 8, 32)
-                wp = SK._round_up(w + SK.PAD_L + 8, 16)
-                dt = (jnp.bfloat16 if opts.pallas_precision == "bf16"
-                      else jnp.float32)
+                # the kernel's OWN formula (a private copy here would,
+                # if either side changed, make the kernel silently reject
+                # every cached prepad and repay the pad build per frame)
+                hp, wp = SK.padded_dims(h, w)
+                dt = SK.image_dtype(opts)
 
                 def pad_one(fr):
                     return SK._pad_xmajor(
@@ -630,6 +646,7 @@ def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params
         num_frames=num_frames, is_jax=False, dtype=dt,
     )
     _validate_static_params(fdef, getattr(opts, "static_params", ()))
+    _validate_param_names(fdef, params)
     uservals = {}
     for p in fdef.params:
         if p.name in params:

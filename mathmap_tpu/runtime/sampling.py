@@ -87,19 +87,16 @@ def _use_pallas(ev, img) -> bool:
     'auto' only on real TPU; 'pallas' forces it (interpret mode elsewhere)."""
     from .value import InputImage, TiledInput
 
-    opts = ev.ctx.opts
-    if not ev.ctx.is_jax or opts.sampler == "gather":
+    if not ev.ctx.is_jax:
         return False
     if type(img) is TiledInput or not isinstance(img, InputImage):
         return False
-    if ev.ctx.grid_shape is not None:
-        # mesh-sharded render: per-device planning works (coords are global
-        # values on a local tile), but traced row/col offsets from
-        # lax.axis_index reach world_to_pixel fine — allow it. Column-
-        # sharded tiles narrower than one kernel tile fall back via the
-        # overflow logic naturally.
-        pass
-    return pallas_policy(opts)
+    # NOTE: mesh-sharded renders (ctx.grid_shape set) are deliberately NOT
+    # excluded: per-device planning works (coords are global values on a
+    # local tile; traced offsets from lax.axis_index reach world_to_pixel
+    # fine), and column tiles narrower than one kernel tile fall back via
+    # the overflow logic naturally.
+    return pallas_policy(ev.ctx.opts)
 
 
 def pallas_policy(opts) -> bool:

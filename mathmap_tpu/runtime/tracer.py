@@ -89,7 +89,9 @@ _CONST_EV = _ConstShadowEv()
 
 #: static-trip-count unroll budget (iterations). Voronoi's 3x3 cell scan
 #: and fixed-tap convolutions sit well under this; longer literal loops
-#: fall back to the masked lax path. Module-level so probes can A/B it.
+#: fall back to the masked lax path. NOTE: this is only the DEFAULT of
+#: RenderOptions.while_static_unroll — the option always wins, so A/B it
+#: through RenderOptions, not by mutating this constant.
 WHILE_UNROLL_MAX = 64
 
 #: Trace-time record of which engine each while loop compiled to:
@@ -553,10 +555,24 @@ class Evaluator:
                 if vt is not None:
                     saved[k] = vt
                 continue
+            # a branch-only assignment to a name not in the env merges
+            # against the name's PRE-BRANCH value: the outer binding, or —
+            # for internal-named variables (y, t, ...) — the internal
+            # itself, exactly what a read on the other branch would see.
+            # (Review r3 finding: merging against zero silently zeroed
+            # `if x > 0 then y = -y end; abs(y)` on the untaken branch.)
+            def prior(other):
+                if k in saved:
+                    return saved[k]
+                iv = self._internal(k)
+                if iv is not None and iv.length == other.length:
+                    return iv
+                return self._zero_like(other)
+
             if vt is None:
-                vt = self._zero_like(ve) if k not in saved else saved[k]
+                vt = prior(ve)
             if ve is None:
-                ve = self._zero_like(vt) if k not in saved else saved[k]
+                ve = prior(vt)
             saved[k] = self._select(mask, vt, ve, node.span)
         return self._select(mask, v_t, v_e, node.span)
 
@@ -581,9 +597,22 @@ class Evaluator:
         probe = Evaluator(self.ctx, self.x, self.y, probe_env)
         for n in names:
             if n not in probe_env:
-                probe_env[n] = TupleValue(NIL, (self.lit(0.0),))
-        probe.eval(node.cond)
-        probe.eval(node.body)
+                # an assigned-but-undeclared internal-named variable (y,
+                # t, ...) starts as the INTERNAL's value — a first-read
+                # inside the loop must see the coordinate, not zero
+                # (review r3 finding; same rule as the if-phi merge)
+                iv = self._internal(n)
+                probe_env[n] = (iv if iv is not None
+                                else TupleValue(NIL, (self.lit(0.0),)))
+        if node.post:
+            # do-while: the body ALWAYS runs before the first cond
+            # evaluation — probe in the same order, or a cond subscripting
+            # a tuple the body grows raises a spurious MMTypeError
+            probe.eval(node.body)
+            probe.eval(node.cond)
+        else:
+            probe.eval(node.cond)
+            probe.eval(node.body)
         self.ctx.rand_counter = counter_entry  # probe results are discarded
         self.ctx.rand_loop_nonce = nonce_entry
 
@@ -621,7 +650,17 @@ class Evaluator:
         for n in names:
             tgt = probe_env[n]
             if n not in init_env:
-                init_env[n] = TupleValue(NIL, (self.lit(0.0),), const=(0.0,))
+                iv = self._internal(n)
+                if iv is not None and iv.length == tgt.length:
+                    # seed with the internal's value (see probe seeding
+                    # above); a var whose final length DIFFERS from the
+                    # internal's is necessarily write-before-read (user
+                    # repurposing the name, e.g. a scalar counter `I`) —
+                    # keep the zero seed so widen() doesn't reject it
+                    init_env[n] = iv
+                else:
+                    init_env[n] = TupleValue(NIL, (self.lit(0.0),),
+                                             const=(0.0,))
             init_env[n] = widen(init_env[n], tgt)
             carried.append(n)
         lengths = {n: init_env[n].length for n in carried}
@@ -677,8 +716,16 @@ class Evaluator:
             for n in carried:
                 k = lengths[n]
                 new = env[n]
+                if new.is_opaque:
+                    # same rule widen() enforces at loop ENTRY — without
+                    # this an in-body `v = some_gradient` crashed with a
+                    # raw IndexError below (opaque length is 1 but
+                    # arrays is empty)
+                    raise MMTypeError(
+                        f"loop variable {n!r}: image/curve/gradient values "
+                        f"cannot be loop variables", node.span)
                 if new.length != k:
-                    if not new.is_opaque and new.length == 1:
+                    if new.length == 1:
                         new = TupleValue(tags[n], new.arrays * k)
                     else:
                         raise MMTypeError(
@@ -779,7 +826,7 @@ class Evaluator:
             # engine (options.py) — honor it over the unroll when the
             # loop is engine-eligible
             wk_eligible = (self.salt_extra is None
-                           and WK.eligible(self.ctx, node))
+                           and WK.eligible(self.ctx, node, env=self.env))
             wk_forced = (getattr(self.ctx.opts, "pallas_while", "auto")
                          == "on" and wk_eligible)
             unroll_max = int(getattr(self.ctx.opts, "while_static_unroll",

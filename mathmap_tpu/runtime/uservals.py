@@ -76,7 +76,15 @@ def convert_userval(ctx, p: Param, value) -> TupleValue:
             return curve_value(value)
         if callable(value):
             return curve_value(Curve.from_function(be, value))
-        return curve_value(Curve(lut=be.asarray(np.asarray(value, dtype=np.float32))))
+        arr = np.asarray(value, dtype=np.float32)
+        if arr.ndim != 1 or arr.shape[0] < 2:
+            # mirror the gradient branch: a scalar or (N,4) array would
+            # otherwise crash later (or silently use channel 0) far from
+            # the user's mistake
+            raise MMTypeError(
+                f"curve userval {p.name!r} needs a 1-D LUT of >=2 samples "
+                f"(or a Curve / callable)", p.span)
+        return curve_value(Curve(lut=be.asarray(arr)))
     if p.kind == "gradient":
         if isinstance(value, Gradient):
             return gradient_value(value)
@@ -92,7 +100,10 @@ def convert_userval(ctx, p: Param, value) -> TupleValue:
         if isinstance(value, InputImage):
             return image_value(value)
         arr = np.asarray(value, dtype=np.float32)
-        if arr.ndim != 3 or arr.shape[2] != 4:
-            raise MMTypeError(f"image userval {p.name!r} needs an (H,W,4) array", p.span)
+        # (T,H,W,4) = animated drawable, same as a positional input
+        if arr.ndim not in (3, 4) or arr.shape[-1] != 4:
+            raise MMTypeError(
+                f"image userval {p.name!r} needs an (H,W,4) or animated "
+                f"(T,H,W,4) array", p.span)
         return image_value(InputImage(pixels=be.asarray(arr), name=p.name))
     raise MMTypeError(f"unknown userval kind {p.kind!r}", p.span)

@@ -129,19 +129,28 @@ class InputImage(ImageBase):
     def make_gather(self, be, frame=None):
         h, w = self.global_shape
         if self.pixels.ndim == 4:
+            # two-axis gather (frame, within-frame): a flat T*H*W index
+            # would overflow int32 for long/large animations (1080p ~1040
+            # frames) and silently sample the wrong frame — the per-frame
+            # index h*w*4 stays well inside int32 and XLA's gather handles
+            # the frame axis with operand-internal offsets
             t = self.num_frames
-            flat = self.pixels.reshape(t * h * w, 4)
+            frames_flat = self.pixels.reshape(t, h * w, 4)
             fi = self.frame_index(be, 0.0 if frame is None else frame)
-            base = fi * (h * w)  # scalar or per-pixel array — both gather
-        else:
-            flat = self.pixels.reshape(h * w, 4)
-            base = 0
+
+            def gather(iy, ix):
+                q = iy * w + ix
+                g = frames_flat[fi, q]  # advanced indexing -> one gather
+                return [g[..., c] for c in range(4)]
+
+            return gather
+        flat = self.pixels.reshape(h * w, 4)
 
         def gather(iy, ix):
             # one gather of a contiguous (1,4) RGBA slice per tap — 4x fewer
             # gather ops than per-channel takes (TPU gathers are the
             # bottleneck; see pallas_kernels/sample_kernel.py)
-            g = be.take(flat, base + iy * w + ix, axis=0)
+            g = be.take(flat, iy * w + ix, axis=0)
             return [g[..., c] for c in range(4)]
 
         return gather

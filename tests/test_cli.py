@@ -138,3 +138,42 @@ def test_input_dir_batch_mode(tmp_path):
                    "--input-dir", str(ind), "--resume")
     assert proc.returncode == 0, proc.stderr[-500:]
     assert {n: os.path.getmtime(outd / n) for n in outs} == m0
+
+
+def test_input_dir_batch_renders_at_frame_zero(tmp_path):
+    """Images in an --input-dir chunk must render at frame=0 like lone
+    renders — NOT at their chunk position (regression: render_batch's
+    default frames=arange is for t-sweeps; a frame-reading filter's
+    output would have varied with --batch-size and chunk order)."""
+    ind = tmp_path / "ins"
+    outd = tmp_path / "outs"
+    ind.mkdir()
+    src = tmp_path / "framefilt.mm"
+    src.write_text("filter framefilt (image in) "
+                   "in(xy) * 0 + grayColor(0.25 + frame * 0.2) end\n")
+    for i in range(3):
+        mm.write_image(str(ind / f"img{i}.png"),
+                       np.full((8, 8, 4), 0.5, np.float32))
+    proc = run_cli(str(src), str(outd),
+                   "--input-dir", str(ind), "--batch-size", "3")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    from PIL import Image
+
+    vals = [np.asarray(Image.open(outd / f"img{i}.png").convert("RGBA"))
+            [..., 0] for i in range(3)]
+    for i, v in enumerate(vals):
+        assert np.abs(v.astype(int) - round(0.25 * 255)).max() <= 1, \
+            f"img{i} rendered at frame != 0"
+
+
+def test_unknown_param_rejected(tmp_path):
+    proc = run_cli("twirl", input_png_path(tmp_path),
+                   str(tmp_path / "o.png"), "--param", "raduis=5")
+    assert proc.returncode != 0
+    assert "unknown param" in (proc.stderr + proc.stdout)
+
+
+def input_png_path(tmp_path):
+    p = tmp_path / "in_up.png"
+    mm.write_image(str(p), np.zeros((8, 8, 4), np.float32))
+    return str(p)

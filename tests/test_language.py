@@ -881,3 +881,177 @@ def test_const_fold_extension_unrolls_loop_bound(opname, bound):
         j = f.render(BLANK)
     assert spy.calls == 0, f"{opname}-derived bound must fold + unroll"
     np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_unknown_param_name_raises():
+    """A typo'd param name must raise, not silently render defaults —
+    identically on the jit and oracle paths (review r3 finding)."""
+    src = "filter f (float strength: 0-4 (1)) grayColor(strength / 4) end"
+    f = mm.compile(src)
+    with pytest.raises(ValueError, match="unknown param"):
+        f.render(BLANK, params={"Strength": 2.0})
+    with pytest.raises(ValueError, match="unknown param"):
+        f.render(BLANK, params={"strengt": 2.0}, interpret=True)
+    ok = f.render(BLANK, params={"strength": 2.0})
+    np.testing.assert_allclose(np.asarray(ok)[..., 0], 0.5, atol=1e-6)
+
+
+def test_curve_userval_shape_validation():
+    src = "filter f (curve c) grayColor(c(x / W + 0.5)) end"
+    f = mm.compile(src)
+    from mathmap_tpu.utils.errors import MMTypeError
+
+    with pytest.raises(MMTypeError, match="1-D LUT"):
+        f.render(BLANK, params={"c": 0.5})
+    with pytest.raises(MMTypeError, match="1-D LUT"):
+        f.render(BLANK, params={"c": np.ones((4, 4), np.float32)})
+    out = f.render(BLANK, params={"c": np.linspace(0, 1, 17,
+                                                   dtype=np.float32)})
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_image_userval_accepts_animated_stack():
+    """(T,H,W,4) image uservals are animated drawables, same as
+    positional inputs (review r3 finding: was rejected by ndim check)."""
+    src = ("filter f (image a) a(xy) end")
+    f = mm.compile(src)
+    stack = np.stack([np.full((H, W, 4), v, np.float32)
+                      for v in (0.25, 0.75)])
+    out = f.render(params={"a": stack}, width=W, height=H, frame=1.0)
+    np.testing.assert_allclose(np.asarray(out)[..., 0], 0.75, atol=1e-6)
+
+
+# -- review r3: internal-variable shadowing semantics -----------------
+
+def test_branch_assignment_to_internal_merges_against_internal():
+    """`if x > 0 then y = -y end; abs(y)` must read the COORDINATE on the
+    untaken branch (regression: merged against zero on both backends)."""
+    f = mm.compile("if x > 0 then y = -y end; grayColor(abs(y) / 4)")
+    o = np.asarray(f.render(BLANK, interpret=True))[..., 0]
+    j = np.asarray(f.render(BLANK))[..., 0]
+    ys = np.abs(H / 2 - (np.arange(H) + 0.5))[:, None] / 4
+    np.testing.assert_allclose(o, np.broadcast_to(ys, (H, W)), atol=1e-6)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_loop_reassigning_internal_reads_internal_first():
+    """A loop body reassigning y must see the coordinate on its first
+    read, not a zero seed (regression)."""
+    src = ("i = 0; s = 0; while i < 2 do y = y * 0.5; s = s + y; "
+           "i = i + 1 end; grayColor(abs(s) / 4)")
+    f = mm.compile(src)
+    o = np.asarray(f.render(BLANK, interpret=True))[..., 0]
+    j = np.asarray(f.render(BLANK))[..., 0]
+    want = np.abs(0.75 * (H / 2 - (np.arange(H) + 0.5)))[:, None] / 4
+    np.testing.assert_allclose(o, np.broadcast_to(want, (H, W)), atol=1e-6)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_loop_var_repurposing_tuple_internal_name():
+    """A scalar counter named `I` (the length-2 imaginary-unit internal)
+    is write-before-read — must still work with a zero seed."""
+    out = gray("j = 0; s = 0; while j < 2 do I = 0.25; s = s + I; "
+               "j = j + 1 end; grayColor(s)", interpret=False)
+    np.testing.assert_allclose(out, np.full((H, W), 0.5), atol=1e-6)
+
+
+def test_do_while_cond_sees_body_grown_tuple():
+    """do-while probes body-then-cond: a cond subscripting a tuple the
+    body grows must not raise (regression: spurious MMTypeError)."""
+    src = ("i = 0; do v = xy:[i, 2]; i = i + 1 while v[1] > i end; "
+           "grayColor(i / 4)")
+    f = mm.compile(src)
+    o = np.asarray(f.render(BLANK, interpret=True))[..., 0]
+    j = np.asarray(f.render(BLANK))[..., 0]
+    np.testing.assert_allclose(o, 0.5, atol=1e-6)
+    np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+def test_opaque_loop_variable_clear_error():
+    src = ("filter f (gradient g) i = 0; while i < 2 do h = g; "
+           "i = i + 1 end; grayColor(i / 2) end")
+    f = mm.compile(src)
+    lut = np.ones((8, 4), np.float32)
+    for kw in ({"interpret": True}, {}):
+        with pytest.raises(MMTypeError, match="loop variable"):
+            f.render(BLANK, params={"g": lut}, **kw)
+
+
+def test_wk_engine_rejects_unshadowed_angle_internal():
+    """A WK-eligible body reading the internal `a` (atan2-backed — Mosaic
+    rejects its lowering on real TPU) must stay OFF the engine unless
+    shadowed (review r3 finding; interpret-mode tests can't catch the
+    TPU crash, so eligibility is pinned here)."""
+    from mathmap_tpu.pallas_kernels import while_kernel as WK
+
+    img = np.random.RandomState(0).rand(8, 256, 4).astype(np.float32)
+    opts = mm.RenderOptions(sampler="pallas", pallas_while="on")
+    launches = []
+    orig = WK.launch
+
+    def spy(*a, **k):
+        launches.append(1)
+        return orig(*a, **k)
+
+    WK.launch = spy
+    try:
+        f = mm.compile("s = 0; i = 0; while i + x * 0 < 4 do "
+                       "s = s + sin(a + i); i = i + 1 end; "
+                       "grayColor(s / 8 + 0.5)")
+        j = f.render(img, width=256, height=8, options=opts)
+        assert not launches, "unshadowed `a` must not reach the engine"
+        o = f.render(img, width=256, height=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=1e-5)
+        # shadowed (pre-loop assignment): engine allowed again
+        f2 = mm.compile("s = 0; i = 0; a = 0.3; while i + x * 0 < 4 do "
+                        "s = s + sin(a + i); i = i + 1 end; "
+                        "grayColor(s / 8 + 0.5)")
+        f2.render(img, width=256, height=8, options=opts)
+        assert launches, "shadowed `a` is engine-safe"
+    finally:
+        WK.launch = orig
+
+
+def test_wk_engine_not_confused_by_opaque_shadowing_builtin():
+    """A curve param named `sin` shadows the builtin; the engine (which
+    cannot apply curves) must decline, keeping jit == oracle."""
+    from mathmap_tpu.pallas_kernels import while_kernel as WK
+
+    img = np.random.RandomState(0).rand(8, 256, 4).astype(np.float32)
+    opts = mm.RenderOptions(sampler="pallas", pallas_while="on")
+    src = ("filter g (curve sin) s = 0; i = 0; "
+           "while i + x * 0 < 3 do s = s + sin(0.3); i = i + 1 end; "
+           "grayColor(s / 3) end")
+    f = mm.compile(src)
+    curve = np.full(16, 0.9, np.float32)  # constant 0.9 != builtin sin(0.3)
+    j = f.render(img, width=256, height=8, options=opts,
+                 params={"sin": curve})
+    o = f.render(img, width=256, height=8, interpret=True,
+                 params={"sin": curve})
+    np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j)[..., 0], 0.9, atol=1e-3)
+
+
+def test_pallas_while_on_forces_engine_regardless_of_sampler():
+    from mathmap_tpu.pallas_kernels import while_kernel as WK
+
+    img = np.random.RandomState(0).rand(8, 256, 4).astype(np.float32)
+    launches = []
+    orig = WK.launch
+
+    def spy(*a, **k):
+        launches.append(1)
+        return orig(*a, **k)
+
+    WK.launch = spy
+    try:
+        f = mm.compile("s = 0; i = 0; while i + x * 0 < 4 do s = s + 0.1; "
+                       "i = i + 1 end; grayColor(s)")
+        j = f.render(img, width=256, height=8,
+                     options=mm.RenderOptions(sampler="gather",
+                                              pallas_while="on"))
+        assert launches, "'on' must force the engine (docs contract)"
+        o = f.render(img, width=256, height=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=1e-6)
+    finally:
+        WK.launch = orig
