@@ -69,14 +69,17 @@ def padded_dims(h_img: int, w_img: int) -> tuple:
     return (_round_up(h_img + PAD_L + 8, 32), _round_up(w_img + PAD_L + 8, 16))
 
 
-def image_dtype(opts):
-    """In-kernel image storage dtype for `opts` (shared for the same
-    reason as padded_dims)."""
+def _dtype_for(precision: str):
     import jax.numpy as jnp
 
-    return (jnp.bfloat16
-            if getattr(opts, "pallas_precision", "bf16") == "bf16"
-            else jnp.float32)
+    return jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+
+def image_dtype(opts):
+    """In-kernel image storage dtype for `opts` (shared for the same
+    reason as padded_dims). ONE precision read: the kernel derives its
+    matmul mode and this dtype from the same string via _dtype_for."""
+    return _dtype_for(getattr(opts, "pallas_precision", "bf16"))
 
 
 class _Plan:
@@ -636,7 +639,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     interpret = jax.default_backend() != "tpu"
     precision = getattr(opts, "pallas_precision", "bf16")
-    img_dtype = image_dtype(opts)
+    img_dtype = _dtype_for(precision)  # same string drives mm()'s mode
 
     # ---- padded multi-copy x-major image ----
     # Renderer-precomputed pad (runtime/render.py caches it across frames

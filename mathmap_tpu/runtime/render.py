@@ -388,7 +388,8 @@ class JitRenderer:
                     # would pin GBs of HBM — past ~512 MB, pad in-trace
                     # per frame instead (costs ~3 ms per sampled frame)
                     t_frames = int(a.shape[0])
-                    pad_bytes = wp * (hp * 16) * (2 if dt == jnp.bfloat16 else 4)
+                    pad_bytes = (wp * (hp * SK.N_COPIES * 4)
+                                 * jnp.dtype(dt).itemsize)
                     if t_frames * pad_bytes > 512 * (1 << 20):
                         pads.append(None)
                     else:

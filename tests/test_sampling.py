@@ -524,3 +524,41 @@ def test_singular_warp_subset_patch_matches_gather(path):
     b = f.render(img, width=512, height=128, t=0.2,
                  options=mm.RenderOptions(sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_renderer_prepad_accepted_by_kernel():
+    """The renderer's cached prepad must be ACCEPTED by the kernel's
+    shape/dtype/edge acceptance check — drift between compute_prepads and
+    the kernel formula (padded_dims/image_dtype) would silently reject
+    every cached prepad and repay the pad build per frame with no test
+    failure (review r3 finding). Pinned by counting _pad_xmajor calls:
+    with a device-resident input the pad builds ONCE (in the renderer's
+    pad program), and re-renders build none."""
+    import jax.numpy as jnp
+
+    from mathmap_tpu.pallas_kernels import sample_kernel as SK
+
+    img = np.random.RandomState(2).rand(16, 24, 4).astype(np.float32)
+    f = mm.compile("origVal(xy)")
+    for prec in ("f32", "bf16"):
+        opts = mm.RenderOptions(sampler="pallas", pallas_precision=prec)
+        r = f._renderer(24, 16, opts, 1)
+        dimg = jnp.asarray(img)
+        calls = []
+        orig = SK._pad_xmajor
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        SK._pad_xmajor = spy
+        try:
+            _ = r([dimg], {}, t=0.0)     # renderer pad program: 1 build
+            n_first = len(calls)
+            _ = r([dimg], {}, t=0.01)    # cached prepad: 0 further builds
+            assert len(calls) == n_first, (
+                f"{prec}: kernel rejected the renderer prepad "
+                f"(pad rebuilt in-trace)")
+            assert n_first == 1, f"{prec}: expected one pad build, got {n_first}"
+        finally:
+            SK._pad_xmajor = orig
