@@ -101,7 +101,6 @@ class Parser:
     def parse_filterdef(self) -> A.FilterDef:
         start = self.expect("kw", "filter").span
         name = self.expect("ident").text
-        options: list[str] = []
         params: tuple = ()
         if self.accept("op", "("):
             plist = []
@@ -113,7 +112,12 @@ class Parser:
             params = tuple(plist)
         body = self.parse_seq(frozenset({"end"}))
         self.expect("kw", "end")
-        return A.FilterDef(span=start, name=name, params=params, body=body, options=tuple(options))
+        # FilterDef.options stays empty: upstream filter option
+        # annotations (coordinate-system prefixes [unverified — mount
+        # empty]) are not parsed yet; verify the exact grammar per
+        # SURVEY §8 when the reference appears.
+        return A.FilterDef(span=start, name=name, params=params, body=body,
+                           options=())
 
     def parse_param(self) -> A.Param:
         kind_tok = self.peek()
@@ -153,6 +157,27 @@ class Parser:
     def _seq_terminator(self, stops: frozenset) -> bool:
         tok = self.peek()
         return tok.kind == "eof" or (tok.kind == "kw" and tok.text in stops)
+
+    def _at_do_while_terminator(self) -> bool:
+        """Inside a do-while body, at a statement boundary: does a
+        terminating `while <cond> end` start here? A nested while
+        STATEMENT parses as `while <cond> do`, so tentatively parse the
+        cond (state restored) and look at the keyword after it."""
+        tok = self.peek()
+        if tok.kind == "eof":
+            return True
+        if not (tok.kind == "kw" and tok.text == "while"):
+            return False
+        save = self.pos
+        try:
+            self.next()
+            self.parse_seq(frozenset({"do", "end"}))
+            nxt = self.peek()
+            return nxt.kind == "kw" and nxt.text == "end"
+        except MMSyntaxError:
+            return True  # let the terminator path surface the error
+        finally:
+            self.pos = save
 
     def parse_stmt(self) -> A.Node:
         if self.at("ident"):
@@ -268,8 +293,19 @@ class Parser:
             self.expect("kw", "end")
             return A.While(span=tok.span, cond=cond, body=body, post=False)
         if tok.kind == "kw" and tok.text == "do":
+            # do <body> while <cond> end — a `while` inside the body is
+            # ambiguous: nested while STATEMENT (`while c do ... end`) vs
+            # the do-while terminator (`while c end`). Disambiguate by
+            # tentatively parsing the cond and checking the keyword after
+            # it (review r3: plain stops={'while'} made nested loops
+            # unparseable inside do-while bodies).
             self.next()
-            body = self.parse_seq(frozenset({"while"}))
+            items = [self.parse_stmt()]
+            while self.accept("op", ";"):
+                if self._at_do_while_terminator():
+                    break
+                items.append(self.parse_stmt())
+            body = A.Seq(span=items[0].span, items=tuple(items))
             self.expect("kw", "while")
             cond = self.parse_seq(frozenset({"end"}))
             self.expect("kw", "end")

@@ -183,6 +183,7 @@ class BoundWalker:
                 self.stmt(item)
         elif isinstance(node, A.SubAssign):
             self.expr(node.expr)
+            self.expr(node.index)  # index may contain samples (review r3)
             if node.name in self.env:
                 self.env[node.name] = [Aff.const(TOP)] * len(self.env[node.name])
         elif isinstance(node, A.While):
@@ -243,7 +244,13 @@ class BoundWalker:
             a = self.expr(node.then)
             env_t = self.env
             self.env = dict(saved)
-            b = self.expr(node.orelse) if node.orelse is not None else a
+            if node.orelse is not None:
+                b = self.expr(node.orelse)
+            else:
+                # the runtime yields ZERO when an else-less if is false
+                # (tracer._zero_like) — using the then-value here let
+                # affine cancellation hide real displacement (review r3)
+                b = [Aff.const(Iv(0.0))] * len(a)
             env_e = self.env
             merged = {}
             for k in set(env_t) | set(env_e):
@@ -265,6 +272,13 @@ class BoundWalker:
             return [Aff.const(Iv(0, 1))]  # !v
         if isinstance(node, A.Call):
             return self.call(node)
+        if isinstance(node, (A.While, A.SubAssign, A.Assign)):
+            # statement in expression position (e.g. `1 + (while ... end)`):
+            # route through stmt() so loop-body samples are recorded and
+            # loop-assigned vars invalidate — the TOP fallback used to skip
+            # the walk entirely (review r3)
+            self.stmt(node)
+            return [Aff.const(TOP)]
         return [Aff.const(TOP)]
 
     def var(self, name) -> list[Aff]:
@@ -359,10 +373,22 @@ class BoundWalker:
         if name in ("origVal", "__canvas"):
             self.record_sample(self.expr(node.args[0]) if node.args else None)
             return [Aff.const(Iv(0, 1))] * 4
+        if name == "origValImage":
+            # origValImage(image, xy) — the same sampling-site list
+            # render.uses_sampling keys on (review r3: was ignored, so
+            # halo='auto' missed its displacement entirely)
+            if len(node.args) == 2:
+                self.expr(node.args[0])
+                self.record_sample(self.expr(node.args[1]))
+            else:
+                raise _Unbounded
+            return [Aff.const(Iv(0, 1))] * 4
         if name == "origValXY":
             if len(node.args) >= 2:
                 ax = self.expr(node.args[0])
                 ay = self.expr(node.args[1])
+                if len(node.args) >= 3:
+                    self.expr(node.args[2])  # frame arg may contain samples
                 self.record_sample([ax[0], ay[0]])
             else:
                 raise _Unbounded
@@ -405,9 +431,14 @@ class BoundWalker:
             hi = max(i.hi for i in ivs)
             return [Aff.const(Iv(lo, hi))]
         if name == "clamp" and len(args) == 3:
-            lo = args[1][0].interval(self.ranges)
-            hi = args[2][0].interval(self.ranges)
-            return [Aff.const(Iv(lo.lo, hi.hi)) for _ in args[0]]
+            # runtime clamp broadcasts tuple lo/hi ELEMENTWISE — component
+            # i clamps to (lo_i, hi_i), not (lo_0, hi_0) (review r3)
+            out = []
+            for i in range(len(args[0])):
+                lo = args[1][min(i, len(args[1]) - 1)].interval(self.ranges)
+                hi = args[2][min(i, len(args[2]) - 1)].interval(self.ranges)
+                out.append(Aff.const(Iv(lo.lo, hi.hi)))
+            return out
         if name in ("floor", "ceil", "round"):
             return [c + Aff.const(Iv(-1, 1)) for c in args[0]] if args else [Aff.const(TOP)]
         if name in ("sqrt",) and args and len(args[0]) == 1:

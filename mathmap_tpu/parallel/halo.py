@@ -40,6 +40,13 @@ def exchange_halo(inp_local, halo: int, axis_name: str = ROW_AXIS, axis: int = 0
     import jax
     import jax.numpy as jnp
 
+    if halo == 0:
+        # slice(-0, None) would select the WHOLE block and prepend the
+        # entire neighbor (review r3: silently corrupt output that even
+        # check=True missed) — zero halo means no exchange at all
+        return inp_local
+    if halo < 0:
+        raise MMRuntimeError(f"halo must be >= 0, got {halo}")
     n = jax.lax.axis_size(axis_name)
     down = [(i, (i + 1) % n) for i in range(n)]  # send to next (below/right)
     up = [(i, (i - 1) % n) for i in range(n)]  # send to prev (above/left)
@@ -55,11 +62,18 @@ def exchange_halo(inp_local, halo: int, axis_name: str = ROW_AXIS, axis: int = 0
 
 
 def auto_halo(program_filters, fdef, width: int, height: int,
-              opts, uservals=None):
+              opts, uservals=None, ny: int = 2, nx: int = 2):
     """(halo_rows, halo_cols) from the static displacement bound, or raises
-    MMRuntimeError when the filter's displacement is unbounded/unknown."""
+    MMRuntimeError when the filter's displacement is unbounded/unknown.
+    ny/nx: mesh extent per axis — an UNSHARDED axis (extent 1) never
+    exchanges halos, so its displacement bound is irrelevant (review r3:
+    a horizontal flip on a rows-only mesh was wrongly rejected)."""
     bound = infer_displacement_bound(program_filters, fdef, width, height,
                                      uservals)
+    if bound is not None:
+        dy0 = bound[0] if ny > 1 else 0.0
+        dx0 = bound[1] if nx > 1 else 0.0
+        bound = (dy0, dx0)
     if bound is None or bound[0] >= height or bound[1] >= width:
         raise MMRuntimeError(
             f"cannot infer a usable displacement bound for filter "
@@ -95,6 +109,8 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
     tile_h = height // ny
     tile_w = width // nx
     halo_y, halo_x = halo if isinstance(halo, tuple) else (halo, halo)
+    if halo_y < 0 or halo_x < 0:
+        raise MMRuntimeError(f"halo must be >= 0, got {halo!r}")
     if halo_y > tile_h:
         raise MMRuntimeError(f"halo ({halo_y}) larger than tile height ({tile_h})")
     if nx > 1 and halo_x > tile_w:
@@ -165,7 +181,8 @@ class TiledRenderer:
         self.check = check
         if halo == "auto":
             halo = auto_halo(program_filters, fdef, width, height, opts,
-                             uservals)
+                             uservals, ny=axis_size(mesh, ROW_AXIS),
+                             nx=axis_size(mesh, COL_AXIS))
         self.halo = halo
 
         def run(inp, t):

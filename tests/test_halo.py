@@ -179,3 +179,76 @@ def test_tiled_check_with_sampling_inside_loop():
     got = f.render_tiled(img, halo=3, mesh=make_mesh(1, 8, 1))
     want = f.render(img, width=W, height=H)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# -- review r3 regressions: halo soundness --------------------------------
+
+def test_halo_zero_is_no_exchange():
+    """halo=0 must render the identity exactly (regression: slice(-0,None)
+    prepended the ENTIRE neighbor block — silent corruption even
+    check=True missed)."""
+    img = _image(11)
+    got = _tiled("origVal(xy)", img, 0,
+                 opts=mm.RenderOptions(interpolation="nearest"))
+    want = mm.compile("origVal(xy)").render(
+        img, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+
+def test_negative_halo_rejected():
+    from mathmap_tpu.utils.errors import MMRuntimeError
+
+    with pytest.raises(MMRuntimeError, match=">= 0"):
+        _tiled("origVal(xy)", _image(), -1)
+
+
+def test_auto_halo_rows_only_ignores_x_bound():
+    """A horizontal flip (dx = width) on a rows-only mesh must work with
+    halo='auto': columns are unsharded, so the x-bound is irrelevant
+    (regression: auto wrongly raised 'cannot infer')."""
+    img = _image(12)
+    f = mm.compile("origValXY(-x, y)")
+    got = f.render_tiled(img, halo="auto", mesh=make_mesh(1, 8, 1),
+                         options=mm.RenderOptions(interpolation="nearest"))
+    want = f.render(img, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_auto_halo_covers_origval_image():
+    """origValImage is a sampling site for displacement inference
+    (regression: its displacement was ignored entirely)."""
+    img = _image(13)
+    f = mm.compile("filter g (image in) origValImage(in, xy + xy:[0, 2]) end")
+    got = f.render_tiled(img, halo="auto", mesh=make_mesh(1, 8, 1),
+                         options=mm.RenderOptions(interpolation="nearest"))
+    want = f.render(img, options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_bounds_soundness_review_cases():
+    """Interval-inference soundness (review r3): patterns that used to
+    UNDER-estimate displacement now bound (or reject) correctly."""
+    from mathmap_tpu.parallel.bounds import infer_displacement_bound
+
+    def bound(src, w=40, h=128):
+        f = mm.compile(src)
+        return infer_displacement_bound(f.filters, f.fdef, w, h, None)
+
+    # if-without-else yields ZERO on the false branch — affine
+    # cancellation must not hide the displacement
+    b = bound("d = (if x > 0 then y end) - y; origVal(xy + xy:[0, d])")
+    assert b is not None and b[0] >= 64.0, b
+    # clamp bounds are per-component
+    b = bound("d = xy * xy; origVal(xy + clamp(d, xy:[-2, -12], xy:[2, 12]))")
+    assert b == (12.0, 2.0), b
+    # while in expression position: loop-assigned vars are unbounded ->
+    # inference must return None (auto refuses), not (0, 0)
+    b = bound("s = 0; q = 1 + (while s < 9 do s = s + 3 end); "
+              "origVal(xy + xy:[0, s])")
+    assert b is None, b
+    # samples inside a sub-assignment INDEX are recorded
+    b = bound("v = xy; v[origVal(xy + xy:[0, 8])[0]] = 1; origVal(xy)")
+    assert b is not None and b[0] >= 8.0, b
+    # samples inside origValXY's frame argument are recorded
+    b = bound("origValXY(x, y, origVal(xy + xy:[0, 8])[0])")
+    assert b is not None and b[0] >= 8.0, b

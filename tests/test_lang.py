@@ -140,3 +140,20 @@ def test_assigned_names():
     prog = parse("i = 0; while i < 3 do i = i + 1; j = i end")
     names = A.assigned_names(prog.filters[0].body)
     assert names == {"i", "j"}
+
+
+def test_nested_while_inside_do_while_body():
+    """A while STATEMENT inside a do-while body must parse (review r3:
+    the leading 'while' was misread as the do-while terminator)."""
+    import numpy as np
+
+    import mathmap_tpu as mm
+
+    src = ("a = 0; b = 2; do a = 1; while a < 5 do a = a + 1 end; "
+           "b = b - 1 while b > 0 end; grayColor(a / 8)")
+    f = mm.compile(src)
+    img = np.zeros((6, 8, 4), np.float32)
+    o = np.asarray(f.render(img, interpret=True))[..., 0]
+    j = np.asarray(f.render(img))[..., 0]
+    np.testing.assert_allclose(o, 0.625, atol=1e-6)
+    np.testing.assert_allclose(j, o, atol=1e-6)
