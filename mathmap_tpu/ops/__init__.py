@@ -20,7 +20,9 @@ from ..runtime.value import TupleValue as _TV
 from .registry import builtin as _builtin, broadcast_pair as _bp, need_args as _na, result_tag as _rt
 
 
-@_builtin("__pow")
+@_builtin("__pow", "pow")  # the named `pow` builtin gets the SAME
+# complex overload as the `^` operator (review r3: pow(z, w) on ri:
+# operands silently computed elementwise (re^re, im^im))
 def _pow_dispatch(ev, args, span):
     a, b = _na(args, 2, "^", span)
     if a.tag == "ri" or b.tag == "ri":

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from ..runtime.value import TupleValue
 from ..typesys.tags import NIL
+from ..utils.errors import MMTypeError
 from .registry import builtin, need_args, need_length
 
 
@@ -92,6 +93,11 @@ def _complex_dispatch(name: str, complex_fn, real_fn):
     @builtin(name)
     def _op(ev, args, span, _cfn=complex_fn, _rfn=real_fn, _name=name):
         (a,) = need_args(args, 1, _name, span)
+        if a.is_opaque:
+            # the ew1 registrations this overload replaces raised here;
+            # without the guard an image argument returned an EMPTY
+            # non-opaque tuple (review r3)
+            raise MMTypeError(f"{_name!r} not defined on {a.tag}", span)
         if a.tag == "ri":
             return _cfn(ev, a)
         return TupleValue(a.tag, tuple(_rfn(ev.be, x) for x in a.arrays))

@@ -88,11 +88,17 @@ def _mul(ev, args, span):
 @builtin("__div")
 def _div(ev, args, span):
     a, b = need_args(args, 2, "/", span)
-    kind = _special_pair_kind(a, b)
-    if kind == "complex":
+    if b.tag == "ri":
+        # complex division whenever the DENOMINATOR is complex — a scalar
+        # numerator promotes (1/z is the complex reciprocal, not an
+        # elementwise divide; review r3). z / scalar stays elementwise
+        # below, which IS the complex scaling.
         from .complex_ops import c_div
 
-        return c_div(ev, a, b)
+        if a.tag == "ri":
+            return c_div(ev, a, b)
+        s = a.scalar(span)
+        return c_div(ev, TupleValue("ri", (s, ev.be.zeros_like(s))), b)
     pairs = broadcast_pair(a, b, span, "/")
     return TupleValue(result_tag(a, b), tuple(ev.be.divide(x, y) for x, y in pairs))
 
@@ -109,23 +115,26 @@ def _neg(ev, args, span):
 # comparisons (length-1 operands, 0/1 result) and logic
 # ---------------------------------------------------------------------------
 
-def _cmp(name, fn):
+def _cmp(name, fn, any_comp=False):
     @builtin(name)
-    def _op(ev, args, span, _fn=fn, _name=name):
+    def _op(ev, args, span, _fn=fn, _name=name, _any=any_comp):
         a, b = need_args(args, 2, _name, span)
         pairs = broadcast_pair(a, b, span, _name)
         if len(pairs) == 1:
             return TupleValue(NIL, (_to_float(ev.be, _fn(ev.be, *pairs[0])),))
         # Tuple comparison: all components must satisfy the relation
-        # [unverified rule — equality on tuples is componentwise-AND].
+        # [unverified rule — equality on tuples is componentwise-AND] —
+        # EXCEPT '!=', which must be the NEGATION of '==': true when ANY
+        # component differs (De Morgan; review r3 — AND made partially-
+        # differing tuples neither equal nor not-equal).
         acc = _fn(ev.be, *pairs[0])
         for x, y in pairs[1:]:
-            acc = acc & _fn(ev.be, x, y)
+            acc = (acc | _fn(ev.be, x, y)) if _any else (acc & _fn(ev.be, x, y))
         return TupleValue(NIL, (_to_float(ev.be, acc),))
 
 
 _cmp("__eq", lambda be, x, y: be.equal(x, y))
-_cmp("__ne", lambda be, x, y: be.not_equal(x, y))
+_cmp("__ne", lambda be, x, y: be.not_equal(x, y), any_comp=True)
 _cmp("__lt", lambda be, x, y: be.less(x, y))
 _cmp("__gt", lambda be, x, y: be.greater(x, y))
 _cmp("__le", lambda be, x, y: be.less_equal(x, y))
@@ -186,6 +195,8 @@ def _log(ev, args, span):
     # log(x) natural log; the complex overload lives in complex_ops and is
     # dispatched there when the argument is ri:.
     (a,) = need_args(args, 1, "log", span)
+    if a.is_opaque:
+        raise MMTypeError(f"'log' not defined on {a.tag}", span)
     if a.tag == "ri":
         from .complex_ops import c_log
 
@@ -197,6 +208,8 @@ def _log(ev, args, span):
 def _atan(ev, args, span):
     if len(args) == 1:
         (a,) = args
+        if a.is_opaque:
+            raise MMTypeError(f"'atan' not defined on {a.tag}", span)
         return TupleValue(a.tag, tuple(ev.be.arctan(x) for x in a.arrays))
     a, b = need_args(args, 2, "atan", span)
     pairs = broadcast_pair(a, b, span, "atan")
@@ -204,7 +217,8 @@ def _atan(ev, args, span):
 
 
 ew2("atan2", lambda be, x, y: be.arctan2(x, y))
-ew2("pow", lambda be, x, y: be.power(x, y))
+# NOTE: "pow" is registered by ops/__init__ as an alias of the
+# complex-dispatching __pow (last-write-wins registry)
 
 
 # ---------------------------------------------------------------------------
@@ -220,11 +234,23 @@ def _clamp(ev, args, span):
     a, lo, hi = need_args(args, 3, "clamp", span)
     lo_p = broadcast_pair(a, lo, span, "clamp")
     hi_p = broadcast_pair(a, hi, span, "clamp")
+    if len(lo_p) != len(hi_p):
+        # e.g. clamp(scalar, rgba, 1): zip() would silently TRUNCATE to
+        # the shorter side (review r3) — broadcast the shorter one
+        if len(lo_p) == 1:
+            lo_p = lo_p * len(hi_p)
+        elif len(hi_p) == 1:
+            hi_p = hi_p * len(lo_p)
+        else:
+            raise MMTypeError(
+                f"clamp: lo/hi lengths {len(lo_p)} vs {len(hi_p)} "
+                f"don't broadcast", span)
     out = tuple(
         ev.be.minimum(ev.be.maximum(x, l), h)
         for (x, l), (_, h) in zip(lo_p, hi_p)
     )
-    return TupleValue(a.tag, out)
+    tag = a.tag if len(out) == len(a.arrays) else NIL
+    return TupleValue(tag, out)
 
 
 @builtin("lerp")
@@ -287,8 +313,10 @@ def _rand(ev, args, span):
 ew1("log2", lambda be, x: be.log2(x))
 ew1("log10", lambda be, x: be.log10(x))
 ew1("exp2", lambda be, x: be.exp2(x))
-# C fmod: sign follows the dividend (unlike '%', which is floored mod)
-ew2("fmod", lambda be, x, y: x - be.trunc(x / y) * y)
+# C fmod: sign follows the dividend (unlike '%', which is floored
+# mod). be.fmod is the exact remainder — the x - trunc(x/y)*y form lost
+# exactness for large quotients (review r3: fmod(1e8, 3) -> 4.0, not 1.0)
+ew2("fmod", lambda be, x, y: be.fmod(x, y))
 ew2("hypot", lambda be, x, y: be.sqrt(x * x + y * y))
 
 

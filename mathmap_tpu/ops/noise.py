@@ -73,7 +73,6 @@ def _grad(be, h, x, y, z):
 
 
 def perlin3(be, x, y, z):
-    p = _perm_table(be)
     xf = be.floor(x)
     yf = be.floor(y)
     zf = be.floor(z)
@@ -86,6 +85,8 @@ def perlin3(be, x, y, z):
     u, v, w = _fade(x), _fade(y), _fade(z)
 
     if be is _np:
+        p = _perm_table(be)  # gather table: numpy oracle path only
+
         def P(i):
             return be.take(p, i)
     else:

@@ -49,6 +49,23 @@ def _gamma_real(be, x):
     return be.where(reflect, _PI / (be.sin(_PI * x) * g), g)
 
 
+def _lgamma_real(be, x):
+    """log|gamma(x)| in LOG form (review r3: log(abs(gamma(x))) overflowed
+    f32 for x > ~35 where lgamma itself is modest). Same Lanczos series +
+    reflection as _gamma_real, summed in logs."""
+    reflect = x < 0.5
+    z = be.where(reflect, 1.0 - x, x) - 1.0
+    acc = _LANCZOS_C[0]
+    for i, c in enumerate(_LANCZOS_C[1:], start=1):
+        acc = acc + c / (z + i)
+    t = z + _LANCZOS_G + 0.5
+    lg = (0.5 * be.log(2.0 * _PI) + (z + 0.5) * be.log(t) - t
+          + be.log(be.abs(acc)))
+    # reflection: log|G(x)| = log(pi) - log|sin(pi x)| - log|G(1-x)|
+    return be.where(
+        reflect, be.log(_PI) - be.log(be.abs(be.sin(_PI * x))) - lg, lg)
+
+
 def _gamma_complex(be, re, im):
     """Lanczos gamma in split re/im form (reflection not applied: valid for
     Re(z) >= 0.5; MathMap fractal filters use it in that regime)."""
@@ -89,7 +106,7 @@ def _gamma(ev, args, span):
 @builtin("lgamma")
 def _lgamma(ev, args, span):
     (a,) = need_args(args, 1, "lgamma", span)
-    return TupleValue(NIL, (ev.be.log(ev.be.abs(_gamma_real(ev.be, a.scalar(span)))),))
+    return TupleValue(NIL, (_lgamma_real(ev.be, a.scalar(span)),))
 
 
 @builtin("beta")
@@ -166,7 +183,7 @@ def _jacobi_sn_cn_dn(be, u, k):
 
 
 def _jac(name: str, idx: int):
-    @builtin(f"ell_jac_{name}", name if name not in ("sn", "cn", "dn") else f"jac_{name}")
+    @builtin(f"ell_jac_{name}", f"jac_{name}")
     def _op(ev, args, span, _idx=idx, _name=name):
         u, k = need_args(args, 2, f"ell_jac_{_name}", span)
         vals = _jacobi_sn_cn_dn(ev.be, u.scalar(span), k.scalar(span))

@@ -164,6 +164,28 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
 
     # ---- dependencies: non-carried env values the loop reads ----
     reads = {s.name for s in A.walk(node) if isinstance(s, A.Var)}
+
+    # ri:-tagged values make several SAFE_CALLS names dispatch to their
+    # COMPLEX overloads, which reach Mosaic-rejected transcendentals
+    # (c_sin/c_cos/c_tan -> sinh/cosh; c_sqrt/c_log/c_pow -> atan2) —
+    # an eligible body would pass interpret-mode tests and crash at
+    # Mosaic lowering on real TPU (review r3). Tags are only known here
+    # (post-trace-entry), so the check lives in launch: bail to the XLA
+    # loop when an ri value (carried, read, or created via a ri: cast in
+    # the body) can meet one of those call names.
+    _RI_UNSAFE = {"sin", "cos", "tan", "sqrt", "log", "pow", "__pow"}
+    mentions_unsafe = any(
+        (isinstance(s, A.Call) and isinstance(s.func, A.Var)
+         and s.func.name in _RI_UNSAFE)
+        or (isinstance(s, A.BinOp) and s.op == "^")
+        for s in A.walk(node))
+    if mentions_unsafe:
+        has_ri = any(
+            n in init_env and init_env[n].tag == "ri"
+            for n in reads | set(carried)) or any(
+            isinstance(s, A.Cast) and s.tag == "ri" for s in A.walk(node))
+        if has_ri:
+            return None
     dep_names = sorted(
         n for n in reads
         if n in init_env and n not in carried and not init_env[n].is_opaque)

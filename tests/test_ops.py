@@ -265,3 +265,96 @@ def test_additional_scalar_utilities():
                                np.full((H, W), 0.5), rtol=1e-5)
     np.testing.assert_allclose(run_gray("smoothstep(0, 4, 2)"),
                                np.full((H, W), 0.5), rtol=1e-6)
+
+
+# -- review r3: op semantics fixes -------------------------------------
+
+def _g1(src, **kw):
+    import mathmap_tpu as mm
+
+    f = mm.compile(src)
+    img = np.zeros((2, 2, 4), np.float32)
+    return float(np.asarray(f.render(img, interpret=True, **kw))[0, 0, 0])
+
+
+def test_complex_reciprocal():
+    """1/z dispatches complex division when the denominator is ri
+    (regression: elementwise divide gave [inf, 1] for 1/i)."""
+    assert abs(_g1("z = 1 / ri:[0, 1]; grayColor(-z[1] - 0.5)") - 0.5) < 1e-6
+    # z / scalar stays elementwise (complex scaling)
+    assert abs(_g1("z = ri:[1, 2] / 2; grayColor(z[1])") - 1.0) < 1e-6
+
+
+def test_tuple_ne_is_negation_of_eq():
+    """[1,2] != [1,3] must be TRUE (any component differs) — De Morgan of
+    the componentwise-AND eq rule (regression: AND made it false)."""
+    assert _g1("grayColor([1,2] != [1,3])") == 1.0
+    assert _g1("grayColor([1,2] == [1,3])") == 0.0
+    assert _g1("grayColor([1,2] != [1,2])") == 0.0
+
+
+def test_fmod_exact_for_large_quotients():
+    assert abs(_g1("grayColor(fmod(100000000, 3) / 2)") - 0.5) < 1e-6
+
+
+def test_lgamma_no_overflow():
+    """lgamma uses the log-form Lanczos (regression: log(gamma(x))
+    overflowed f32 for x > ~35)."""
+    import math
+
+    got = _g1("grayColor(lgamma(40) / 256)") * 256
+    assert abs(got - math.lgamma(40)) < 1e-3, got
+
+
+def test_pow_builtin_complex_overload():
+    """pow(z, w) must match the '^' operator's complex dispatch
+    (regression: elementwise re^re, im^im)."""
+    assert abs(_g1("z = pow(ri:[0, 1], 2); grayColor(-z[0] - 0.5)") - 0.5) < 1e-6
+
+
+def test_clamp_mixed_lengths_broadcast():
+    assert abs(_g1("c = clamp(0.5, rgba:[0,0,0,0], 1); grayColor(c[3])") - 0.5) < 1e-6
+
+
+def test_transcendental_on_image_raises():
+    import mathmap_tpu as mm
+    from mathmap_tpu.utils.errors import MMTypeError
+
+    img = np.zeros((2, 2, 4), np.float32)
+    for fn in ("sin", "exp", "sqrt", "log", "atan"):
+        f = mm.compile(f"filter f (image in) grayColor(gray({fn}(in))) end")
+        with pytest.raises(MMTypeError, match="not defined on"):
+            f.render(img, interpret=True)
+
+
+def test_wk_engine_declines_complex_carry():
+    """An engine-eligible loop carrying an ri: value through ^/sin/sqrt
+    must fall back to the XLA loop (their complex overloads reach
+    Mosaic-rejected sinh/cosh/atan2 — TPU-only crash class)."""
+    import mathmap_tpu as mm
+    from mathmap_tpu.pallas_kernels import while_kernel as WK
+
+    img = np.random.RandomState(0).rand(8, 256, 4).astype(np.float32)
+    opts = mm.RenderOptions(sampler="pallas", pallas_while="on")
+    results = []
+    orig = WK.launch
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        results.append(r is not None)
+        return r
+
+    WK.launch = spy
+    try:
+        f = mm.compile(
+            "z = ri:[x * 0.01, y * 0.01]; i = 0; "
+            "while i + x * 0 < 4 do z = z ^ 2 + ri:[0.1, 0.1]; i = i + 1 end; "
+            "grayColor(clamp(z[0], 0, 1))")
+        j = f.render(img, width=256, height=8, options=opts)
+        assert results == [False], "ri carry through ^ must decline the engine"
+        o = f.render(img, width=256, height=8, interpret=True)
+        # 4 iterations of a quadratic map: fused-XLA vs eager-numpy f32
+        # rounding reaches ~2e-5
+        np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=1e-4)
+    finally:
+        WK.launch = orig
