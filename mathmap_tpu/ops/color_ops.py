@@ -16,15 +16,12 @@ from .registry import builtin, need_args, need_length
 LUMA_R, LUMA_G, LUMA_B = 0.299, 0.587, 0.114
 
 
-def _ones_like(be, x):
-    return be.ones_like(x)
-
-
 @builtin("rgbColor")
 def _rgb_color(ev, args, span):
     r, g, b = need_args(args, 3, "rgbColor", span)
     rs, gs, bs = r.scalar(span), g.scalar(span), b.scalar(span)
-    a = _ones_like(ev.be, rs + gs + bs)
+    # alpha matches the WIDEST component's shape (mixed scalar/grid args)
+    a = ev.be.ones_like(ev.be.broadcast_arrays(rs, gs, bs)[0])
     return TupleValue("rgba", (rs, gs, bs, a))
 
 
@@ -38,7 +35,7 @@ def _rgba_color(ev, args, span):
 def _gray_color(ev, args, span):
     (g,) = need_args(args, 1, "grayColor", span)
     gs = g.scalar(span)
-    return TupleValue("rgba", (gs, gs, gs, _ones_like(ev.be, gs)))
+    return TupleValue("rgba", (gs, gs, gs, ev.be.ones_like(gs)))
 
 
 @builtin("grayaColor")
@@ -90,6 +87,9 @@ def _to_hsva(ev, args, span):
         r == maxc, bc - gc, be.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc)
     )
     h = be.where(d == 0, 0.0, be.mod(h / 6.0, 1.0))
+    # mod of a tiny negative returns EXACTLY the modulus in float —
+    # wrap back into [0, 1) (review r3; same defense toRGBA has)
+    h = be.where(h >= 1.0, 0.0, h)
     return TupleValue("hsva", (h, s, v, a))
 
 
@@ -126,6 +126,9 @@ def _to_ra(ev, args, span):
     # Angle convention: [0, 2*pi), counterclockwise from +x axis
     # [unverified — SURVEY §2.1 marks the internals' polar convention LOW].
     a = be.mod(be.arctan2(y, x), 6.283185307179586)
+    # float mod of a tiny negative yields EXACTLY 2*pi — wrap into the
+    # documented [0, 2*pi) (review r3)
+    a = be.where(a >= 6.283185307179586, 0.0, a)
     return TupleValue("ra", (r, a))
 
 
@@ -155,13 +158,13 @@ def _lut_take(be, lut, x):
         v0 = be.take(lut, i0)
         v1 = be.take(lut, i1)
         return [v0 + frac * (v1 - v0)]
-    out = []
-    for ch in range(lut.shape[1]):
-        col = lut[:, ch]
-        v0 = be.take(col, i0)
-        v1 = be.take(col, i1)
-        out.append(v0 + frac * (v1 - v0))
-    return out
+    # ONE row-gather per tap (2 total) instead of 2 per channel (8 for a
+    # gradient) — gathers are the TPU bottleneck; same pattern as
+    # value.InputImage.make_gather (review r3)
+    v0 = be.take(lut, i0, axis=0)
+    v1 = be.take(lut, i1, axis=0)
+    v = v0 + frac[..., None] * (v1 - v0)
+    return [v[..., ch] for ch in range(lut.shape[1])]
 
 
 def apply_curve(ev, curve, pos: TupleValue, span) -> TupleValue:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ..runtime.value import TupleValue
 from ..utils.errors import MMRuntimeError, MMTypeError
-from .registry import builtin, need_args, need_length
+from .registry import builtin, need_args, need_length, need_tag
 
 
 def _first_input(ev, span):
@@ -48,8 +48,7 @@ def _orig_val_image(ev, args, span):
     """origValImage(image, xy) — sample an explicit image value
     [unverified name — provided for parity with multi-input sampling]."""
     img_v, p = need_args(args, 2, "origValImage", span)
-    if img_v.tag != "image":
-        raise MMTypeError("'origValImage' expects an image as first argument", span)
+    need_tag(img_v, "image", "origValImage", span)
     need_length(p, 2, "origValImage", span)
     x, y = ev.grid(p.arrays[0]), ev.grid(p.arrays[1])
     return TupleValue("rgba", tuple(img_v.payload.sample(ev, x, y)))

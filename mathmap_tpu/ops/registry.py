@@ -136,6 +136,4 @@ def need_length(v: TupleValue, n: int, name: str, span) -> TupleValue:
     return v
 
 
-def scalar1(ev, x) -> TupleValue:
-    """Wrap one backend array as a nil:1 tuple."""
-    return TupleValue(NIL, (x,))
+

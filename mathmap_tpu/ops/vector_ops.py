@@ -75,6 +75,12 @@ def _length(ev, args, span):
 
 def matrix_mul(ev, a: TupleValue, b: TupleValue, span) -> TupleValue:
     """Dispatch m2x2/m3x3 multiplication: mat*mat, mat*vec, scalar*mat."""
+    if a.is_opaque or b.is_opaque:
+        # an opaque value reports length 1 with EMPTY arrays — the
+        # scalar*mat branch below would crash with a raw IndexError
+        # instead of the overload-failure MMTypeError (review r3)
+        raise MMTypeError(
+            f"'*' not defined for {a.tag} and {b.tag}", span)
     if a.tag == "m2x2" and b.tag == "m2x2":
         a11, a12, a21, a22 = a.arrays
         b11, b12, b21, b22 = b.arrays
@@ -132,7 +138,11 @@ def _det(ev, args, span):
 @builtin("solve")
 def _solve(ev, args, span):
     """solve(M, v): solve the linear system M x = v (Cramer's rule —
-    branch-free, fuses as elementwise FMAs; the reference used GSL LU)."""
+    branch-free, fuses as elementwise FMAs; the reference used GSL LU).
+    Singular matrices (det == 0) yield Inf/NaN components per IEEE
+    division — identically on both backends (the reference's GSL LU
+    errored out of the whole render; a per-pixel analog does not exist,
+    so the divergence is deliberate and documented)."""
     m, v = need_args(args, 2, "solve", span)
     if m.tag == "m2x2":
         need_length(v, 2, "solve", span)

@@ -420,6 +420,13 @@ class Evaluator:
     def _eval_Cast(self, node: A.Cast) -> TupleValue:
         v = self.eval(node.expr)
         want = tagmod.tag_length(node.tag)
+        if v.is_opaque and node.tag != v.tag:
+            # retagging an image/curve/gradient to a numeric tag would
+            # produce a fixed-arity tuple with EMPTY arrays — downstream
+            # ops (det, solve, quat mul) then crash with raw unpack
+            # errors (review r3)
+            raise MMTypeError(
+                f"cannot retag {v.tag} value as {node.tag}:", node.span)
         if want is not None and not v.is_opaque and v.length != want:
             if v.length == 1:
                 # scalar widens to the tag's arity (0 -> ri:[0,0] etc.)

@@ -358,3 +358,47 @@ def test_wk_engine_declines_complex_carry():
         np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=1e-4)
     finally:
         WK.launch = orig
+
+
+def test_opaque_retag_and_matrix_opaque_raise():
+    """Retagging an image to a numeric tag, and m2x2 * image, raise
+    MMTypeError instead of raw unpack errors (review r3)."""
+    import mathmap_tpu as mm
+    from mathmap_tpu.utils.errors import MMTypeError
+
+    img = np.zeros((2, 2, 4), np.float32)
+    for src in ("filter f (image in) grayColor(det(m2x2:in)) end",
+                "filter f (image in) grayColor(gray(m2x2:[1,0,0,1] * in)) end"):
+        f = mm.compile(src)
+        with pytest.raises(MMTypeError):
+            f.render(img, interpret=True)
+
+
+def test_tora_angle_strictly_below_two_pi():
+    """toRA's angle stays in [0, 2*pi) even when atan2 returns a tiny
+    negative (mod rounds to exactly 2*pi — review r3)."""
+    from mathmap_tpu.ops.color_ops import _to_ra  # registered builtin
+    from mathmap_tpu.ops.registry import lookup
+    from mathmap_tpu.runtime.value import TupleValue
+
+    class _Ev:
+        be = np
+
+    v = TupleValue("xy", (np.float32(1.0), np.float32(-1e-30)))
+    out = lookup("toRA")(_Ev(), [v], None)
+    a = float(out.arrays[1])
+    assert 0.0 <= a < 6.283185307179586, a
+
+
+def test_gradient_lut_row_gather_parity():
+    """The row-gather _lut_take matches per-channel takes (and the jit
+    path) on a gradient application."""
+    import mathmap_tpu as mm
+
+    lut = np.stack([np.linspace(0, 1, 64)] * 4, axis=1).astype(np.float32)
+    lut[:, 1] = lut[::-1, 1]
+    f = mm.compile("filter f (gradient g) g(x / W + 0.5) end")
+    img = np.zeros((8, 16, 4), np.float32)
+    o = f.render(img, interpret=True, params={"g": lut})
+    j = f.render(img, params={"g": lut})
+    np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=5e-3)
