@@ -194,7 +194,7 @@ class Filter:
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
                        width: int | None = None, height: int | None = None,
                        options: RenderOptions | None = None, ts=None,
-                       params: dict | None = None):
+                       t: float = 0.0, params: dict | None = None):
         """Render across a device mesh: frames shard over 'f' (DP), grid
         rows/cols over 'y'/'x' (parallel/shard.py — the multi-chip analog of
         the reference's slice threads). `mesh=None` builds a rows-only mesh
@@ -209,8 +209,12 @@ class Filter:
         width, height = self._resolve_size(ins, width, height)
         if mesh is None:
             mesh = make_mesh()
+        def _hashable(v):
+            return tuple(v) if isinstance(v, (list, tuple)) else v
+
         key = ("sharded", width, height, options, num_frames, id(mesh),
-               tuple(sorted((params or {}).items())) if params else ())
+               tuple(sorted((k, _hashable(v))
+                            for k, v in (params or {}).items())))
         if key not in self._jit_cache:
             self._jit_cache[key] = ShardedRenderer(
                 mesh, self.filters, self.fdef, width, height, options,
@@ -218,7 +222,7 @@ class Filter:
             )
         renderer = self._jit_cache[key]
         if num_frames == 1:
-            return np.asarray(renderer(ins))
+            return np.asarray(renderer(ins, t=t))
         if ts is None:
             denom = num_frames if options.periodic else max(num_frames - 1, 1)
             ts = np.arange(num_frames, dtype=np.float32) / denom
@@ -262,7 +266,10 @@ class Filter:
         params = params or {}
         ins = [self._conv_input(a) for a in inputs]
         width, height = self._resolve_size(ins, width, height)
-        renderer = self._renderer(width, height, options, num_frames)
+        # the per-frame program is identical for every sweep length (the
+        # trace reads nothing from num_frames) — share ONE compiled
+        # renderer across render() and all render_frames sweeps
+        renderer = self._renderer(width, height, options, 1)
         # upload inputs once; every frame reuses the device-resident copies
         import jax
 

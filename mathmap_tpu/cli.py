@@ -106,6 +106,40 @@ def _parse_params(items):
     return params
 
 
+def _sweep_ts(args):
+    import numpy as np
+
+    denom = (args.frames if not args.non_periodic
+             else max(args.frames - 1, 1))
+    return np.arange(args.frames, dtype=np.float32) / denom
+
+
+def _render_sweep(args, filt, inputs, width, height, opts, params):
+    """All animation frames as one (F, H, W, 4) array, honoring the flags
+    the one-program path cannot: --interpret/--fallback render each frame
+    through the oracle/fallback, --sharded runs the frame sweep on the
+    device mesh (review r3: these flags were silently ignored for
+    multi-frame runs)."""
+    import numpy as np
+
+    if args.interpret or args.fallback:
+        ts = _sweep_ts(args)
+        return np.stack([
+            np.asarray(filt.render(
+                *inputs, width=width, height=height, t=float(t),
+                frame=float(i), options=opts, params=params,
+                interpret=args.interpret,
+                on_error="interpret" if args.fallback else "raise"))
+            for i, t in enumerate(ts)])
+    if args.sharded:
+        return np.asarray(filt.render_sharded(
+            *inputs, num_frames=args.frames, width=width, height=height,
+            options=opts, params=params))
+    return np.asarray(filt.render_animation(
+        *inputs, num_frames=args.frames, width=width, height=height,
+        options=opts, params=params))
+
+
 def _frame_path(path: str, frame: int, num_frames: int) -> str:
     if num_frames == 1:
         return path
@@ -142,6 +176,24 @@ def _run_batch_dir(args, filt, out_dir, width, height, opts, params, log):
     for (h, w), group in groups.items():
         ow, oh = width or w, height or h
         log(f"batch group {w}x{h}: {len(group)} image(s) -> {ow}x{oh}")
+        if args.resume:
+            # skip-before-render: a resumed job must not re-render done
+            # images just to skip their writes (review r3)
+            group = [n for n in group if not os.path.exists(
+                os.path.join(out_dir, os.path.splitext(n)[0] + ".png"))]
+        if args.interpret or args.fallback:
+            # the batched device path cannot run the oracle — honor the
+            # flags with per-image renders (review r3: silently ignored)
+            for n in group:
+                img_n = read_image(os.path.join(args.input_dir, n))
+                out = filt.render(
+                    img_n, width=ow, height=oh, t=args.t, options=opts,
+                    params=params, interpret=args.interpret,
+                    on_error="interpret" if args.fallback else "raise")
+                write_image(os.path.join(
+                    out_dir, os.path.splitext(n)[0] + ".png"), out)
+                done += 1
+            continue
         for start in range(0, len(group), max(1, args.batch_size)):
             chunk = group[start:start + max(1, args.batch_size)]
             stack = np.stack([
@@ -274,9 +326,11 @@ def main(argv=None) -> int:
         if args.input_dir is not None:
             frames_done = _run_batch_dir(args, filt, out_path, width, height,
                                          opts, params, log)
-        elif args.frames <= 1 and args.sharded:
+        elif args.frames <= 1 and args.sharded and not (args.interpret
+                                                        or args.fallback):
             out = filt.render_sharded(
-                *inputs, width=width, height=height, options=opts, params=params,
+                *inputs, width=width, height=height, t=args.t,
+                options=opts, params=params,
             )
             write_image(out_path, out)
             frames_done = 1
@@ -291,23 +345,39 @@ def main(argv=None) -> int:
         elif out_path.lower().endswith(".gif"):
             from .imgio.images import write_animation
 
-            frames = filt.render_animation(
-                *inputs, num_frames=args.frames, width=width, height=height,
-                options=opts, params=params,
-            )
+            frames = _render_sweep(args, filt, inputs, width, height, opts,
+                                   params)
             write_animation(out_path, frames, fps=args.fps)
             frames_done = args.frames
         elif args.batch:
-            frames = filt.render_animation(
-                *inputs, num_frames=args.frames, width=width, height=height,
-                options=opts, params=params,
-            )
+            frames = _render_sweep(args, filt, inputs, width, height, opts,
+                                   params)
             frames_done = 0
             for i in range(args.frames):
                 path = _frame_path(out_path, i, args.frames)
                 if args.resume and os.path.exists(path):
                     continue
                 write_image(path, frames[i])
+                frames_done += 1
+        elif args.interpret or args.fallback or args.sharded:
+            # per-frame loop honoring the oracle/fallback/mesh flags, with
+            # frame-granular resume BEFORE each render
+            frames_done = 0
+            for i, t in enumerate(_sweep_ts(args)):
+                path = _frame_path(out_path, i, args.frames)
+                if args.resume and os.path.exists(path):
+                    continue
+                if args.sharded:
+                    frame = filt.render_sharded(
+                        *inputs, width=width, height=height, t=float(t),
+                        options=opts, params=params)
+                else:
+                    frame = filt.render(
+                        *inputs, width=width, height=height, t=float(t),
+                        frame=float(i), options=opts, params=params,
+                        interpret=args.interpret,
+                        on_error="interpret" if args.fallback else "raise")
+                write_image(path, frame)
                 frames_done += 1
         else:
             frames_done = 0

@@ -32,7 +32,11 @@ def gaussian_blur_pixels(be, pixels, stddev: float):
     """Separable gaussian blur of an (H, W, 4) image; edges use zero padding
     on premultiplied data? No — the reference blurs raw channels with
     renormalized kernels at the border [unverified]; we use SAME zero-pad
-    with kernel renormalization via a ones-image divisor."""
+    with kernel renormalization via a ones-image divisor. Animated
+    (T, H, W, 4) stacks blur frame-by-frame."""
+    if getattr(pixels, "ndim", 3) == 4:
+        return be.stack([gaussian_blur_pixels(be, pixels[i], stddev)
+                         for i in range(pixels.shape[0])])
     stddev = max(float(stddev), 1e-3)
     radius = max(1, int(math.ceil(3.0 * stddev)))
     k = _gauss_kernel(stddev, radius)
@@ -89,6 +93,18 @@ def native_gaussian_blur(ev, img_value, stddev_value, span):
     if img_value.tag != "image":
         raise MMTypeError("'gaussian_blur' expects an image argument", span)
     base = img_value.payload
+    from .value import TiledInput
+
+    if type(base) is TiledInput:
+        # blurring a halo-extended LOCAL block and rewrapping it as a
+        # plain image would drop row_base/global shape — every device
+        # except row 0 would sample shifted data (review r3). No sound
+        # per-tile blur exists without radius-aware halo sizing.
+        from ..utils.errors import MMRuntimeError
+
+        raise MMRuntimeError(
+            "'gaussian_blur' is not supported under tiled/halo rendering "
+            "— render unsharded or shard by frames", span)
     if not isinstance(base, InputImage):
         # Closure images must be rasterized first: evaluate over the full
         # output grid once, then blur the raster (source-level semantics
@@ -99,20 +115,34 @@ def native_gaussian_blur(ev, img_value, stddev_value, span):
         comps = base.sample(ev, x, y)
         pixels = ev.be.stack([ev.grid(c) for c in comps], axis=-1)
         base = InputImage(pixels=pixels, name="rasterized")
-    # stddev must be a trace-time constant for kernel-size selection (a
-    # literal or a concrete value); fully traced values (e.g. a userval on
-    # the jit path) fall back to a conservative fixed radius.
+    # stddev must be a trace-time constant: the kernel SIZE (radius) is a
+    # static shape. Literals, unpassed-userval defaults, and
+    # static_params-baked values all fold (tracer const mirror); a fully
+    # traced value must raise — the old silent 3.0 fallback blurred with
+    # the WRONG sigma on the jit path while the oracle used the real one
+    # (review r3: breaks the oracle-is-the-spec invariant).
     stddev_f = stddev_value.static_scalar()
     if stddev_f is None:
-        stddev_f = 3.0
+        from ..utils.errors import MMRuntimeError
+
+        raise MMRuntimeError(
+            "'gaussian_blur' needs a trace-time-constant stddev (a "
+            "literal, a param default, or a param listed in "
+            "static_params/--static-params) — the kernel radius is a "
+            "static shape", span)
     key = (id(base.pixels), round(stddev_f, 6))
     cache = getattr(ev.ctx, "_native_cache", None)
     if cache is None:
         cache = {}
         ev.ctx._native_cache = cache
-    if key not in cache:
-        cache[key] = InputImage(
+    ent = cache.get(key)
+    # pin the source array in the entry: id() alone can be REUSED after
+    # the array is freed, returning another image's blur (review r3; same
+    # pattern as JitRenderer._prepad_cache)
+    if ent is None or ent[0] is not base.pixels:
+        ent = (base.pixels, InputImage(
             pixels=gaussian_blur_pixels(ev.be, base.pixels, stddev_f),
             name=f"blur({base.name})",
-        )
-    return image_value(cache[key])
+        ))
+        cache[key] = ent
+    return image_value(ent[1])

@@ -183,7 +183,16 @@ class TiledInput(InputImage):
         gw = self.global_width or int(self.pixels.shape[1])
         return self.global_height, gw
 
-    def make_gather(self, be):
+    def make_gather(self, be, frame=None):
+        # same signature as the InputImage API it overrides (sampling.py
+        # passes frame= whenever one is given); tiled inputs are single-
+        # frame local blocks, so an explicit frame cannot be honored
+        if frame is not None:
+            from ..utils.errors import MMRuntimeError
+
+            raise MMRuntimeError(
+                "animated inputs are not supported under tiled/halo "
+                "rendering", None)
         ext_h, ext_w = int(self.pixels.shape[0]), int(self.pixels.shape[1])
         gh, gw = self.global_shape
         flat = self.pixels.reshape(ext_h * ext_w, 4)
