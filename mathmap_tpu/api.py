@@ -194,7 +194,8 @@ class Filter:
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
                        width: int | None = None, height: int | None = None,
                        options: RenderOptions | None = None, ts=None,
-                       t: float = 0.0, params: dict | None = None):
+                       t: float = 0.0, frame: float = 0.0,
+                       params: dict | None = None):
         """Render across a device mesh: frames shard over 'f' (DP), grid
         rows/cols over 'y'/'x' (parallel/shard.py — the multi-chip analog of
         the reference's slice threads). `mesh=None` builds a rows-only mesh
@@ -222,7 +223,7 @@ class Filter:
             )
         renderer = self._jit_cache[key]
         if num_frames == 1:
-            return np.asarray(renderer(ins, t=t))
+            return np.asarray(renderer(ins, t=t, frame=frame))
         if ts is None:
             denom = num_frames if options.periodic else max(num_frames - 1, 1)
             ts = np.arange(num_frames, dtype=np.float32) / denom

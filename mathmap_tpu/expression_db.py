@@ -70,7 +70,12 @@ class ExpressionDB:
             self.categories.setdefault(category, []).append(fdef.name)
 
     @classmethod
-    def scan(cls, root: str) -> "ExpressionDB":
+    def scan(cls, root: str, base: "ExpressionDB | None" = None) -> "ExpressionDB":
+        """Scan a directory tree. `base` supplies EXTRA entries visible to
+        composer (.mmc) name resolution — user-dir scans pass the bundled
+        library here so a user composition can reference bundled filters
+        (it used to resolve against the user dir alone and silently drop
+        such compositions into db.errors)."""
         db = cls(root=root)
         mmc_files = []
         # pass 1: .mm sources populate the name->filter environment
@@ -86,18 +91,37 @@ class ExpressionDB:
                     with open(path) as f:
                         db._add_source(path, category, f.read())
         # pass 2: composer graphs compile against the scanned library
-        # (nodes reference .mm filters by name — SURVEY §3.4)
-        for path, category in mmc_files:
-            try:
-                from .designer.graph import load_mmc
+        # (nodes reference .mm filters by name — SURVEY §3.4). A RETRY
+        # loop makes .mmc -> .mmc references order-independent (a
+        # composition referencing a later-scanned one used to fail by
+        # lexicographic accident); only the final pass records errors.
 
-                graph = load_mmc(path, db=db)
-                name = os.path.splitext(os.path.basename(path))[0]
-                source = graph.to_source(name=name)
-            except Exception as exc:
-                db.errors.append((path, str(exc)))
-                continue
-            db._add_source(path, category, source, only_main=True)
+        class _View:  # entries = db's + base's (db shadows base)
+            @property
+            def entries(self):
+                merged = dict(base.entries) if base is not None else {}
+                merged.update(db.entries)
+                return merged
+
+        view = _View()
+        pending = list(mmc_files)
+        while pending:
+            failed = []
+            for path, category in pending:
+                try:
+                    from .designer.graph import load_mmc
+
+                    graph = load_mmc(path, db=view)
+                    name = os.path.splitext(os.path.basename(path))[0]
+                    source = graph.to_source(name=name)
+                except Exception as exc:
+                    failed.append((path, category, exc))
+                    continue
+                db._add_source(path, category, source, only_main=True)
+            if len(failed) == len(pending):  # no progress: record and stop
+                db.errors.extend((p, str(e)) for p, _c, e in failed)
+                break
+            pending = [(p, c) for p, c, _e in failed]
         return db
 
     def names(self):
@@ -143,10 +167,19 @@ def default_db() -> ExpressionDB:
     extra += [p for p in os.environ.get("MMTPU_FILTER_PATH", "").split(os.pathsep) if p]
     for path in extra:
         if os.path.isdir(path):
-            user = ExpressionDB.scan(path)
+            # bundled entries stay visible to user .mmc name resolution
+            user = ExpressionDB.scan(path, base=db)
             for name, entry in user.entries.items():
-                db.entries[name] = entry  # user filters shadow bundled ones
+                if name in db.entries:  # shadowed: drop the old tree row
+                    old_cat = db.entries[name].category
+                    if name in db.categories.get(old_cat, []):
+                        db.categories[old_cat].remove(name)
                 cat = "User/" + entry.category if entry.category else "User"
-                db.categories.setdefault(cat, []).append(name)
+                from dataclasses import replace as _dc_replace
+
+                # entry.category must match the tree row it appears under
+                db.entries[name] = _dc_replace(entry, category=cat)
+                if name not in db.categories.setdefault(cat, []):
+                    db.categories[cat].append(name)
             db.errors.extend(user.errors)
     return db

@@ -57,8 +57,34 @@ def read_image(path: str) -> np.ndarray:
         data = native.read_image_native(path)
         if data is not None:
             return to_float_rgba(data)
+        if path.lower().endswith(".pam"):
+            # Pillow has no PAM codec — pure-Python reader mirrors the
+            # pure-Python writer fallback in write_image
+            return to_float_rgba(_read_pam_py(path))
     img = _pil().open(path).convert("RGBA")
     return to_float_rgba(np.asarray(img))
+
+
+def _read_pam_py(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"P7":
+            raise ValueError(f"not a PAM file: {path}")
+        hdr = {}
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"truncated PAM header: {path}")
+            tok = line.split()
+            if not tok or tok[0] == b"#":
+                continue
+            if tok[0] == b"ENDHDR":
+                break
+            hdr[tok[0]] = tok[1] if len(tok) > 1 else b""
+        w, h = int(hdr[b"WIDTH"]), int(hdr[b"HEIGHT"])
+        depth = int(hdr.get(b"DEPTH", b"4"))
+        raw = np.frombuffer(f.read(w * h * depth), np.uint8)
+    arr = raw.reshape(h, w, depth)
+    return arr
 
 
 def read_animation(file) -> np.ndarray:
@@ -92,6 +118,12 @@ def write_animation(path: str, frames, fps: float = 25.0) -> None:
     frames = np.asarray(frames)
     if not path.lower().endswith(".gif"):
         raise ValueError("write_animation writes .gif files")
+    if frames.ndim != 4 or frames.shape[0] == 0:
+        raise ValueError(
+            f"write_animation needs a non-empty (F,H,W,4) sequence, got "
+            f"shape {frames.shape}")
+    if fps <= 0:
+        raise ValueError(f"fps must be > 0, got {fps}")
     pil = _pil()
     imgs = [pil.fromarray(to_uint8(f), "RGBA").convert("P") for f in frames]
     imgs[0].save(
@@ -110,6 +142,16 @@ def write_image(path: str, arr) -> None:
 
         ok = native.write_pam(path, data) if lower.endswith(".pam") else native.write_ppm(path, data)
         if ok:
+            return
+        if lower.endswith(".pam"):
+            # no C toolchain: pure-Python PAM writer (Pillow has no .pam
+            # encoder, so falling through crashed — review r3); the format
+            # is a trivial header + raw RGBA bytes
+            h, w = data.shape[:2]
+            with open(path, "wb") as f:
+                f.write(b"P7\nWIDTH %d\nHEIGHT %d\nDEPTH 4\nMAXVAL 255\n"
+                        b"TUPLTYPE RGB_ALPHA\nENDHDR\n" % (w, h))
+                f.write(np.ascontiguousarray(data).tobytes())
             return
     img = _pil().fromarray(data, mode="RGBA")
     if lower.endswith((".jpg", ".jpeg")):

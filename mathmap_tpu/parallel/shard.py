@@ -5,7 +5,12 @@ sharded-parallel — each device builds its OWN tile's coordinate grids from
 its mesh position and evaluates the same fused program; zero collectives.
 Sampling filters replicate the (small vs HBM) input images per device, so
 arbitrary-displacement origVal gathers stay local; the halo-exchange tiled
-path for HBM-exceeding canvases lives in parallel/halo.py. Animation frames
+path for HBM-exceeding canvases lives in parallel/halo.py. Known headroom:
+the renderer prepad cache (JitRenderer._prepads, ~3 ms/4K input) is NOT
+threaded through shard_map yet — repeated SINGLE-frame sharded calls of
+sampling filters repay the pad build in-trace (the multi-frame lax.map
+hoists it); thread prepads as replicated shard_map inputs if that path
+becomes hot. Animation frames
 shard over the "f" axis (pure DP). Output is materialized sharded
 (P(f, y, x)) and only assembled on host transfer.
 """
@@ -117,10 +122,10 @@ class ShardedRenderer:
             return _rebuild_uservals(jnp, uv_arrays, uv_kinds)
 
         if num_frames == 1:
-            def run(input_arrays, t):
+            def run(input_arrays, t, frame):
                 return render_frame_sharded(
                     mesh, program_filters, fdef, width, height, opts,
-                    input_arrays, make_uservals(), t=t, frame=0.0,
+                    input_arrays, make_uservals(), t=t, frame=frame,
                 )
             self._jitted = jax.jit(run)
         else:
@@ -167,7 +172,7 @@ class ShardedRenderer:
             self._jitted = jax.jit(run)
         self.num_frames = num_frames
 
-    def __call__(self, input_arrays, t=0.0, ts=None):
+    def __call__(self, input_arrays, t=0.0, ts=None, frame=0.0):
         jnp = self.jnp
         ins = [
             a if isinstance(a, jnp.ndarray)
@@ -175,5 +180,5 @@ class ShardedRenderer:
             for a in input_arrays
         ]
         if self.num_frames == 1:
-            return self._jitted(ins, jnp.float32(t))
+            return self._jitted(ins, jnp.float32(t), jnp.float32(frame))
         return self._jitted(ins, jnp.asarray(ts, dtype=jnp.float32))

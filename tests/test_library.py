@@ -263,3 +263,53 @@ def test_pipeline_chain_builder():
     np.testing.assert_allclose(out, direct, atol=2e-2)  # resample chain vs composed
     with pytest.raises(MMNameError):
         from_pipeline("does_not_exist | twirl", db)
+
+
+def test_user_mmc_references_bundled_filters(tmp_path, monkeypatch):
+    """A user-directory .mmc composition may reference BUNDLED filters
+    (review r3: user .mmc resolved against the user dir alone and was
+    silently dropped into db.errors)."""
+    userdir = tmp_path / "exprs"
+    userdir.mkdir()
+    (userdir / "usercomp.mmc").write_text(
+        '(composer (node "n1" "glass_tiles" (param "in" (input 0)) '
+        '(param "size" 16)) (output "n1"))\n')
+    monkeypatch.setenv("MMTPU_FILTER_PATH", str(userdir))
+    db = default_db()
+    assert not db.errors, db.errors
+    assert "usercomp" in db.entries
+    f = db.compile("usercomp")
+    out = f.render(_image(), interpret=True)
+    assert np.isfinite(out).all()
+
+
+def test_mmc_to_mmc_reference_order_independent(tmp_path, monkeypatch):
+    """a.mmc may reference z.mmc (review r3: resolution was scan-order
+    dependent; earlier-alphabet names referencing later ones failed)."""
+    userdir = tmp_path / "exprs"
+    userdir.mkdir()
+    (userdir / "a_outer.mmc").write_text(
+        '(composer (node "n1" "z_inner" (param "in" (input 0))) '
+        '(output "n1"))\n')
+    (userdir / "z_inner.mmc").write_text(
+        '(composer (node "n1" "grayscale" (param "in" (input 0))) '
+        '(output "n1"))\n')
+    monkeypatch.setenv("MMTPU_FILTER_PATH", str(userdir))
+    db = default_db()
+    assert not db.errors, db.errors
+    assert "a_outer" in db.entries and "z_inner" in db.entries
+
+
+def test_user_shadowing_keeps_tree_consistent(tmp_path, monkeypatch):
+    """Shadowing a bundled filter moves its tree row to User/ (review r3:
+    it was listed twice with an inconsistent category)."""
+    userdir = tmp_path / "exprs"
+    userdir.mkdir()
+    (userdir / "grayscale.mm").write_text(
+        "# user grayscale\nfilter grayscale (image in) in(xy) end\n")
+    monkeypatch.setenv("MMTPU_FILTER_PATH", str(userdir))
+    db = default_db()
+    entry = db.entries["grayscale"]
+    assert entry.category.startswith("User")
+    rows = [c for c, names in db.categories.items() if "grayscale" in names]
+    assert rows == [entry.category], rows

@@ -294,3 +294,17 @@ def test_render_sharded_static_unroll_loop():
     got = f.render_sharded(img, mesh=make_mesh(1, 8, 1), width=W, height=H)
     want = f.render(img, width=W, height=H)
     np.testing.assert_array_equal(got, want)
+
+
+def test_render_sharded_frame_param():
+    """render_sharded forwards frame (review r3: it was hardcoded 0.0, so
+    a sharded render of frame k of an animated input sampled frame 0)."""
+    img0 = np.full((16, 16, 4), 0.25, np.float32)
+    img1 = np.full((16, 16, 4), 0.75, np.float32)
+    stack = np.stack([img0, img1])
+    f = mm.compile("origVal(xy)")
+    opts = mm.RenderOptions(interpolation="nearest")
+    out = f.render_sharded(stack, frame=1.0, options=opts)
+    np.testing.assert_allclose(np.asarray(out)[..., 0], 0.75, atol=1e-6)
+    ref = f.render(stack, frame=1.0, options=opts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
