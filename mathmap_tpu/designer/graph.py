@@ -93,6 +93,9 @@ class DesignerGraph:
 
         if self.output is None:
             raise MMRuntimeError("composer graph has no output node")
+        if self.output not in self.nodes:
+            raise MMNameError(
+                f"composer output references unknown node {self.output!r}")
         visit(self.output)
         return order
 
@@ -207,10 +210,24 @@ def from_mmc(text: str, db=None) -> DesignerGraph:
                 elif isinstance(val, list) and val and val[0] == Symbol("input"):
                     params[key] = InputRef(int(val[1]))
                 else:
-                    params[key] = float(val)
+                    try:
+                        params[key] = float(val)
+                    except (TypeError, ValueError):
+                        raise MMRuntimeError(
+                            f"composer param {key!r} of node {nid!r}: "
+                            f"expected a number, (ref ...) or (input ...), "
+                            f"got {val!r}") from None
             graph.nodes[nid] = Node(nid, fname, params)
         elif head == Symbol("output"):
-            graph.output = str(form[1])
+            graph.output = str(form[1]) or None
+    # restore the id counter PAST the loaded ids so add() after a load
+    # doesn't collide (review r3: load_mmc + add() raised duplicate-id)
+    import re as _re
+
+    for nid in graph.nodes:
+        m = _re.fullmatch(r"n(\d+)", nid)
+        if m:
+            graph._counter = max(graph._counter, int(m.group(1)))
     return graph
 
 
@@ -243,5 +260,13 @@ def from_pipeline(spec: str, db) -> DesignerGraph:
         img_params = [p.name for p in entry.fdef.params if p.kind == "image"] if entry else ["in"]
         if img_params:
             kwargs[img_params[0]] = prev if prev is not None else InputRef(0)
+        elif prev is not None:
+            # a generative stage mid-pipeline has nowhere to consume the
+            # previous stage — silently dropping everything upstream
+            # rendered the wrong image (review r3)
+            raise MMRuntimeError(
+                f"pipeline stage {name!r} takes no image input, so the "
+                f"previous stages' output would be discarded — a "
+                f"generative filter can only start a chain")
         prev = Ref(graph.add(name, **kwargs))
     return graph

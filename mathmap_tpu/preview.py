@@ -71,13 +71,16 @@ select, button { background: #2a2a33; color: #ddd; border: 1px solid #555; }
 </div>
 <script>
 let paramState = {};
+let renderSeq = 0;
 async function render() {
   const src = document.getElementById('src').value;
   const t = parseFloat(document.getElementById('t').value);
   const body = JSON.stringify({source: src, t: t, params: paramState});
   const t0 = performance.now();
+  const seq = ++renderSeq;
   const res = await fetch('/render', {method: 'POST', body: body});
   const data = await res.json();
+  if (seq !== renderSeq) return;  // a newer render superseded this one
   const err = document.getElementById('error');
   if (data.error) { err.textContent = data.error; return; }
   err.textContent = '';
@@ -86,8 +89,14 @@ async function render() {
     data.width + 'x' + data.height + '  ' + (performance.now()-t0).toFixed(0) + ' ms round-trip';
   renderParams(data.params);
 }
+let paramSig = '';
 function renderParams(params) {
   const div = document.getElementById('params');
+  // rebuild only when the param SET changes: wiping the DOM mid-slider-
+  // drag destroys the input under the pointer and kills the drag
+  const sig = params.map(p => p.name + ':' + p.kind).join(',');
+  if (sig === paramSig && div.childElementCount) return;
+  paramSig = sig;
   div.innerHTML = '';
   for (const p of params) {
     if (p.kind === 'float' || p.kind === 'int') {
@@ -98,7 +107,7 @@ function renderParams(params) {
          oninput="paramState['${p.name}']=parseFloat(this.value); render()">
          <span>${v}</span></label>`);
     } else if (p.kind === 'color') {
-      const v = paramState[p.name] !== undefined ? paramState[p.name] : [0,0,0,1];
+      const v = paramState[p.name] !== undefined ? paramState[p.name] : (Array.isArray(p.value) ? p.value : [0,0,0,1]);
       const hex = '#' + v.slice(0,3).map(c => Math.round(c*255).toString(16).padStart(2,'0')).join('');
       div.insertAdjacentHTML('beforeend',
         `<label>${p.name}: <input type="color" value="${hex}"
@@ -212,12 +221,14 @@ function initCurveEditor(name) {
     if (i === pts.length - 1) pts[i][0] = 1;
     drawCurve(name);
   };
-  cv.onmouseup = () => {
+  const endDrag = () => {
     if (!curveDrag) return;
     paramState[name] = curveLUT(curvePoints[name]);
     curveDrag = null;
     render();
   };
+  cv.onmouseup = endDrag;
+  window.addEventListener('mouseup', endDrag);
   cv.ondblclick = e => {
     const pts = curvePoints[name];
     const i = hit(pos(e));
@@ -637,6 +648,11 @@ class PreviewState:
                 {k: v for k, v in self.db.library_defs().items()
                  if k not in filt.filters}
             )
+            if len(self._filter_cache) >= 8:
+                # every entry pins compiled device programs (1-3 min each
+                # on the TPU relay) — a long editing session must not leak
+                # them unboundedly (review r3); drop the oldest
+                self._filter_cache.pop(next(iter(self._filter_cache)))
             self._filter_cache[source] = filt
         return filt
 
@@ -663,7 +679,11 @@ class PreviewState:
         """One-program t-sweep (render_animation) -> list of (H,W,4)."""
         with self.lock:
             filt = self._compile(source)
-            inputs = [self.input_image] if filt.image_params else []
+            # the preview has ONE uploaded drawable; a multi-input filter
+            # (blend, masks, composed graphs with (input 1)) binds it to
+            # every image param — like applying a two-input GIMP filter to
+            # one layer (review r3: extra image params failed to bind)
+            inputs = [self.input_image] * len(filt.image_params)
             w = h = self.size
             if inputs:
                 h, w = inputs[0].shape[-3], inputs[0].shape[-2]
@@ -748,7 +768,11 @@ class PreviewState:
     def render(self, source: str, t: float, params: dict):
         with self.lock:
             filt = self._compile(source)
-            inputs = [self.input_image] if filt.image_params else []
+            # the preview has ONE uploaded drawable; a multi-input filter
+            # (blend, masks, composed graphs with (input 1)) binds it to
+            # every image param — like applying a two-input GIMP filter to
+            # one layer (review r3: extra image params failed to bind)
+            inputs = [self.input_image] * len(filt.image_params)
             h = self.size
             w = self.size
             if inputs:
@@ -814,9 +838,9 @@ def _make_handler(state: PreviewState):
             return base64.b64encode(buf.getvalue()).decode()
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length))
             try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
                 if self.path == "/render":
                     out, meta = state.render(
                         req["source"], float(req.get("t", 0.0)),

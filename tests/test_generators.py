@@ -34,3 +34,38 @@ def test_export_stablehlo_contains_program():
     text = export_stablehlo(f, 16, 16)
     assert "stablehlo" in text or "func.func" in text
     assert "16x16" in text.replace(" ", "") or "16, 16" in text or "tensor<16x16" in text
+
+
+def test_from_pipeline_rejects_generative_mid_chain():
+    """A generative stage mid-pipeline would silently drop everything
+    upstream (review r3) — it must raise instead."""
+    import pytest as _pytest
+
+    from mathmap_tpu.designer.graph import from_pipeline
+    from mathmap_tpu.expression_db import default_db
+    from mathmap_tpu.utils.errors import MMRuntimeError
+
+    db = default_db()
+    with _pytest.raises(MMRuntimeError, match="generative"):
+        from_pipeline("grayscale | moire | grayscale", db)
+    g = from_pipeline("moire | grayscale", db)  # gen START is fine
+    assert len(g.nodes) == 2
+
+
+def test_load_mmc_counter_and_output_validation():
+    from mathmap_tpu.designer.graph import from_mmc
+    from mathmap_tpu.expression_db import default_db
+    from mathmap_tpu.utils.errors import MMNameError, MMRuntimeError
+
+    db = default_db()
+    g = from_mmc('(composer (node "n1" "grayscale" (param "in" (input 0)))'
+                 ' (output "n1"))', db=db)
+    assert g.add("twirl") == "n2"  # counter restored past loaded ids
+    g.output = "zzz"
+    import pytest as _pytest
+
+    with _pytest.raises(MMNameError, match="unknown node"):
+        g.to_source()
+    with _pytest.raises(MMRuntimeError, match="expected a number"):
+        from_mmc('(composer (node "n1" "twirl" (param "angle" fast))'
+                 ' (output "n1"))', db=db)

@@ -186,3 +186,26 @@ def test_parse_mmc_roundtrip(server):
     # bad input surfaces an error, not a 500
     bad = _post(server + "/parse_mmc", {"mmc": "(not-composer)"})
     assert "composer" in bad.get("error", "")
+
+
+def test_render_multi_image_filter(server):
+    """A two-input filter binds the uploaded drawable to EVERY image param
+    (review r3: extra image params failed to bind in the preview)."""
+    data = _post(server + "/render", {
+        "source": "filter blend2 (image a, image b) "
+                  "lerp(0.5, a(xy), b(xy)) end", "t": 0.0, "params": {}})
+    assert "png" in data, data
+
+
+def test_bad_json_returns_error_response(server):
+    """Malformed POST bodies get an error response, not a dead socket."""
+    import urllib.error
+
+    req = urllib.request.Request(server + "/render", b"{not json",
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = r.read()
+    except urllib.error.HTTPError as e:
+        body = e.read()
+    assert "error" in json.loads(body)
