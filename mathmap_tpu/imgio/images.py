@@ -82,7 +82,11 @@ def _read_pam_py(path: str) -> np.ndarray:
             hdr[tok[0]] = tok[1] if len(tok) > 1 else b""
         w, h = int(hdr[b"WIDTH"]), int(hdr[b"HEIGHT"])
         depth = int(hdr.get(b"DEPTH", b"4"))
+        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and depth in (3, 4)):
+            raise ValueError(f"bad PAM header dims {w}x{h}x{depth}: {path}")
         raw = np.frombuffer(f.read(w * h * depth), np.uint8)
+        if raw.size != w * h * depth:
+            raise ValueError(f"truncated PAM pixel data: {path}")
     arr = raw.reshape(h, w, depth)
     return arr
 

@@ -21,7 +21,8 @@ KEYWORDS = {
     "end",
     "while",
     "do",
-    "for",
+    # NOTE: no `for` — the language has only while/do loops (if the
+    # reference grammar reserves it, revisit per SURVEY §8)
     "xor",
 }
 
@@ -43,6 +44,12 @@ class Token:
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"Token({self.kind},{self.text!r}@{self.span})"
+
+
+def _isdigit(ch: str) -> bool:
+    """ASCII decimal digit — str.isdigit admits Unicode digits ('²') that
+    float() rejects, turning a lex into a raw ValueError (review r3)."""
+    return "0" <= ch <= "9"
 
 
 def tokenize(source: str) -> list[Token]:
@@ -81,21 +88,22 @@ def tokenize(source: str) -> list[Token]:
             bump(2)
             continue
         start, start_line, start_col = i, line, col
-        if c.isdigit() or (c == "." and i + 1 < n and source[i + 1].isdigit()):
+        if _isdigit(c) or (c == "." and i + 1 < n and _isdigit(source[i + 1])):
             j = i
             seen_dot = False
             seen_exp = False
             while j < n:
                 ch = source[j]
-                if ch.isdigit():
+                if _isdigit(ch):
                     j += 1
                 elif ch == "." and not seen_dot and not seen_exp:
                     # Not a float dot if part of a `..` (not in grammar, but be safe).
                     seen_dot = True
                     j += 1
                 elif ch in "eE" and not seen_exp and j + 1 < n and (
-                    source[j + 1].isdigit()
-                    or (source[j + 1] in "+-" and j + 2 < n and source[j + 2].isdigit())
+                    _isdigit(source[j + 1])
+                    or (source[j + 1] in "+-" and j + 2 < n
+                        and _isdigit(source[j + 2]))
                 ):
                     seen_exp = True
                     j += 2 if source[j + 1] in "+-" else 1
@@ -122,10 +130,10 @@ def tokenize(source: str) -> list[Token]:
                 raise MMSyntaxError(
                     "unterminated string", Span(start_line, start_col, start, n), source
                 )
-            text = source[i + 1 : j]
-            bump(j + 1 - i)
-            toks.append(Token("string", text, text, Span(start_line, start_col, start, j + 1)))
-            continue
+            raise MMSyntaxError(
+                "string literals are not supported by the MathMap "
+                "expression language",
+                Span(start_line, start_col, start, j + 1), source)
         for op in OPERATORS:
             if source.startswith(op, i):
                 bump(len(op))

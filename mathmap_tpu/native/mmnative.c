@@ -17,15 +17,13 @@
 
 #define EXPORT __attribute__((visibility("default")))
 
-/* uint8 RGBA -> float32 RGBA in [0,1]; n = number of values (H*W*4). */
+/* uint8 RGBA -> float32 RGBA in [0,1]; n = number of values (H*W*4).
+ * A plain multiply — the old lazily-initialized LUT was an unsynchronized
+ * data race under the threaded servers (ctypes releases the GIL), and a
+ * multiply is as fast as an L1 table hit anyway. */
 EXPORT void mm_u8_to_f32(const uint8_t *src, float *dst, int64_t n) {
-    static float lut[256];
-    static int lut_ready = 0;
-    if (!lut_ready) {
-        for (int i = 0; i < 256; i++) lut[i] = (float)i / 255.0f;
-        lut_ready = 1;
-    }
-    for (int64_t i = 0; i < n; i++) dst[i] = lut[src[i]];
+    const float k = 1.0f / 255.0f;
+    for (int64_t i = 0; i < n; i++) dst[i] = (float)src[i] * k;
 }
 
 /* float32 RGBA in [0,1] -> uint8 with clamp + round-to-nearest (the
@@ -44,20 +42,22 @@ EXPORT void mm_f32_to_u8(const float *src, uint8_t *dst, int64_t n) {
 EXPORT int mm_write_pam(const char *path, const uint8_t *rgba, int width, int height) {
     FILE *f = fopen(path, "wb");
     if (!f) return -1;
-    fprintf(f,
+    int hdr = fprintf(f,
             "P7\nWIDTH %d\nHEIGHT %d\nDEPTH 4\nMAXVAL 255\nTUPLTYPE RGB_ALPHA\nENDHDR\n",
             width, height);
     size_t n = (size_t)width * height * 4;
     size_t written = fwrite(rgba, 1, n, f);
-    fclose(f);
-    return written == n ? 0 : -1;
+    /* the buffered bytes only hit the disk at fclose — a full disk shows
+     * up THERE, and ignoring it reported success for truncated files */
+    int closed = fclose(f);
+    return (hdr > 0 && written == n && closed == 0) ? 0 : -1;
 }
 
 /* Write a binary PPM (P6, RGB — alpha dropped). Returns 0 on success. */
 EXPORT int mm_write_ppm(const char *path, const uint8_t *rgba, int width, int height) {
     FILE *f = fopen(path, "wb");
     if (!f) return -1;
-    fprintf(f, "P6\n%d %d\n255\n", width, height);
+    int hdr = fprintf(f, "P6\n%d %d\n255\n", width, height);
     size_t npix = (size_t)width * height;
     uint8_t *rgb = (uint8_t *)malloc(npix * 3);
     if (!rgb) {
@@ -71,8 +71,8 @@ EXPORT int mm_write_ppm(const char *path, const uint8_t *rgba, int width, int he
     }
     size_t written = fwrite(rgb, 1, npix * 3, f);
     free(rgb);
-    fclose(f);
-    return written == npix * 3 ? 0 : -1;
+    int closed = fclose(f);
+    return (hdr > 0 && written == npix * 3 && closed == 0) ? 0 : -1;
 }
 
 /* Read a binary PAM (P7 RGBA) or PPM (P6 RGB) into an RGBA buffer the
@@ -86,22 +86,29 @@ EXPORT int mm_read_header(const char *path, int *width, int *height, int *depth)
         return -1;
     }
     int ok = -1;
+    /* dims must be positive and sane — a corrupt header must fail here
+     * (falls back to Pillow) rather than crash the caller's allocation */
+    const int DIM_MAX = 1 << 20;
     if (strcmp(magic, "P6") == 0) {
         int w, h, maxv;
-        if (fscanf(f, "%d %d %d", &w, &h, &maxv) == 3) {
+        if (fscanf(f, "%d %d %d", &w, &h, &maxv) == 3
+            && w > 0 && h > 0 && w <= DIM_MAX && h <= DIM_MAX
+            && maxv == 255 /* 16-bit / low-maxval PPMs -> Pillow */) {
             *width = w; *height = h; *depth = 3;
             ok = 0;
         }
     } else if (strcmp(magic, "P7") == 0) {
         char line[256];
-        int w = 0, h = 0, d = 0;
+        int w = 0, h = 0, d = 0, maxv = 255;
         while (fgets(line, sizeof line, f)) {
             if (sscanf(line, "WIDTH %d", &w) == 1) continue;
             if (sscanf(line, "HEIGHT %d", &h) == 1) continue;
             if (sscanf(line, "DEPTH %d", &d) == 1) continue;
+            if (sscanf(line, "MAXVAL %d", &maxv) == 1) continue;
             if (strncmp(line, "ENDHDR", 6) == 0) break;
         }
-        if (w && h && d) {
+        if (w > 0 && h > 0 && w <= DIM_MAX && h <= DIM_MAX
+            && (d == 3 || d == 4) && maxv == 255) {
             *width = w; *height = h; *depth = d;
             ok = 0;
         }

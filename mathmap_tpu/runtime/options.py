@@ -113,6 +113,17 @@ class RenderOptions:
             raise ValueError(f"edge behaviors must be one of {EDGE_BEHAVIORS}")
         if self.supersample < 1:
             raise ValueError("supersample must be >= 1")
+        if self.while_unroll < 1:
+            # 0 steps/iteration would make the jit lax.while_loop a no-op
+            # body that never converges — the render would hang, not error
+            raise ValueError("while_unroll must be >= 1")
+        ec = tuple(float(c) for c in self.edge_color)
+        if len(ec) == 3:
+            ec = ec + (1.0,)  # RGB convenience: opaque alpha
+        if len(ec) != 4:
+            raise ValueError(
+                f"edge_color needs 3 or 4 components, got {len(ec)}")
+        object.__setattr__(self, "edge_color", ec)
         if self.sampler not in ("auto", "pallas", "gather"):
             raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
         for tier in self.pallas_tiers:

@@ -41,5 +41,12 @@ def tag_length(tag: str) -> int | None:
 
 
 def register_tag(name: str, length: int | None = None) -> None:
-    """Intern a new tag (the reference's tag registry allows user tags)."""
+    """Intern a new tag (the reference's tag registry allows user tags).
+    Re-registering with a CONFLICTING length raises — setdefault silently
+    kept the stale length (review r3)."""
+    existing = KNOWN_TAGS.get(name)
+    if existing is not None and length is not None and existing != length:
+        raise ValueError(
+            f"tag {name!r} already registered with length {existing}, "
+            f"cannot re-register as length {length}")
     KNOWN_TAGS.setdefault(name, length)
