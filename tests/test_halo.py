@@ -252,3 +252,64 @@ def test_bounds_soundness_review_cases():
     # samples inside origValXY's frame argument are recorded
     b = bound("origValXY(x, y, origVal(xy + xy:[0, 8])[0])")
     assert b is not None and b[0] >= 8.0, b
+
+
+class _DispGen:
+    """Random bounded displacement expressions: the inferred bound must
+    DOMINATE the empirical per-pixel displacement (soundness fuzz for
+    parallel/bounds.py — review r3 found several under-estimates)."""
+
+    def __init__(self, seed):
+        self.rng = np.random.RandomState(seed)
+
+    def scalar(self, depth=0):
+        r = self.rng.rand()
+        if depth > 2 or r < 0.3:
+            return self.rng.choice(
+                ["x / 8", "y / 8", "t * 2", "1.5", "-0.7", "0.3"])
+        if r < 0.5:
+            fn = self.rng.choice(["sin", "cos", "tanh"])
+            return f"{fn}({self.scalar(depth + 1)})"
+        if r < 0.62:
+            return (f"clamp({self.scalar(depth + 1)}, "
+                    f"{-self.rng.randint(1, 6)}, {self.rng.randint(1, 6)})")
+        if r < 0.72:
+            return (f"(if {self.scalar(depth + 1)} > 0 then "
+                    f"{self.scalar(depth + 1)} end)")
+        if r < 0.82:
+            return f"abs({self.scalar(depth + 1)})"
+        op = self.rng.choice(["+", "-", "*"])
+        return f"({self.scalar(depth + 1)} {op} {self.scalar(depth + 1)})"
+
+
+@pytest.mark.parametrize("seed", range(300, 330))
+def test_fuzz_displacement_bound_is_sound(seed):
+    from mathmap_tpu.parallel.bounds import infer_displacement_bound
+    from mathmap_tpu.runtime.render import coordinate_grids
+    from mathmap_tpu.runtime.tracer import Evaluator, RenderContext
+
+    g = _DispGen(seed)
+    dx_e, dy_e = g.scalar(), g.scalar()
+    src = f"d = xy:[{dx_e}, {dy_e}]; origVal(xy + d)"
+    f = mm.compile(src)
+    w, h = 24, 16
+    bound = infer_displacement_bound(f.filters, f.fdef, w, h, None)
+    if bound is None:
+        return  # refusing to bound is always sound
+
+    # empirical max |displacement| straight off the oracle evaluator
+    # (unclipped — a render would clamp the probe to [0,1])
+    probe = mm.compile(f"filter p () xy:[{dx_e}, {dy_e}] end")
+    max_dx = max_dy = 0.0
+    for t in (0.0, 0.33, 0.77, 1.0):
+        ctx = RenderContext(be=np, width=w, height=h,
+                            opts=mm.RenderOptions(), filters=probe.filters,
+                            is_jax=False, t=np.float32(t))
+        x, y = coordinate_grids(ctx)
+        ev = Evaluator(ctx, x, y, {})
+        v = ev.eval(probe.fdef.body)
+        max_dx = max(max_dx, float(np.abs(np.asarray(v.arrays[0])).max()))
+        max_dy = max(max_dy, float(np.abs(np.asarray(v.arrays[1])).max()))
+    dy_b, dx_b = bound
+    assert dx_b + 1e-3 >= max_dx, (src, bound, max_dx)
+    assert dy_b + 1e-3 >= max_dy, (src, bound, max_dy)
