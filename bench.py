@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -74,43 +75,65 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # The shared relay has been observed hanging for minutes at a time —
-    # guarantee the driver ALWAYS gets the one JSON line: a hard alarm
-    # dumps whatever was measured if the normal path stalls past
-    # budget + 240s (a blocking remote call cannot be preempted softly).
+    # guarantee the driver ALWAYS gets the one JSON line. A WATCHDOG
+    # THREAD dumps whatever was measured if the normal path stalls past
+    # budget + 240s. (A thread, NOT signal.alarm: CPython only runs
+    # Python signal handlers at bytecode boundaries on the main thread,
+    # and a relay hang blocks inside a C readback that never returns to
+    # the interpreter — the alarm would be deferred forever, which was
+    # exactly the failure mode this guard exists for.)
+    import threading
+
     t_start = time.perf_counter()
     partial = {"metric": ("distortion_suite_quick" if args.quick
                           else "distortion_suite_4k_bilinear"),
                "value": 0.0, "unit": "Mpix/s/chip", "vs_baseline": 0.0,
                "health_gate": "TIMEOUT"}
     emitted = [False]
+    emit_lock = threading.Lock()
 
     def over():
         return time.perf_counter() - t_start > args.budget_s
 
-    def _alarm(_sig, _frm):
-        if not emitted[0]:
+    def emit_partial(note=None):
+        with emit_lock:
+            if emitted[0]:
+                return
             emitted[0] = True
-            if partial["value"] == 0.0:
-                # nothing measured: the relay/device hung before the first
-                # fenced suite attempt completed (observed: probe hangs
-                # >300 s, backend init "Unavailable"). Say so — a bare 0.0
-                # would read as a code regression.
-                partial["note"] = ("device unreachable before any suite "
-                                   "measurement — environment failure, not "
-                                   "a code rate; see BASELINE.md for "
-                                   "in-session records")
-            print(json.dumps(partial), flush=True)
+        if note:
+            partial["note"] = note
+        elif partial["value"] == 0.0:
+            # nothing measured: the relay/device hung before the first
+            # fenced suite attempt completed (observed: probe hangs
+            # >300 s, backend init "Unavailable"). Say so — a bare 0.0
+            # would read as a code regression.
+            partial["note"] = ("device unreachable before any suite "
+                               "measurement — environment failure, not "
+                               "a code rate; see BASELINE.md for "
+                               "in-session records")
+        print(json.dumps(partial), flush=True)
+
+    def _watchdog():
+        emit_partial()
         sys.stderr.write("# bench hard-timeout: emitted partial JSON\n")
         os._exit(0)
 
-    import os
-    import signal
-    try:
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(int(args.budget_s) + 240)
-    except (ValueError, AttributeError):  # non-main thread / platform
-        pass
+    wd = threading.Timer(args.budget_s + 240, _watchdog)
+    wd.daemon = True
+    wd.start()
 
+    try:
+        _measure(args, partial, emitted, emit_lock, over, t_start, wd)
+    except SystemExit:
+        raise
+    except BaseException as e:  # the JSON line must land even on crashes
+        emit_partial(f"bench crashed: {type(e).__name__}: {str(e)[:300]} "
+                     f"— environment failure or harness bug, not a code "
+                     f"rate; see BASELINE.md for in-session records")
+        sys.stderr.write(f"# bench crashed: {type(e).__name__}: {e}\n")
+
+
+def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     import mathmap_tpu as mm
 
     if args.quick:
@@ -136,7 +159,9 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
-        probe = jax.device_put(img[:1024, :1024])
+        # fixed 16MB probe regardless of --size/--quick (img[:1024,:1024]
+        # silently shrank on small images, miscalibrating the 6ms gate)
+        probe = jax.device_put(np.ones((1024, 1024, 4), np.float32))
         pf = jax.jit(lambda x: jnp.sum(x * 2.0 + 1.0))
         _ = float(pf(probe))
         t0 = time.perf_counter()
@@ -201,6 +226,7 @@ def main(argv=None):
         filt, renderer = _build("filters/Render/lissajous.mm", w, h, opts)
         dt = time_tpu(renderer, [], iters)
         loop_mpix = w * h / dt / 1e6
+        partial["loop_unroll_mpix"] = round(loop_mpix, 1)
         print(f"# lissajous (64-iter static unroll): {dt * 1e3:.2f} ms/frame"
               f"  {loop_mpix:.1f} Mpix/s", file=sys.stderr)
 
@@ -210,14 +236,14 @@ def main(argv=None):
     # relay vs 590 at 4K).
     pond8k_mpix = 0.0
     if args.quick or over():
-        if not args.quick:
-            skipped.append("pond_8k")
+        skipped.append("pond_8k(quick)" if args.quick else "pond_8k")
     else:
         w8, h8 = 2 * w, 2 * h  # 2x2-tile whatever --size gave (default: 8K)
         img8 = np.tile(img, (2, 2, 1))
         _, r8 = _build("filters/Distorts/pond.mm", w8, h8, opts)
         dt8 = time_tpu(r8, [img8], 8)
         pond8k_mpix = w8 * h8 / dt8 / 1e6
+        partial["pond_8k_mpix"] = round(pond8k_mpix, 1)
         print(f"# pond 8K: {dt8 * 1e3:.2f} ms/frame  {pond8k_mpix:.1f} Mpix/s",
               file=sys.stderr)
 
@@ -242,8 +268,9 @@ def main(argv=None):
             out = renderer.render_all_frames(sweep_in, {}, ts)
             _ = float(jnp.sum(out))
             best = min(best, time.perf_counter() - start)
-        sh, sw = sweep_in[0].shape[:2]  # quick mode's img is smaller
-        sustained = sw * sh * n_sweep / best / 1e6
+        fh, fw = out.shape[1], out.shape[2]  # renderer output dims (1080p)
+        sustained = fw * fh * n_sweep / best / 1e6
+        partial["sustained_ripple_mpix"] = round(sustained, 1)
         print(f"# sustained (ripple 1080p x{n_sweep} batched): "
               f"{best / n_sweep * 1e3:.2f} ms/frame  {sustained:.1f} Mpix/s",
               file=sys.stderr)
@@ -254,8 +281,7 @@ def main(argv=None):
     # the reference's uint8 output packing).
     suite_f32 = 0.0
     if args.quick or over():
-        if not args.quick:
-            skipped.append("suite_f32")
+        skipped.append("suite_f32(quick)" if args.quick else "suite_f32")
     else:
         opts_f32 = mm.RenderOptions(interpolation="bilinear",
                                     pallas_precision="f32")
@@ -271,6 +297,7 @@ def main(argv=None):
                   f"{f32_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
         if len(f32_mpix) == len(suite):
             suite_f32 = float(np.mean(f32_mpix))
+            partial["suite_f32_mpix"] = round(suite_f32, 1)
 
     # Secondary metric: the same suite as 8-frame t-sweeps in ONE device
     # program each (render_all_frames) — the chip rate with the relay's
@@ -298,6 +325,8 @@ def main(argv=None):
         print(f"# {path} sustained x{n_sw}: {best * 1e3:.2f} ms/frame  "
               f"{suite_sust[-1]:.1f} Mpix/s", file=sys.stderr)
     suite_batched = float(np.mean(suite_sust)) if suite_sust else 0.0
+    if suite_sust:
+        partial["suite_batched_mpix"] = round(suite_batched, 1)
 
     # diagnostics (not part of the headline metric): generative filter
     # (no sampling, no input) isolates raw compute from gather cost
@@ -316,7 +345,8 @@ def main(argv=None):
 
     spec = importlib.util.spec_from_file_location(
         "c_baseline_runner",
-        __file__.replace("bench.py", "benchmarks/c_baseline/runner.py"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "c_baseline", "runner.py"),
     )
     c_runner = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(c_runner)
@@ -345,14 +375,14 @@ def main(argv=None):
     print(f"# relay health: {health_ms:.1f} ms best window for a 16MB fenced "
           f"elementwise op (healthy <5ms) — gate {health_gate}", file=sys.stderr)
 
-    # disarm BEFORE flipping emitted: if the alarm fired in between, the
-    # handler would skip the partial (emitted True) and exit before the
-    # final print — zero JSON lines
-    try:
-        signal.alarm(0)
-    except Exception:
-        pass
-    emitted[0] = True
+    # claim the emission slot under the lock BEFORE printing: if the
+    # watchdog wins the race it prints the partial and exits; if we win,
+    # its emit_partial becomes a no-op
+    wd.cancel()
+    with emit_lock:
+        if emitted[0]:
+            return  # watchdog already spoke
+        emitted[0] = True
     print(json.dumps({
         "metric": ("distortion_suite_quick" if args.quick
                    else "distortion_suite_4k_bilinear"),
@@ -366,9 +396,10 @@ def main(argv=None):
         "loop_unroll_mpix": round(loop_mpix, 1),
         "pond_8k_mpix": round(pond8k_mpix, 1),
         "suite_f32_mpix": round(suite_f32, 1),
-        "budget_exhausted": bool(skipped),  # true => the 0-valued
-                                            # secondaries named here were
-                                            # SKIPPED, not measured-as-zero
+        # skipped_phases: 0-valued secondaries were SKIPPED (budget or
+        # --quick), not measured-as-zero; budget_exhausted reflects the
+        # wall budget only
+        "budget_exhausted": any("(quick)" not in s for s in skipped),
         "skipped_phases": skipped,
         "relay_health_ms": round(health_ms, 1),
         "health_gate": health_gate,

@@ -84,7 +84,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
-    it = 2 if args.quick else 8
+    # >= 8 dispatches per fenced batch even in --quick: the relay
+    # PIPELINES unfenced calls, so smaller batches read ~2x slow
+    # (CLAUDE.md; bench.py clamps the same way)
+    it = 8
     results = []
 
     root = os.path.join(os.path.dirname(__file__), "..", "filters")
