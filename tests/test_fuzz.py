@@ -68,6 +68,18 @@ class ExprGen:
                     f"    s = s + {body} * 0.1; j = j + 1 end; "
                     f"  i = i + 1 end; "
                     f"grayColor(clamp(s / {ni * no}, 0, 1))")
+        if kind < 0.95:
+            # INTERNAL-variable shadowing (review r3 semantics): branch-
+            # only and in-loop assignments to y/t must merge against the
+            # internal's value on both backends
+            iv = self.rng.choice(["y", "t"])
+            n = int(self.rng.randint(2, 5))
+            if self.rng.rand() < 0.5:
+                return (f"if {self.scalar()} > 0 then {iv} = -{iv} end; "
+                        f"grayColor(clamp(abs({iv}) / 8 + {body} * 0.1, 0, 1))")
+            return (f"i = 0; s = 0; while i < {n} do {iv} = {iv} * 0.7; "
+                    f"s = s + {iv}; i = i + 1 end; "
+                    f"grayColor(clamp(abs(s) / 8, 0, 1))")
         # rand() inside a loop + after it (the r1 divergence class), and
         # assignments in the loop condition
         n = int(self.rng.randint(2, 7))
@@ -77,7 +89,7 @@ class ExprGen:
                 f"grayColor(clamp(s / {n} + rand(0, 0.25) + k / 100, 0, 1))")
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(60))
 def test_random_expression_parity(seed):
     src = ExprGen(seed).program()
     img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
