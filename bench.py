@@ -210,7 +210,40 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         tpu_mpix.append(mpix)
         print(f"# {path}: {dt * 1e3:.2f} ms/frame  {mpix:.1f} Mpix/s", file=sys.stderr)
 
+    value = float(np.mean(tpu_mpix))
 
+    # Measured C per-pixel baseline (the honest vs_baseline denominator),
+    # EARLY and CPU-only: a crash in any TPU secondary must not cost the
+    # partial JSON its ratio (observed live: an 8K SMEM compile crash
+    # emitted vs_baseline 0.0 alongside a valid 497.9 suite value).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "c_baseline_runner",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "c_baseline", "runner.py"),
+    )
+    c_runner = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(c_runner)
+    bimg = img[:1080, :1920] if not args.quick else img
+    c_result = c_runner.measure(bimg, iters=2)
+    if c_result is not None:
+        cpu_mpix, c_per, c_threads = c_result
+        print(f"# C baseline: {cpu_mpix:.2f} Mpix/s mean on {c_threads} thread(s) "
+              f"({', '.join(f'{k} {v:.1f}' for k, v in c_per.items())})",
+              file=sys.stderr)
+    else:  # no C compiler: NumPy oracle stand-in (overstates our ratio)
+        bw, bh = 480, 270
+        filt = __import__("mathmap_tpu").compile_file(suite[0])
+        start = time.perf_counter()
+        filt.render(img[:bh, :bw], width=bw, height=bh, t=0.37, options=opts,
+                    interpret=True)
+        cpu_mpix = bw * bh / (time.perf_counter() - start) / 1e6
+        c_threads = 0
+        print(f"# oracle stand-in baseline: {cpu_mpix:.2f} Mpix/s", file=sys.stderr)
+    if cpu_mpix and value:
+        partial["vs_baseline"] = round(value / cpu_mpix, 1)
+        partial["c_baseline_mpix"] = round(cpu_mpix, 2)
 
     import jax
     import jax.numpy as jnp
@@ -337,36 +370,6 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         dt = time_tpu(renderer, [], iters)
         print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  "
               f"{w * h / dt / 1e6:.1f} Mpix/s", file=sys.stderr)
-
-    value = float(np.mean(tpu_mpix))
-
-    # Measured C per-pixel baseline (the honest vs_baseline denominator).
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "c_baseline_runner",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "benchmarks", "c_baseline", "runner.py"),
-    )
-    c_runner = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(c_runner)
-    bimg = img[:1080, :1920] if not args.quick else img
-    c_result = c_runner.measure(bimg, iters=2)
-    if c_result is not None:
-        cpu_mpix, c_per, c_threads = c_result
-        print(f"# C baseline: {cpu_mpix:.2f} Mpix/s mean on {c_threads} thread(s) "
-              f"({', '.join(f'{k} {v:.1f}' for k, v in c_per.items())})",
-              file=sys.stderr)
-    else:  # no C compiler: NumPy oracle stand-in (overstates our ratio)
-        bw, bh = 480, 270
-        filt = __import__("mathmap_tpu").compile_file(suite[0])
-        start = time.perf_counter()
-        filt.render(img[:bh, :bw], width=bw, height=bh, t=0.37, options=opts,
-                    interpret=True)
-        cpu_mpix = bw * bh / (time.perf_counter() - start) / 1e6
-        c_threads = 0
-        print(f"# oracle stand-in baseline: {cpu_mpix:.2f} Mpix/s", file=sys.stderr)
-
 
     # gate derives from the FINAL best window (incl. this post-suite probe)
     # so the recorded health_ms and health_gate can never contradict

@@ -69,6 +69,56 @@ def padded_dims(h_img: int, w_img: int) -> tuple:
     return (_round_up(h_img + PAD_L + 8, 32), _round_up(w_img + PAD_L + 8, 16))
 
 
+#: SMEM budget for one launch's scalar-prefetch operands. The hardware
+#: bank is 1 MiB per core; keep 1/8 headroom for the kernel's own
+#: scalars. Every prefetched array pads its MINOR dim to 128 lanes, so
+#: footprints are computed on padded shapes.
+_SMEM_PREFETCH_BUDGET = 896 * 1024
+
+
+def _smem_prefetch_bytes(nby: int, nbx: int, gw: int, win_h: int,
+                         win_w: int, subw: int, hp: int, wp: int) -> int:
+    """Worst-case scalar-prefetch SMEM bytes for one tier launch at this
+    grid size. An indirect (per-tile claimed) launch prefetches tile_idx
+    (n_tiles,), oy/ox (1, n_tiles) and — for sub-window tiers — coff
+    ((gw or 8), n_tiles). n_tiles scales with the FRAME (nby*nbx/gw), so
+    large frames can overflow the 1 MiB SMEM bank at COMPILE time no
+    matter which tiles actually claim the tier: at 8K output the
+    sub-chunk tier's (8, n_tiles) coff alone is ~2 MB ("Allocation would
+    exceed memory, space=smem, tag='prefetched SMEM operand'"). Mirrors
+    plan()'s subw-drop rules so the estimate matches what gets passed."""
+    n_tiles = nby * (nbx // gw)
+    pad = _round_up(max(n_tiles, 1), 128)
+    win_h = min(win_h, hp)
+    win_w = min(win_w, wp)
+    whole = win_h >= hp and win_w >= wp
+    subchunk = gw == 1 and subw
+    if subw and (win_w <= subw or (subchunk and win_h <= subw) or whole):
+        subw = 0
+    if whole:
+        return 2 * pad * 4  # whole-image window runs non-indirect: oy+ox
+    rows = (8 if subchunk else gw) if subw else 0
+    return (3 + rows) * pad * 4
+
+
+def _filter_tiers(tiers, nby: int, nbx: int, hp: int, wp: int, itm: int):
+    """Static per-frame tier eligibility: drop tiers whose double-buffered
+    source window would not fit VMEM (~12 MB of the 16 MB arena) or whose
+    scalar-prefetch set would not fit SMEM at this block-grid size. An
+    over-budget tier's blocks escalate to later tiers / the exact subset
+    patch / the gather fallback — slower but correct; keeping it would
+    fail the whole render at TPU AOT compile."""
+    kept = []
+    for th, tw, wh, ww, sw in tiers:
+        if 2 * min(ww, wp) * min(wh, hp) * 4 * itm > 12 * (1 << 20):
+            continue  # double-buffered window would not fit VMEM
+        if _smem_prefetch_bytes(nby, nbx, tw // BW, wh, ww, sw or 0,
+                                hp, wp) > _SMEM_PREFETCH_BUDGET:
+            continue
+        kept.append((th, tw, wh, ww, sw or None))
+    return kept
+
+
 def _dtype_for(precision: str):
     import jax.numpy as jnp
 
@@ -865,11 +915,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # A tier whose window covers the whole padded image truncates the chain
     # (single unconditional pallas program — the LUT/small-image case).
     itm = 2 if precision == "bf16" else 4
-    tier_cfgs = []
-    for th, tw, wh, ww, sw in tiers:
-        if 2 * min(ww, wp) * min(wh, hp) * 4 * itm > 12 * (1 << 20):
-            continue  # double-buffered window would not fit VMEM
-        tier_cfgs.append((th, tw, wh, ww, sw or None))
+    tier_cfgs = _filter_tiers(tiers, nby, nbx, hp, wp, itm)
 
     def slow_path(_=None):
         return tuple(xla_fallback())

@@ -562,3 +562,59 @@ def test_renderer_prepad_accepted_by_kernel():
             assert n_first == 1, f"{prec}: expected one pad build, got {n_first}"
         finally:
             SK._pad_xmajor = orig
+
+
+def test_smem_tier_filter_static():
+    """Scalar-prefetch arrays scale with the frame's block grid: a tier
+    whose prefetch set cannot fit the 1 MiB SMEM bank must be dropped at
+    PLAN time or the whole render fails at TPU AOT compile ("Allocation
+    would exceed memory, space=smem, tag='prefetched SMEM operand'" —
+    observed live on an 8K render: the sub-chunk tier's (8, n_tiles)
+    coff is 2,076,672 bytes there)."""
+    from mathmap_tpu.pallas_kernels import sample_kernel as SK
+    from mathmap_tpu.runtime.options import RenderOptions
+
+    tiers = RenderOptions.pallas_tiers
+    schk = (8, 64, 512, 512, 160)
+    assert schk in tiers  # the ladder's spiral-class rung
+
+    def kept(h, w):
+        nby, nbx = -(-h // 8), -(-w // 64)
+        hp, wp = SK.padded_dims(h, w)
+        return SK._filter_tiers(tiers, nby, nbx, hp, wp, itm=2)
+
+    # 4K: every tier fits (the suite's measured configuration)
+    assert len(kept(2160, 3840)) == len(tiers)
+    # 8K: exactly the sub-chunk tier is over budget (its coff alone is
+    # ~2 MB); every other rung keeps running
+    k8 = kept(4320, 7680)
+    assert len(k8) == len(tiers) - 1
+    assert (8, 64, 512, 512, None) not in k8
+    # 16K: even (tile_idx, oy, ox) triples exceed SMEM for every rung —
+    # the planner must degrade to the exact gather path, not crash
+    assert kept(8640, 15360) == []
+
+    # footprint formula spot-checks (padded-minor i32 shapes)
+    assert SK._smem_prefetch_bytes(540, 120, 1, 512, 512, 160,
+                                   4352, 7696) == 11 * 64896 * 4
+    assert SK._smem_prefetch_bytes(540, 120, 1, 128, 128, 0,
+                                   4352, 7696) == 3 * 64896 * 4
+
+
+def test_smem_budget_drop_renders_correct(monkeypatch):
+    """When the SMEM filter drops a tier, its would-be blocks must
+    escalate (later tiers / subset patch / gather) and stay exact. Shrink
+    the budget so the 640x640 spiral render loses its sub-chunk tier —
+    the same drop an 8K frame takes with the real budget."""
+    from mathmap_tpu.pallas_kernels import sample_kernel as SK
+
+    monkeypatch.setattr(SK, "_SMEM_PREFETCH_BUDGET", 30_000)
+    img = np.random.RandomState(3).rand(640, 640, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/spiral_warp.mm")
+    a = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_per_tile="on",
+                                          pallas_precision="f32"))
+    b = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
