@@ -76,45 +76,56 @@ def padded_dims(h_img: int, w_img: int) -> tuple:
 _SMEM_PREFETCH_BUDGET = 896 * 1024
 
 
-def _smem_prefetch_bytes(nby: int, nbx: int, gw: int, win_h: int,
-                         win_w: int, subw: int, hp: int, wp: int) -> int:
-    """Worst-case scalar-prefetch SMEM bytes for one tier launch at this
-    grid size. An indirect (per-tile claimed) launch prefetches tile_idx
-    (n_tiles,), oy/ox (1, n_tiles) and — for sub-window tiers — coff
-    ((gw or 8), n_tiles). n_tiles scales with the FRAME (nby*nbx/gw), so
-    large frames can overflow the 1 MiB SMEM bank at COMPILE time no
-    matter which tiles actually claim the tier: at 8K output the
-    sub-chunk tier's (8, n_tiles) coff alone is ~2 MB ("Allocation would
-    exceed memory, space=smem, tag='prefetched SMEM operand'"). Mirrors
-    plan()'s subw-drop rules so the estimate matches what gets passed."""
-    n_tiles = nby * (nbx // gw)
-    pad = _round_up(max(n_tiles, 1), 128)
+def _smem_table_bytes(n_tiles: int, n_rows: int) -> int:
+    """SMEM bytes for `n_rows` scalar-prefetch rows of `n_tiles` i32
+    entries each (SMEM pads every array's MINOR dim to 128 elements)."""
+    return n_rows * _round_up(max(n_tiles, 1), 128) * 4
+
+
+def _tier_smem_rows(gw: int, win_h: int, win_w: int, subw: int,
+                    hp: int, wp: int):
+    """(extra_rows, whole): scalar-prefetch rows BEYOND oy/ox for one tier
+    launch (the coff rows: gw per-chunk offsets, or 8 packed sub-chunk
+    offsets), mirroring plan()'s subw-drop rules, plus whether the tier's
+    window covers the whole padded image (unconditional launch)."""
     win_h = min(win_h, hp)
     win_w = min(win_w, wp)
     whole = win_h >= hp and win_w >= wp
     subchunk = gw == 1 and subw
     if subw and (win_w <= subw or (subchunk and win_h <= subw) or whole):
         subw = 0
-    if whole:
-        return 2 * pad * 4  # whole-image window runs non-indirect: oy+ox
     rows = (8 if subchunk else gw) if subw else 0
-    return (3 + rows) * pad * 4
+    return rows, whole
 
 
-def _filter_tiers(tiers, nby: int, nbx: int, hp: int, wp: int, itm: int):
-    """Static per-frame tier eligibility: drop tiers whose double-buffered
-    source window would not fit VMEM (~12 MB of the 16 MB arena) or whose
-    scalar-prefetch set would not fit SMEM at this block-grid size. An
-    over-budget tier's blocks escalate to later tiers / the exact subset
-    patch / the gather fallback — slower but correct; keeping it would
-    fail the whole render at TPU AOT compile."""
+def _filter_tiers(tiers, nby: int, nbx: int, hp: int, wp: int, itm: int,
+                  per_tile: bool = False):
+    """Static per-frame tier eligibility. Drops tiers whose double-buffered
+    source window would not fit VMEM (~12 MB of the 16 MB arena), and —
+    on the chain path — tiers whose scalar-prefetch set would not fit the
+    1 MiB SMEM bank at this block-grid size (every launch scalar is sized
+    by the FRAME's tile count, so big frames can overflow SMEM at COMPILE
+    time no matter which tiles claim the tier: at 8K output the sub-chunk
+    tier's (8, n_tiles) coff alone is ~2 MB — "Allocation would exceed
+    memory, space=smem, tag='prefetched SMEM operand'", observed live).
+
+    With `per_tile` (the indirect claimed-tile path), over-budget tiers
+    are KEPT: run_idx splits them into SMEM-capped positional launches,
+    so 8K keeps its spiral-class rung and 16K+ keeps the whole ladder.
+    Whole-window tiers still launch non-indirect and keep the drop."""
     kept = []
     for th, tw, wh, ww, sw in tiers:
         if 2 * min(ww, wp) * min(wh, hp) * 4 * itm > 12 * (1 << 20):
             continue  # double-buffered window would not fit VMEM
-        if _smem_prefetch_bytes(nby, nbx, tw // BW, wh, ww, sw or 0,
-                                hp, wp) > _SMEM_PREFETCH_BUDGET:
-            continue
+        gw = tw // BW
+        rows, whole = _tier_smem_rows(gw, wh, ww, sw or 0, hp, wp)
+        n_tiles = nby * (nbx // gw)
+        if whole or not per_tile:
+            # chain launches dereference full (1, n_tiles) tables: oy+ox
+            # (+coff rows); whole-window launches are always non-indirect
+            need = _smem_table_bytes(n_tiles, 2 if whole else 2 + rows)
+            if need > _SMEM_PREFETCH_BUDGET:
+                continue
         kept.append((th, tw, wh, ww, sw or None))
     return kept
 
@@ -136,7 +147,8 @@ class _Plan:
     """Per-tier planning result (window origins, per-tile fit, launchers)."""
 
     __slots__ = ("tile_w", "win_h", "win_w", "gw", "ntx",
-                 "overflow", "fit", "run", "run_tiles", "run_idx")
+                 "overflow", "fit", "run", "run_tiles", "run_idx",
+                 "run_smem_ok")
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +249,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                  hp: int, precision: str = "bf16",
                  indirect: bool = False,
                  subw: int | None = None, has_carry: bool = False,
-                 subchunk: bool = False):
+                 subchunk: bool = False, positional: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -324,13 +336,16 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
         def scalars_at(ti, tj):
             """Window origin of grid step (ti, tj). Indirect (compacted)
             launches dereference the scalar-prefetched tile index so step j
-            reads logical tile idx[j]'s origins. All scalar arrays are
-            (1, n_tiles) — tiles in the SMEM minor (lane) dim, because SMEM
-            pads the minor dim to 128 elements (a (nty, ntx) layout costs
-            nty*512 bytes per array and overflows the 1 MB SMEM budget at
-            8K output sizes)."""
+            reads logical tile idx[j]'s origins — except POSITIONAL
+            launches (SMEM-capped slices: run_idx pre-gathered the scalar
+            tables by idx on the XLA side so only a cap-sized slice is
+            prefetched), which read position j directly. All scalar arrays
+            are (1, n_tiles) — tiles in the SMEM minor (lane) dim, because
+            SMEM pads the minor dim to 128 elements (a (nty, ntx) layout
+            costs nty*512 bytes per array and overflows the 1 MB SMEM
+            budget at 8K output sizes)."""
             if indirect:
-                lt = idx_ref[tj]
+                lt = tj if positional else idx_ref[tj]
                 return oy_ref[0, lt], ox_ref[0, lt]
             return oy_ref[0, ti * nj + tj], ox_ref[0, ti * nj + tj]
 
@@ -394,7 +409,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                     # pads the minor dim to 128 lanes (a (n_tiles, gw)
                     # layout would cost n_tiles*512 bytes and blow the
                     # 1 MB SMEM budget on 4K grids).
-                    lt = idx_ref[j] if indirect else i * nj + j
+                    lt = ((j if positional else idx_ref[j])
+                          if indirect else i * nj + j)
                     off = pl.multiple_of(coff_ref[cn, lt], 8)
                     win = win2[slot, pl.ds(off, kw), :]
                     ox_eff = ox + off
@@ -465,7 +481,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
             cidx = jax.lax.broadcasted_iota(jnp.int32, (4, sub * 4), 0)
             sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
             dn_sel = (((1,), (0,)), ((), ()))
-            lt = idx_ref[j] if indirect else i * nj + j
+            lt = (j if positional else idx_ref[j]) if indirect \
+                else i * nj + j
             px = px_ref[0, 0:1, :]
             py = py_ref[0, 0:1, :]
             if interpolation == "nearest":
@@ -528,7 +545,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
 def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
                        win_h, win_w, gw, hp, precision, interpret,
                        grid, grid_bound=None, tile_idx=None,
-                       subw=None, coff=None, carry=None, subchunk=False):
+                       subw=None, coff=None, carry=None, subchunk=False,
+                       positional=False):
     """Low-level launch over base-layout coordinates px_b/py_b
     (n_base, 1, BASE_PIX): every tier's tile is `gw` CONSECUTIVE base
     blocks, so one shared flatten serves all tiers and a tile's block is
@@ -554,6 +572,7 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
     indirect = tile_idx is not None
     assert grid_bound is None or nty == 1  # index maps below ignore ntx then
     assert (subw is None) == (coff is None)
+    assert not positional or indirect  # positional = pre-gathered slices
     # scalar arrays are (1, n_tiles) / (gw, n_tiles) — tiles in the SMEM
     # minor dim (SMEM pads the minor dim to 128 elements, so shaping these
     # (nty, ntx) would cost nty*512 B per array and overflow the 1 MB SMEM
@@ -561,7 +580,8 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
     assert oy.shape == ox.shape == (1, nty * ntx)
     kernel = _make_kernel(interpolation, win_h, win_w, gw, hp, precision,
                           indirect=indirect, subw=subw,
-                          has_carry=carry is not None, subchunk=subchunk)
+                          has_carry=carry is not None, subchunk=subchunk,
+                          positional=positional)
     sub = (coff,) if subw else ()
     if indirect:
         scalars = (tile_idx, oy, ox) + sub
@@ -859,6 +879,12 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         p = _Plan()
         p.tile_w, p.win_h, p.win_w = tile_w_c, win_h_c, win_w_c
         p.gw, p.ntx = gw, ntx
+        # whether the NON-indirect whole-grid launch (run / the chain
+        # path) fits the SMEM prefetch budget at this frame size; the
+        # indirect path self-caps in run_idx
+        rows = (8 if subchunk else gw) if subw else 0
+        p.run_smem_ok = (_smem_table_bytes(nby * ntx, 2 + rows)
+                         <= _SMEM_PREFETCH_BUDGET)
         if win_h_c >= hp and win_w_c >= wp:
             # window covers the entire padded image (small inputs, LUTs):
             # overflow is impossible — signal an unconditional tier
@@ -886,17 +912,58 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             scalar-prefetched indices (no XLA gather/scatter of pixel
             data). The carry buffer is donated (input_output_aliases), so
             untouched blocks keep their carry contents — tiers chain into
-            one frame buffer with no per-tier allocation or select."""
+            one frame buffer with no per-tier allocation or select.
+
+            When the full scalar tables would overflow the 1 MiB SMEM bank
+            (8K frames: the sub-chunk tier's (8, n_tiles) coff alone is
+            ~2 MB; 16K+: every tier), the launch splits into SMEM-capped
+            POSITIONAL launches: each prefetches only a cap-sized slice of
+            idx plus the oy/ox/coff values pre-gathered by that slice on
+            the XLA side (i32 gathers of the claimed tiles only — pixel
+            data still moves exclusively by block DMA). Empty slices are
+            skipped via lax.cond, so cost scales with actual claims."""
             n_tiles = nby * ntx
-            return _call_kernel_tiles(
-                img_xm, px_b, py_b,
-                oy.reshape(1, n_tiles), ox.reshape(1, n_tiles),
-                interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
-                gw=gw, hp=hp, precision=precision, interpret=interpret,
-                grid=(1, n_tiles), grid_bound=count,
-                tile_idx=idx.astype(jnp.int32), subw=subw, coff=coff,
-                carry=carry, subchunk=subchunk,
-            )
+            rows = (8 if subchunk else gw) if subw else 0
+            idx = idx.astype(jnp.int32)
+            if _smem_table_bytes(n_tiles, 3 + rows) <= _SMEM_PREFETCH_BUDGET:
+                return _call_kernel_tiles(
+                    img_xm, px_b, py_b,
+                    oy.reshape(1, n_tiles), ox.reshape(1, n_tiles),
+                    interpolation=interpolation, win_h=win_h_c,
+                    win_w=win_w_c, gw=gw, hp=hp, precision=precision,
+                    interpret=interpret, grid=(1, n_tiles),
+                    grid_bound=count, tile_idx=idx, subw=subw, coff=coff,
+                    carry=carry, subchunk=subchunk,
+                )
+            cap = _SMEM_PREFETCH_BUDGET // ((3 + rows) * 4)
+            cap = max(128, (cap // 128) * 128)
+            n_launch = -(-n_tiles // cap)
+            pad_n = n_launch * cap - idx.shape[0]
+            idx_pad = (jnp.concatenate([idx, jnp.zeros((pad_n,), jnp.int32)])
+                       if pad_n else idx)
+            oyf = oy.reshape(-1)
+            oxf = ox.reshape(-1)
+            for k in range(n_launch):
+                idx_k = jax.lax.dynamic_slice_in_dim(idx_pad, k * cap, cap)
+                cnt_k = jnp.clip(count - k * cap, 0, cap)
+
+                def launch(c, idx_k=idx_k, cnt_k=cnt_k):
+                    oy_k = jnp.take(oyf, idx_k)[None, :]
+                    ox_k = jnp.take(oxf, idx_k)[None, :]
+                    coff_k = (jnp.take(coff, idx_k, axis=1)
+                              if coff is not None else None)
+                    return _call_kernel_tiles(
+                        img_xm, px_b, py_b, oy_k, ox_k,
+                        interpolation=interpolation, win_h=win_h_c,
+                        win_w=win_w_c, gw=gw, hp=hp, precision=precision,
+                        interpret=interpret, grid=(1, cap),
+                        grid_bound=cnt_k, tile_idx=idx_k, subw=subw,
+                        coff=coff_k, carry=c, subchunk=subchunk,
+                        positional=True,
+                    )
+
+                carry = jax.lax.cond(cnt_k > 0, launch, lambda c: c, carry)
+            return carry
 
         def run_tiles(claim, carry):
             """Compact `claim`ed tile indices to the front, then run_idx."""
@@ -915,7 +982,11 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # A tier whose window covers the whole padded image truncates the chain
     # (single unconditional pallas program — the LUT/small-image case).
     itm = 2 if precision == "bf16" else 4
-    tier_cfgs = _filter_tiers(tiers, nby, nbx, hp, wp, itm)
+    per_tile_mode = getattr(opts, "pallas_per_tile", "auto")
+    per_tile_req = (per_tile_mode == "on"
+                    or (per_tile_mode != "off" and nby * nbx >= 1024))
+    tier_cfgs = _filter_tiers(tiers, nby, nbx, hp, wp, itm,
+                              per_tile=per_tile_req)
 
     def slow_path(_=None):
         return tuple(xla_fallback())
@@ -930,6 +1001,13 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             truncated = True
             break
         plans.append(p)
+    if truncated:
+        # truncation routes everything through the chain (per-tile is
+        # skipped), whose launches are non-indirect: tiers kept only for
+        # the per-tile capped path must not be traced there (16K output
+        # of a small image: the whole-window tier truncates but earlier
+        # rungs' full scalar tables would overflow SMEM at compile)
+        plans = [p for p in plans if p.run_smem_ok]
 
     # Whole-frame lax.cond chain on per-tier overflow flags (the per-tile
     # path's escalation target, and the only path when per-tile is off).
@@ -940,10 +1018,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 ov, nxt, run, operand=None))(p.overflow, p.run, branch)
         return branch
 
-    per_tile_mode = getattr(opts, "pallas_per_tile", "auto")
-    use_per_tile = (per_tile_mode != "off" and not truncated
-                    and len(plans) > 0
-                    and (per_tile_mode == "on" or nby * nbx >= 1024))
+    use_per_tile = per_tile_req and not truncated and len(plans) > 0
     if not use_per_tile:
         return list(chain_from(0)())
 
@@ -1090,6 +1165,10 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             return finish(res)
 
         mixed = patched
+    if not plans[0].run_smem_ok:
+        # the all-fit fast path's whole-grid launch would overflow SMEM
+        # at this frame size (16K+): always run the capped per-tile path
+        return list(mixed())
     top = jax.lax.cond(plans[0].overflow, mixed, plans[0].run, operand=None)
     return list(top)
 

@@ -565,12 +565,13 @@ def test_renderer_prepad_accepted_by_kernel():
 
 
 def test_smem_tier_filter_static():
-    """Scalar-prefetch arrays scale with the frame's block grid: a tier
-    whose prefetch set cannot fit the 1 MiB SMEM bank must be dropped at
-    PLAN time or the whole render fails at TPU AOT compile ("Allocation
-    would exceed memory, space=smem, tag='prefetched SMEM operand'" —
-    observed live on an 8K render: the sub-chunk tier's (8, n_tiles)
-    coff is 2,076,672 bytes there)."""
+    """Scalar-prefetch arrays scale with the frame's block grid and can
+    overflow the 1 MiB SMEM bank at COMPILE time ("Allocation would
+    exceed memory, space=smem, tag='prefetched SMEM operand'" — observed
+    live on an 8K render: the sub-chunk tier's (8, n_tiles) coff is
+    2,076,672 bytes there). Chain-path launches prefetch full tables, so
+    over-budget tiers must be DROPPED there; the per-tile path self-caps
+    (run_idx positional launches), so every rung stays available."""
     from mathmap_tpu.pallas_kernels import sample_kernel as SK
     from mathmap_tpu.runtime.options import RenderOptions
 
@@ -578,42 +579,71 @@ def test_smem_tier_filter_static():
     schk = (8, 64, 512, 512, 160)
     assert schk in tiers  # the ladder's spiral-class rung
 
-    def kept(h, w):
+    def kept(h, w, per_tile):
         nby, nbx = -(-h // 8), -(-w // 64)
         hp, wp = SK.padded_dims(h, w)
-        return SK._filter_tiers(tiers, nby, nbx, hp, wp, itm=2)
+        return SK._filter_tiers(tiers, nby, nbx, hp, wp, itm=2,
+                                per_tile=per_tile)
 
-    # 4K: every tier fits (the suite's measured configuration)
-    assert len(kept(2160, 3840)) == len(tiers)
-    # 8K: exactly the sub-chunk tier is over budget (its coff alone is
-    # ~2 MB); every other rung keeps running
-    k8 = kept(4320, 7680)
+    # 4K: every tier fits outright on both paths
+    assert len(kept(2160, 3840, False)) == len(tiers)
+    assert len(kept(2160, 3840, True)) == len(tiers)
+    # 8K chain path: exactly the sub-chunk tier is over budget (its
+    # (8, n_tiles) coff alone is ~2 MB); every other rung keeps running
+    k8 = kept(4320, 7680, False)
     assert len(k8) == len(tiers) - 1
     assert (8, 64, 512, 512, None) not in k8
-    # 16K: even (tile_idx, oy, ox) triples exceed SMEM for every rung —
-    # the planner must degrade to the exact gather path, not crash
-    assert kept(8640, 15360) == []
+    # 16K chain path: even the oy/ox pair exceeds SMEM for every rung —
+    # it must degrade to the exact gather path, not crash at compile
+    assert kept(8640, 15360, False) == []
+    # per-tile path: capped positional launches keep the WHOLE ladder at
+    # 8K and 16K (only the VMEM window check applies)
+    assert len(kept(4320, 7680, True)) == len(tiers)
+    assert len(kept(8640, 15360, True)) == len(tiers)
 
     # footprint formula spot-checks (padded-minor i32 shapes)
-    assert SK._smem_prefetch_bytes(540, 120, 1, 512, 512, 160,
-                                   4352, 7696) == 11 * 64896 * 4
-    assert SK._smem_prefetch_bytes(540, 120, 1, 128, 128, 0,
-                                   4352, 7696) == 3 * 64896 * 4
+    assert SK._smem_table_bytes(64800, 3) == 3 * 64896 * 4
+    assert SK._tier_smem_rows(1, 512, 512, 160, 4352, 7696) == (8, False)
+    assert SK._tier_smem_rows(4, 32, 512, 128, 4352, 7696) == (4, False)
+    assert SK._tier_smem_rows(1, 128, 128, 0, 4352, 7696) == (0, False)
 
 
-def test_smem_budget_drop_renders_correct(monkeypatch):
-    """When the SMEM filter drops a tier, its would-be blocks must
-    escalate (later tiers / subset patch / gather) and stay exact. Shrink
-    the budget so the 640x640 spiral render loses its sub-chunk tier —
-    the same drop an 8K frame takes with the real budget."""
+def test_smem_capped_positional_launches_exact(monkeypatch):
+    """When a tier's scalar tables exceed the SMEM budget on the per-tile
+    path, run_idx splits it into capped POSITIONAL launches (pre-gathered
+    scalar slices). Shrink the budget so the 640x640 spiral render's
+    sub-chunk tier self-caps — the same split an 8K frame takes with the
+    real budget — and require exactness vs the gather path."""
     from mathmap_tpu.pallas_kernels import sample_kernel as SK
 
     monkeypatch.setattr(SK, "_SMEM_PREFETCH_BUDGET", 30_000)
     img = np.random.RandomState(3).rand(640, 640, 4).astype(np.float32)
     f = mm.compile_file("filters/Distorts/spiral_warp.mm")
+    # schk-only ladder: every fitting block claims the capped tier, so
+    # the positional launches (2 at this budget: cap=640 of 800 tiles)
+    # carry essentially the whole frame — exactness proves them correct
     a = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
                  options=mm.RenderOptions(sampler="pallas",
                                           pallas_per_tile="on",
+                                          pallas_precision="f32",
+                                          pallas_tiers=((8, 64, 512, 512,
+                                                         160),)))
+    b = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_smem_budget_chain_drop_renders_correct(monkeypatch):
+    """Chain path (per-tile off): an over-budget tier is dropped and its
+    would-be blocks escalate to the whole-frame exact fallback."""
+    from mathmap_tpu.pallas_kernels import sample_kernel as SK
+
+    monkeypatch.setattr(SK, "_SMEM_PREFETCH_BUDGET", 30_000)
+    img = np.random.RandomState(4).rand(640, 640, 4).astype(np.float32)
+    f = mm.compile_file("filters/Distorts/spiral_warp.mm")
+    a = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
+                 options=mm.RenderOptions(sampler="pallas",
+                                          pallas_per_tile="off",
                                           pallas_precision="f32"))
     b = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
                  options=mm.RenderOptions(sampler="gather"))
