@@ -111,8 +111,13 @@ def eligible(ctx, node: A.While, env=None) -> bool:
 
     if not ctx.is_jax or getattr(ctx, "in_pallas", False):
         return False
-    if ctx.grid_shape is not None or ctx.local_height is not None:
-        return False  # sharded tiles (either layout): keep the XLA path
+    # Mesh-sharded tiles (grid_shape pixel tiles or base-layout
+    # local_height tiles — parallel/shard.py, parallel/halo.py) run the
+    # engine PER DEVICE TILE: ctx.shape is the concrete local shape and
+    # the tile's traced global offsets (lax.axis_index-derived) ride
+    # (1, 1) scalar inputs into the kernel (launch below), so multi-chip
+    # fractal renders keep the in-VMEM carry path instead of paying the
+    # HBM round-trips the engine exists to avoid.
     mode = getattr(ctx.opts, "pallas_while", "auto")
     if mode == "off":
         return False
@@ -212,6 +217,17 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
 
     t_arr = jnp.asarray(ctx.t, f32).reshape(1, 1)
     fr_arr = jnp.asarray(ctx.frame, f32).reshape(1, 1)
+    # The tile's global offsets may be TRACED under shard_map
+    # (lax.axis_index-derived) — a pallas kernel cannot close over traced
+    # values, so they enter as (1, 1) scalar inputs. row/col offsets are
+    # offsets into THIS context's array layout (pixels, or base-layout
+    # block rows) that the kernel advances per grid step; tile_row0/col0
+    # are the base-layout tile's global pixel origin (rand decode).
+    i32 = jnp.int32
+    ro_arr = jnp.asarray(ctx.row_offset, i32).reshape(1, 1)
+    co_arr = jnp.asarray(ctx.col_offset, i32).reshape(1, 1)
+    tr_arr = jnp.asarray(ctx.tile_row0, i32).reshape(1, 1)
+    tc_arr = jnp.asarray(ctx.tile_col0, i32).reshape(1, 1)
     x_arr = jnp.asarray(ev.x, f32)
     y_arr = jnp.asarray(ev.y, f32)
     if x_arr.shape != (H, W) or y_arr.shape != (H, W):
@@ -222,7 +238,8 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
     small = pl.BlockSpec((1, 1), lambda i, j: (0, 0))
     grid_spec = pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))
 
-    def kernel(i_ref, t_ref, fr_ref, x_ref, y_ref, m_ref, *rest):
+    def kernel(i_ref, t_ref, fr_ref, ro_ref, co_ref, tr_ref, tc_ref,
+               x_ref, y_ref, m_ref, *rest):
         flat_refs = rest[:n_flat]
         dep_refs = rest[n_flat:n_flat + n_dep]
         out_refs = rest[n_flat + n_dep:]
@@ -230,7 +247,9 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
         pj = pl.program_id(1)
         ctx2 = replace(
             ctx, grid_shape=(TILE_H, TILE_W),
-            row_offset=pi * TILE_H, col_offset=pj * TILE_W,
+            row_offset=ro_ref[0, 0] + pi * TILE_H,
+            col_offset=co_ref[0, 0] + pj * TILE_W,
+            tile_row0=tr_ref[0, 0], tile_col0=tc_ref[0, 0],
             t=t_ref[0, 0], frame=fr_ref[0, 0], in_pallas=True, inputs=[],
         )
         base_env = {}
@@ -258,7 +277,7 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
     call = pl.pallas_call(
         kernel,
         grid=(Ht // TILE_H, Wt // TILE_W),
-        in_specs=[small, small, small, grid_spec, grid_spec, grid_spec]
+        in_specs=[small] * 7 + [grid_spec, grid_spec, grid_spec]
         + [grid_spec] * n_flat
         + [grid_spec if g else small for g in dep_is_grid],
         out_specs=[grid_spec] * (1 + n_flat),
@@ -273,6 +292,7 @@ def launch(ev, node: A.While, flat0, mask0, *, init_env, carried, step,
     def body_fn(state):
         i, mf, flat = state
         outs = call(jnp.full((1, 1), i, jnp.int32), t_arr, fr_arr,
+                    ro_arr, co_arr, tr_arr, tc_arr,
                     x_arr, y_arr, mf, *flat, *dep_arrays)
         return (i + K_IN, outs[0], tuple(outs[1:]))
 
