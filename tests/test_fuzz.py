@@ -279,3 +279,31 @@ def test_fuzz_const_bound_folds_and_unrolls(seed):
         jax_out = f.render(img)
     assert spy.calls == 0, f"bound must fold+unroll: {src}"
     np.testing.assert_allclose(jax_out, oracle, atol=1e-6, err_msg=src)
+
+
+@pytest.mark.parametrize("seed", range(300, 316))
+def test_random_expression_sharded_parity(seed):
+    """Random programs (loops, shadowing, rand, sampling) rendered over a
+    virtual device mesh must match the unsharded render to ~1 ulp — the
+    sharding layer may not change semantics for any language feature.
+    (Not bitwise: XLA lowers transcendentals with shape-dependent
+    vectorization, so sin() on a 16x8 tile can differ from the 16x32
+    program by 1 ulp even with identical inputs — observed on seed 311's
+    column mesh with DEFAULT options.) Odd seeds force the in-VMEM while
+    engine (round 3: it runs inside mesh tiles), so loop-bearing programs
+    fuzz that path sharded too."""
+    from mathmap_tpu.parallel.mesh import make_mesh
+    from mathmap_tpu.parallel.shard import ShardedRenderer
+
+    h, w = 16, 32
+    src = ExprGen(seed).program()
+    img = np.random.RandomState(seed).rand(h, w, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    opts = (mm.RenderOptions(pallas_while="on") if seed % 2
+            else mm.RenderOptions())
+    f = mm.compile(src)
+    want = np.asarray(f.render(img, width=w, height=h, t=0.3, options=opts))
+    mesh = make_mesh(1, 8, 1) if seed % 4 < 2 else make_mesh(1, 2, 4)
+    r = ShardedRenderer(mesh, f.filters, f.fdef, w, h, opts, 1)
+    got = np.asarray(r([img], t=0.3))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6, err_msg=src)
