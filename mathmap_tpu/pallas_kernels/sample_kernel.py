@@ -879,11 +879,15 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
         p = _Plan()
         p.tile_w, p.win_h, p.win_w = tile_w_c, win_h_c, win_w_c
         p.gw, p.ntx = gw, ntx
+        # scalar-prefetch rows beyond oy/ox (the coff rows) — the single
+        # local run_idx and run_smem_ok both size their footprints from,
+        # so the fast-path-vs-capped threshold cannot drift from the
+        # actual prefetch set (matches _tier_smem_rows' post-drop rule)
+        smem_rows = (8 if subchunk else gw) if subw else 0
         # whether the NON-indirect whole-grid launch (run / the chain
         # path) fits the SMEM prefetch budget at this frame size; the
         # indirect path self-caps in run_idx
-        rows = (8 if subchunk else gw) if subw else 0
-        p.run_smem_ok = (_smem_table_bytes(nby * ntx, 2 + rows)
+        p.run_smem_ok = (_smem_table_bytes(nby * ntx, 2 + smem_rows)
                          <= _SMEM_PREFETCH_BUDGET)
         if win_h_c >= hp and win_w_c >= wp:
             # window covers the entire padded image (small inputs, LUTs):
@@ -923,9 +927,9 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
             data still moves exclusively by block DMA). Empty slices are
             skipped via lax.cond, so cost scales with actual claims."""
             n_tiles = nby * ntx
-            rows = (8 if subchunk else gw) if subw else 0
             idx = idx.astype(jnp.int32)
-            if _smem_table_bytes(n_tiles, 3 + rows) <= _SMEM_PREFETCH_BUDGET:
+            if (_smem_table_bytes(n_tiles, 3 + smem_rows)
+                    <= _SMEM_PREFETCH_BUDGET):
                 return _call_kernel_tiles(
                     img_xm, px_b, py_b,
                     oy.reshape(1, n_tiles), ox.reshape(1, n_tiles),
@@ -935,7 +939,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                     grid_bound=count, tile_idx=idx, subw=subw, coff=coff,
                     carry=carry, subchunk=subchunk,
                 )
-            cap = _SMEM_PREFETCH_BUDGET // ((3 + rows) * 4)
+            cap = _SMEM_PREFETCH_BUDGET // ((3 + smem_rows) * 4)
             cap = max(128, (cap // 128) * 128)
             n_launch = -(-n_tiles // cap)
             pad_n = n_launch * cap - idx.shape[0]

@@ -17,8 +17,10 @@ call elementwise builtins (no image/curve/gradient application, no
 table-based noise or GSL-class specials — Mosaic has no vector gather;
 rand() IS allowed: its index grid is built from 2-D iotas; no nested
 while — scf again),
-the render must be unsharded, tile-aligned, big enough to amortize the
-launch, and not already inside a Pallas kernel. Everything else falls back
+the render must be tile-aligned, big enough to amortize the launch, and
+not already inside a Pallas kernel. Mesh-sharded renders run the engine
+PER DEVICE TILE (round 3): the tile's traced global offsets enter the
+kernel as (1, 1) scalar inputs. Everything else falls back
 to the XLA unrolled loop. The step semantics (mask gating, cond-assignment
 persistence, max_iters cap) are the SAME closure the XLA path uses — this
 module only owns the tiling/launch mechanics.

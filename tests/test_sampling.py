@@ -592,7 +592,7 @@ def test_smem_tier_filter_static():
     # (8, n_tiles) coff alone is ~2 MB); every other rung keeps running
     k8 = kept(4320, 7680, False)
     assert len(k8) == len(tiers) - 1
-    assert (8, 64, 512, 512, None) not in k8
+    assert (8, 64, 512, 512, 160) not in k8  # _filter_tiers keeps sw
     # 16K chain path: even the oy/ox pair exceeds SMEM for every rung —
     # it must degrade to the exact gather path, not crash at compile
     assert kept(8640, 15360, False) == []
