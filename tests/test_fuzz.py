@@ -307,3 +307,27 @@ def test_random_expression_sharded_parity(seed):
     r = ShardedRenderer(mesh, f.filters, f.fdef, w, h, opts, 1)
     got = np.asarray(r([img], t=0.3))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6, err_msg=src)
+
+
+@pytest.mark.parametrize("seed", range(400, 412))
+def test_random_batch_matches_lone_renders(seed):
+    """render_batch over random programs with PER-JOB param values, ts and
+    inputs must equal each job's lone render — the serving layer's core
+    coalescing invariant, fuzzed (its unit tests pin fixed filters only).
+    frames=0 per job matches render()'s default frame."""
+    g = ExprGen(seed)
+    body = g.scalar()
+    src = (f"filter f (image in, float p: 0-2 (1)) "
+           f"grayColor(clamp(({body}) * 0.3 + p * 0.2, 0, 1)) end")
+    f = mm.compile(src)
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(2, 5))
+    imgs = rng.rand(n, H, W, 4).astype(np.float32)
+    ts = rng.rand(n).astype(np.float32)
+    ps = [{"p": float(rng.uniform(0, 2))} for _ in range(n)]
+    batched = f.render_batch(imgs, ts=ts, frames=[0.0] * n, params=ps)
+    for i in range(n):
+        lone = f.render(imgs[i], t=float(ts[i]), params=ps[i])
+        np.testing.assert_allclose(
+            batched[i], lone, rtol=1e-5, atol=1e-5,
+            err_msg=f"{src} job {i} p={ps[i]}")

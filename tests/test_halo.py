@@ -313,3 +313,32 @@ def test_fuzz_displacement_bound_is_sound(seed):
     dy_b, dx_b = bound
     assert dx_b + 1e-3 >= max_dx, (src, bound, max_dx)
     assert dy_b + 1e-3 >= max_dy, (src, bound, max_dy)
+
+
+@pytest.mark.parametrize("seed", range(400, 420))
+def test_fuzz_tiled_auto_halo_end_to_end_parity(seed):
+    """End-to-end guard for the WHOLE halo='auto' chain (bound inference →
+    ppermute exchange → tile assembly): a random bounded-displacement warp
+    rendered input-sharded must match the replicated-input render exactly.
+    The 30-seed soundness fuzz above checks the bound DOMINATES; this one
+    checks the render built on that bound is RIGHT — an exchange or
+    assembly bug would pass the bound check and fail here. A refusal to
+    bound (inference returns None → MMError) is a sound outcome and
+    skips."""
+    g = _DispGen(seed)
+    # /6: keep |d| well under the 4-row tile height so auto halos fit
+    dx_e, dy_e = f"({g.scalar()}) / 6", f"({g.scalar()}) / 6"
+    edge = ["color", "wrap", "reflect"][seed % 3]
+    src = f"origVal(xy + xy:[{dx_e}, {dy_e}])"
+    opts = mm.RenderOptions(edge_x=edge, edge_y=edge)
+    img = _image(seed)
+    f = mm.compile(src)
+    t = float(np.random.RandomState(seed).rand())
+    want = np.asarray(f.render(img, width=W, height=H, t=t, options=opts))
+    try:
+        got = f.render_tiled(img, halo="auto", mesh=make_mesh(1, 8, 1),
+                             width=W, height=H, options=opts, t=t)
+    except mm.MMError as e:
+        pytest.skip(f"sound refusal: {e}")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6,
+                               err_msg=src)
