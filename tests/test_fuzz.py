@@ -331,3 +331,36 @@ def test_random_batch_matches_lone_renders(seed):
         np.testing.assert_allclose(
             batched[i], lone, rtol=1e-5, atol=1e-5,
             err_msg=f"{src} job {i} p={ps[i]}")
+
+
+@pytest.mark.parametrize("seed", range(500, 508))
+def test_random_warp_random_ladder_chain_path_matches_gather(seed):
+    """Same random-warp/random-ladder property as the per-tile fuzz above,
+    but on the CHAIN path (pallas_per_tile='off': one lax.cond tier chain
+    for the whole frame + full-table launches) — its planning, escalation
+    and SMEM tier-drop logic are separate code from the indirect per-tile
+    path and deserve their own fuzz."""
+    rng = np.random.RandomState(seed)
+    amp = float(rng.uniform(0.5, 6.0))
+    fx = float(rng.uniform(0.05, 0.4))
+    fy = float(rng.uniform(0.05, 0.4))
+    src = (f"filter fwarp (image in)\n"
+           f"  in(xy + xy:[{amp:.3f} * sin(y * {fy:.3f}),"
+           f" {amp:.3f} * cos(x * {fx:.3f})])\nend")
+    tiers = []
+    for _ in range(int(rng.randint(1, 5))):
+        tw = int(rng.choice([64, 128, 256]))
+        wh = int(rng.choice([32, 64, 96]))
+        ww = int(rng.choice([32, 64, 96, 128, 192, 256]))
+        sw = int(rng.choice([0, 48, 80])) if tw > 64 else 0
+        tiers.append((8, tw, wh, ww, sw))
+    img = rng.rand(72, 320, 4).astype(np.float32)
+    f = mm.compile(src)
+    a = f.render(img, width=320, height=72, t=0.0,
+                 options=mm.RenderOptions(
+                     sampler="pallas", pallas_precision="f32",
+                     pallas_per_tile="off", pallas_tiers=tuple(tiers)))
+    b = f.render(img, width=320, height=72, t=0.0,
+                 options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                               err_msg=f"tiers={tiers} amp={amp}")

@@ -259,3 +259,40 @@ def test_warmup_batch_sizes(service):
                              width=W, height=H, params=[{}, {}])
     direct = filt.render(imgs[1], width=W, height=H, t=0.4)
     np.testing.assert_allclose(outs[1], np.asarray(direct), atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_concurrent_mixed_programs_no_crosstalk(service, seed):
+    """Fuzz the dispatcher's GROUPING boundary: 12 concurrent jobs across 4
+    RANDOM source programs with per-job params/t/inputs — jobs may only
+    coalesce within their (program, geometry, options) group, and every
+    result must equal its direct render. A grouping-key bug (cross-program
+    batch, param bleed between groups) fails the parity check."""
+    from tests.test_fuzz import ExprGen
+
+    rng = np.random.RandomState(40 + seed)
+    sources = []
+    for k in range(4):
+        body = ExprGen(100 * seed + k).scalar()
+        sources.append(
+            f"filter f{k} (image in, float p: 0-2 (1)) "
+            f"grayColor(clamp(({body}) * 0.3 + p * 0.2, 0, 1)) end")
+    jobs = [(sources[rng.randint(4)], _img(int(rng.randint(50))),
+             float(rng.rand()), {"p": float(rng.uniform(0, 2))})
+            for _ in range(12)]
+    results = [None] * len(jobs)
+
+    def go(i):
+        src, img, t, ps = jobs[i]
+        results[i] = service.render_sync({"source": src}, [img], W, H,
+                                         t=t, params=ps)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(len(jobs))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    for i, (src, img, t, ps) in enumerate(jobs):
+        direct = mm.compile(src).render(img, width=W, height=H, t=t, params=ps)
+        np.testing.assert_allclose(results[i], np.asarray(direct), atol=1e-6,
+                                   err_msg=f"job {i}: {src} p={ps}")
