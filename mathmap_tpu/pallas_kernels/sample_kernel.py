@@ -169,13 +169,18 @@ def _edge_map_coord(jnp, p, n: int, behavior: str):
 
 def _edge_pad_indices(n: int, behavior: str, lo: int, hi: int):
     """Source-row indices (host ints) for positions [lo, hi) outside
-    [0, n) under wrap/reflect — valid for ANY n >= 1 (slice-based pads
-    crashed when n < pad width; review r3 finding)."""
+    [0, n) under wrap/reflect/clamp — valid for ANY n >= 1 (slice-based
+    pads crashed when n < pad width; review r3 finding). "clamp"
+    replicates the boundary row — the apron content for SHARDED axes of
+    a tiled/halo render, where out-of-block taps must clamp into the
+    block (TiledInput.make_gather's clip semantics), not wrap/mirror."""
     import numpy as _np
 
     pos = _np.arange(lo, hi)
     if behavior == "wrap":
         return _np.mod(pos, n)
+    if behavior == "clamp":
+        return _np.clip(pos, 0, n - 1)
     m = _np.mod(pos, 2 * n)
     return _np.where(m < n, m, 2 * n - 1 - m)
 
@@ -183,7 +188,7 @@ def _edge_pad_indices(n: int, behavior: str, lo: int, hi: int):
 def _apron(jnp, img, axis: int, n: int, behavior: str, edge_color, pad_l: int, pad_r: int):
     """Extend `img` along `axis` by pad_l before and pad_r after with
     behavior-encoded content ((H,W,4) channel-last layout)."""
-    if behavior in ("wrap", "reflect"):
+    if behavior in ("wrap", "reflect", "clamp"):
         left = jnp.take(img, _edge_pad_indices(n, behavior, -pad_l, 0), axis=axis)
         right = jnp.take(img, _edge_pad_indices(n, behavior, n, n + pad_r), axis=axis)
     else:
@@ -657,7 +662,8 @@ def _unflatten_base(out, nby, nbx):
 # ---------------------------------------------------------------------------
 
 def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
-                        edge_x=None, edge_y=None, xla_subset=None):
+                        edge_x=None, edge_y=None, xla_subset=None,
+                        pixel_coords=None):
     """Sample InputImage `img` at world coords (x, y) via the Pallas kernel.
 
     Returns [r, g, b, a] channel arrays. `xla_fallback()` is traced into a
@@ -667,7 +673,13 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     no tier window (singular warps: polar inversion class) instead of
     sending the whole frame to the gather path.
     interpolation/edge_x/edge_y default to the invocation options; callers
-    with fixed semantics (gradient/curve LUTs) override them."""
+    with fixed semantics (gradient/curve LUTs) override them.
+
+    `pixel_coords=(px, py)`: PRE-MAPPED float pixel coordinates into
+    img.pixels' index space — world_to_pixel and the edge coordinate map
+    are skipped (the caller applied its own global-edge + local transform;
+    the tiled/halo path does, runtime/sampling._sample_pallas_tiled).
+    edge_x/edge_y then only select the PREPAD APRON content."""
     import jax
     import jax.numpy as jnp
 
@@ -701,9 +713,12 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     hp, wp = padded_dims(h_img, w_img)
 
     # ---- coords + edge mapping (XLA, fused) ----
-    px, py = S.world_to_pixel(jnp, x, y, w_img, h_img)
-    px = _edge_map_coord(jnp, px, w_img, edge_x)
-    py = _edge_map_coord(jnp, py, h_img, edge_y)
+    if pixel_coords is not None:
+        px, py = pixel_coords
+    else:
+        px, py = S.world_to_pixel(jnp, x, y, w_img, h_img)
+        px = _edge_map_coord(jnp, px, w_img, edge_x)
+        py = _edge_map_coord(jnp, py, h_img, edge_y)
     pxp = px + float(PAD_L)
     pyp = py + float(PAD_L)
 

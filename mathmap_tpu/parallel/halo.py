@@ -117,14 +117,62 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
         raise MMRuntimeError(f"halo ({halo_x}) larger than tile width ({tile_w})")
     uservals = uservals or {}
 
+    def _paint_edge_halo(ext, axis_idx, n_axis, halo_n, axis, behavior):
+        """A global-edge device's ring-wrapped halo holds the OPPOSITE
+        global edge's rows. The gather path never exposes that content
+        (it edge-maps every tap index GLOBALLY before localizing), but
+        the Pallas path encodes edge behavior as CONTENT — so under edge
+        'color'/'reflect', overwrite the leading halo on device 0 and the
+        trailing halo on device n-1 with what the global edge semantics
+        put at global positions [-halo, 0) / [N, N+halo): the edge color,
+        or the mirror of the device's own boundary rows. ('wrap' keeps
+        the ring content — that IS the wrap semantics.) Invisible to the
+        gather path for in-contract samples: in-range global taps never
+        land there (device 0's local [0, halo) ⇔ global [-halo, 0));
+        contract-VIOLATING clipped taps may read painted rows, which
+        'clamp into the block' never promised content for."""
+        import jax.numpy as jnp
+
+        ext_n = ext.shape[axis]
+        pos_shape = [1, 1, 1]
+        pos_shape[axis] = ext_n
+        pos = jnp.arange(ext_n).reshape(pos_shape)
+        lead = (axis_idx == 0) & (pos < halo_n)
+        trail = (axis_idx == n_axis - 1) & (pos >= ext_n - halo_n)
+        if behavior == "color":
+            col = jnp.asarray(opts.edge_color, dtype=ext.dtype).reshape(1, 1, 4)
+            return jnp.where(lead | trail, col, ext)
+        # reflect: global position -k mirrors to k-1, so local halo row i
+        # (in [0, halo)) takes local row 2*halo-1-i; the trailing halo
+        # mirrors across the ext_n - halo boundary. Built with static
+        # flips + elementwise where (an index-based take would be an XLA
+        # row gather of the whole block — ~6 ns/element).
+        sl = jax.lax.slice_in_dim
+        lead_m = jnp.concatenate(
+            [jnp.flip(sl(ext, halo_n, 2 * halo_n, axis=axis), axis=axis),
+             sl(ext, halo_n, ext_n, axis=axis)], axis=axis)
+        trail_m = jnp.concatenate(
+            [sl(ext, 0, ext_n - halo_n, axis=axis),
+             jnp.flip(sl(ext, ext_n - 2 * halo_n, ext_n - halo_n, axis=axis),
+                      axis=axis)], axis=axis)
+        return jnp.where(lead, lead_m, jnp.where(trail, trail_m, ext))
+
     def tile_render(inp_local):
         row_idx = jax.lax.axis_index(ROW_AXIS)
         row_off = row_idx * tile_h
         ext = exchange_halo(inp_local, halo_y, ROW_AXIS, axis=0)
+        # painting applies on 1-device axes too (ny==1 still carries the
+        # interpolation-margin halo, self-wrapped by the ring — wrong
+        # content for color/reflect); lead and trail both match there
+        if halo_y and opts.edge_y in ("color", "reflect"):
+            ext = _paint_edge_halo(ext, row_idx, ny, halo_y, 0, opts.edge_y)
         if nx > 1:
             col_idx = jax.lax.axis_index(COL_AXIS)
             col_off = col_idx * tile_w
             ext = exchange_halo(ext, halo_x, COL_AXIS, axis=1)
+            if halo_x and opts.edge_x in ("color", "reflect"):
+                ext = _paint_edge_halo(ext, col_idx, nx, halo_x, 1,
+                                       opts.edge_x)
         else:
             col_off = 0
         excess = [jnp.float32(-(2 ** 30))]

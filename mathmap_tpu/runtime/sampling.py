@@ -136,6 +136,12 @@ def sample_image(ev, img, x, y, frame=None):
         frame = ev.ctx.frame
     if not animated:
         frame = None  # single-frame: every index clamps to frame 0
+    from .value import TiledInput
+
+    if (type(img) is TiledInput and frame is None and ev.ctx.is_jax
+            and getattr(x, "ndim", 0) == 2 and x.shape == ev.ctx.shape
+            and pallas_policy(ev.ctx.opts)):
+        return _sample_pallas_tiled(ev, img, x, y)
     if _use_pallas(ev, img) and getattr(x, "ndim", 0) == 2 and x.shape == ev.ctx.shape \
             and (not animated or getattr(frame, "ndim", 0) == 0):
         from ..pallas_kernels.sample_kernel import sample_image_pallas
@@ -161,6 +167,122 @@ def sample_image(ev, img, x, y, frame=None):
             xla_subset=lambda xs, ys: _sample_xla(ev, img, xs, ys),
         )
     return _sample_xla(ev, img, x, y, frame=frame)
+
+
+def _sample_pallas_tiled(ev, img, x, y):
+    """Route a TiledInput (halo-exchanged local block, parallel/halo.py)
+    through the MXU sampling kernel — the input-sharded path previously
+    always paid the ~6 ns/element XLA gather (the one multi-chip path not
+    running the flagship kernels).
+
+    The kernel samples the EXT block (tile + halos) as a standalone image
+    with PRE-MAPPED pixel coordinates: world -> global pixel coords ->
+    the GLOBAL edge coordinate map (same _edge_map_coord as single-chip)
+    -> local shift by row/col_base (mod-global for 'wrap', so seam
+    samples land on the ring-wrapped halo exactly like make_gather's
+    per-tap arithmetic). Edge content the coordinate map cannot express
+    locally lives in the block itself: halo.py paints global-edge
+    devices' halos for 'color'/'reflect', and the ext prepad's apron
+    replicates boundary rows ('clamp' — the gather path's clip-into-block
+    semantics) except under 'color', whose apron is the edge color.
+
+    Out-of-contract samples plan huge source windows, fail every tier and
+    fall to the exact subset patch / gather fallback (world coords -> the
+    TiledInput gather, identical clip semantics). The halo-violation
+    check mirrors make_gather's: mod-global tap endpoints past the ext
+    block feed the violation hook (top-level samples only — same
+    loop_depth gate the gather hook applies)."""
+    import jax.numpy as jnp
+
+    from ..pallas_kernels.sample_kernel import _edge_map_coord, sample_image_pallas
+    from .value import InputImage
+
+    opts = ev.ctx.opts
+    gh, gw = img.global_shape
+    ext_h, ext_w = int(img.pixels.shape[0]), int(img.pixels.shape[1])
+    col_sharded = bool(img.global_width)
+
+    px, py = world_to_pixel(jnp, x, y, gw, gh)
+    pxg = _edge_map_coord(jnp, px, gw, opts.edge_x)
+    pyg = _edge_map_coord(jnp, py, gh, opts.edge_y)
+
+    def _localize_wrap(pg, base, n, ext_n):
+        """Wrap-mode local map: the plain shift pg - base is the CONTIGUOUS
+        local coordinate (ext content is one unbroken run of global rows
+        mod n); seam devices see it off by exactly ±n — adjust by one
+        period, selecting INTO [0, ext). A plain mod-n would instead cut a
+        wrap boundary through the ext interior whenever ext > n (a 1-device
+        axis still carries the interpolation-margin halo) or land seam
+        content at the wrong end: taps straddling that cut read the OTHER
+        halo — observed as a 6e-2 bicubic error band on the rows adjacent
+        to local n."""
+        l0 = pg - base
+        return jnp.where(l0 < 0, l0 + n,
+                         jnp.where(l0 >= ext_n, l0 - n, l0))
+
+    if opts.edge_y == "wrap":
+        py_loc = _localize_wrap(pyg, img.row_base, float(gh), float(ext_h))
+    else:
+        py_loc = pyg - img.row_base
+    if col_sharded:
+        if opts.edge_x == "wrap":
+            px_loc = _localize_wrap(pxg, img.col_base, float(gw),
+                                    float(ext_w))
+        else:
+            px_loc = pxg - img.col_base
+    else:
+        px_loc = pxg  # unsharded axis: identical to the single-chip path
+
+    if img.violation_hook is not None:
+        # mirror make_gather's check: edge-map each tap index GLOBALLY
+        # (like _edge_index), localize mod-global (a below-block violation
+        # wraps to a large local index), measure past the ext block.
+        # The range's two endpoint taps suffice: a contiguous range either
+        # stays within one mod period (max at an endpoint) or crosses it
+        # (the lo endpoint lands near gh-1 >> ext, flagged regardless).
+        half = 0.5 if opts.interpolation == "nearest" else 0.0
+        n_taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[opts.interpolation]
+        tap_lo = -1 if opts.interpolation == "bicubic" else 0
+
+        def _tap_excess(pg, behavior, n, base, ext_n):
+            exc = None
+            for k in (tap_lo, tap_lo + n_taps - 1):
+                t = jnp.floor(pg + half) + k
+                if behavior == "color":
+                    t = jnp.clip(t, 0, n - 1)
+                elif behavior == "reflect":
+                    m = jnp.mod(t, float(2 * n))
+                    t = jnp.where(m < n, m, 2.0 * n - 1.0 - m)
+                e = jnp.max(jnp.mod(t - base, float(n))) - (ext_n - 1)
+                exc = e if exc is None else jnp.maximum(exc, e)
+            return exc
+
+        excess = _tap_excess(pyg, opts.edge_y, gh, img.row_base, ext_h)
+        if col_sharded:
+            excess = jnp.maximum(
+                excess,
+                _tap_excess(pxg, opts.edge_x, gw, img.col_base, ext_w))
+        img.violation_hook(excess)
+
+    apron_y = "color" if opts.edge_y == "color" else "clamp"
+    apron_x = (opts.edge_x if not col_sharded
+               else ("color" if opts.edge_x == "color" else "clamp"))
+    local = InputImage(pixels=img.pixels, name=img.name)
+    # the fallback/subset closures trace into lax.cond branches, where the
+    # gather path's violation hook (a trace-level side channel) would leak
+    # tracers out of the cond; the top-level tap-endpoint check above
+    # already covers EVERY sample position, so the fallbacks run with the
+    # hook suppressed
+    import dataclasses
+
+    img_nohook = dataclasses.replace(img, violation_hook=None)
+    return sample_image_pallas(
+        ev, local, x, y,
+        xla_fallback=lambda: _sample_xla(ev, img_nohook, x, y),
+        xla_subset=lambda xs, ys: _sample_xla(ev, img_nohook, xs, ys),
+        edge_x=apron_x, edge_y=apron_y,
+        pixel_coords=(px_loc, py_loc),
+    )
 
 
 def _sample_xla(ev, img, x, y, frame=None):

@@ -342,3 +342,144 @@ def test_fuzz_tiled_auto_halo_end_to_end_parity(seed):
         pytest.skip(f"sound refusal: {e}")
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6,
                                err_msg=src)
+
+
+# ---------------------------------------------------------------------------
+# TiledInput through the Pallas MXU sampler (runtime/sampling.
+# _sample_pallas_tiled): the input-sharded halo path previously always paid
+# the ~6 ns/element XLA gather — the one multi-chip surface not running the
+# flagship kernel. Parity is pinned against the exact gather path (the
+# spec); f32 precision keeps tolerances at rounding scale.
+# ---------------------------------------------------------------------------
+
+PH, PW = 64, 512  # kernel-scale frame so tiers claim (not the overflow path)
+
+
+def _pimage(seed=21):
+    img = np.random.RandomState(seed).rand(PH, PW, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+def _pallas_tiled(src, img, halo, opts, mesh_shape=(1, 8, 1), t=0.0):
+    f = mm.compile(src)
+    mesh = make_mesh(*mesh_shape)
+    r = TiledRenderer(mesh, f.filters, f.fdef, PW, PH, opts, halo)
+    return np.asarray(r(img, t=t))
+
+
+def _gather_want(src, img, opts, t=0.0):
+    import dataclasses
+    g = dataclasses.replace(opts, sampler="gather")
+    return np.asarray(mm.compile(src).render(img, width=PW, height=PH, t=t,
+                                             options=g))
+
+
+def test_tiled_pallas_wave_matches_gather():
+    """Bounded wave displacement, row mesh: the Pallas kernel samples the
+    halo-extended local block with pre-mapped pixel coords."""
+    img = _pimage()
+    src = "origVal(xy + xy:[3 * sin(y / 9), 2 * sin(x / 7 + t)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    got = _pallas_tiled(src, img, halo=5, opts=opts, t=0.37)
+    want = _gather_want(src, img, opts, t=0.37)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_wrap_seam():
+    """edge wrap on both axes: seam samples land on ring-wrapped halo
+    content via the mod-global localization."""
+    img = _pimage(22)
+    src = "origVal(xy + xy:[0, 3])"  # top rows wrap to the bottom
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            edge_x="wrap", edge_y="wrap")
+    got = _pallas_tiled(src, img, halo=5, opts=opts)
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_reflect_edge():
+    """edge reflect: global-edge devices' halos are repainted with the
+    mirror of their own boundary rows (halo.py _paint_edge_halo)."""
+    img = _pimage(23)
+    src = "origVal(xy + xy:[0, 2 * sin(x / 5)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            edge_y="reflect")
+    got = _pallas_tiled(src, img, halo=4, opts=opts)
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_color_edge():
+    """edge color with a non-default color: halo paint + apron content both
+    carry the color."""
+    img = _pimage(24)
+    src = "origVal(xy + xy:[0, 3])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            edge_color=(0.2, 0.4, 0.6, 1.0))
+    got = _pallas_tiled(src, img, halo=4, opts=opts)
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_column_sharded_wrap():
+    """2x4 mesh (rows AND columns sharded), wrap on x: the column axis
+    localizes mod-global too."""
+    img = _pimage(25)
+    src = "origVal(xy + xy:[4 * sin(y / 6), 2 * sin(x / 8)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            edge_x="wrap", edge_y="wrap")
+    got = _pallas_tiled(src, img, halo=(4, 6), opts=opts,
+                        mesh_shape=(1, 2, 4))
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_bicubic():
+    img = _pimage(26)
+    src = "origVal(xy + xy:[1.5 * sin(y / 7), 1.5 * cos(x / 9)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            interpolation="bicubic")
+    got = _pallas_tiled(src, img, halo=5, opts=opts)
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_violation_still_raises():
+    """check=True contract checking survives the Pallas route: the tap-
+    endpoint excess check mirrors make_gather's violation hook."""
+    img = _pimage(27)
+    src = "origVal(xy + xy:[0, 6])"  # shift 6 > halo 2
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    f = mm.compile(src)
+    r = TiledRenderer(make_mesh(1, 8, 1), f.filters, f.fdef, PW, PH, opts, 2)
+    with pytest.raises(mm.MMError):
+        r(img)
+
+
+def test_tiled_pallas_per_tile_claims():
+    """pallas_per_tile='on' per-tile tier claims run inside the tiled path
+    (mixed-warp frames claim different tiers per tile)."""
+    img = _pimage(28)
+    src = "origVal(xy + xy:[3 * sin(y / 9) * sin(x / 40), 2 * sin(x / 7)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            pallas_per_tile="on")
+    got = _pallas_tiled(src, img, halo=5, opts=opts)
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_route_actually_runs_kernel():
+    """Guard against the route silently degrading to the exact gather
+    fallback (which would make every parity test above pass vacuously):
+    at default bf16 precision the kernel's weight contraction rounds
+    visibly (~1e-3), so the tiled output must DIFFER from the exact gather
+    by more than f32 noise — and stay within the bf16 envelope."""
+    import dataclasses
+    img = _pimage(21)
+    src = "origVal(xy + xy:[3 * sin(y / 9), 2 * sin(x / 7 + t)])"
+    opts = mm.RenderOptions(sampler="pallas")  # default bf16
+    got = _pallas_tiled(src, img, halo=5, opts=opts, t=0.37)
+    want = _gather_want(src, img, opts, t=0.37)
+    d = float(np.abs(got - want).max())
+    assert 1e-6 < d < 6e-3, d
