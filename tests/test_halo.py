@@ -483,3 +483,25 @@ def test_tiled_pallas_route_actually_runs_kernel():
     want = _gather_want(src, img, opts, t=0.37)
     d = float(np.abs(got - want).max())
     assert 1e-6 < d < 6e-3, d
+
+
+@pytest.mark.parametrize("seed", range(430, 436))
+def test_fuzz_tiled_pallas_parity(seed):
+    """Random bounded-displacement warps through the tiled-Pallas route
+    (sampler='pallas', f32): parity vs the exact unsharded gather across
+    edge modes and mesh shapes. Catches localization/paint bugs the
+    hand-written cases above miss."""
+    g = _DispGen(seed)
+    dx_e = f"clamp(({g.scalar()}) / 4, -4, 4)"
+    dy_e = f"clamp(({g.scalar()}) / 4, -4, 4)"
+    edge = ["color", "wrap", "reflect"][seed % 3]
+    mesh_shape = (1, 8, 1) if seed % 2 else (1, 2, 4)
+    src = f"origVal(xy + xy:[{dx_e}, {dy_e}])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            edge_x=edge, edge_y=edge)
+    img = _pimage(seed)
+    t = float(np.random.RandomState(seed).rand())
+    got = _pallas_tiled(src, img, halo=7, opts=opts, mesh_shape=mesh_shape,
+                        t=t)
+    want = _gather_want(src, img, opts, t=t)
+    np.testing.assert_allclose(got, want, atol=5e-5, err_msg=src)
