@@ -505,3 +505,30 @@ def test_fuzz_tiled_pallas_parity(seed):
                         t=t)
     want = _gather_want(src, img, opts, t=t)
     np.testing.assert_allclose(got, want, atol=5e-5, err_msg=src)
+
+
+def test_tiled_pallas_auto_halo():
+    """halo='auto' (affine-interval bound inference) composes with the
+    Pallas tiled route — the margin already covers the kernel's taps."""
+    img = _pimage(31)
+    src = "origVal(xy + xy:[3 * sin(y / 9), 2 * sin(x / 7)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    f = mm.compile(src)
+    got = np.asarray(f.render_tiled(img, halo="auto", mesh=make_mesh(1, 8, 1),
+                                    width=PW, height=PH, options=opts))
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_nearest_mixed_edges():
+    """nearest interpolation + differing per-axis edge modes through the
+    tiled route (wrap rows, reflect cols on a 2x4 mesh)."""
+    img = _pimage(32)
+    src = "origVal(xy + xy:[2 * sin(y / 6), 3 * cos(x / 8)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            interpolation="nearest",
+                            edge_x="reflect", edge_y="wrap")
+    got = _pallas_tiled(src, img, halo=(5, 6), opts=opts,
+                        mesh_shape=(1, 2, 4))
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
