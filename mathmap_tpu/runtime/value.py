@@ -201,18 +201,36 @@ class TiledInput(InputImage):
         col_sharded = bool(self.global_width)
         hook = self.violation_hook
 
+        def _localize(g, base, n, ext_n):
+            """Local index of globally edge-mapped tap `g`: the plain shift
+            g - base, adjusted by ONE global period when it lands outside
+            [0, ext) — wrap-seam taps move onto the ring-wrapped halo
+            (device 0 with base=-halo sees global n-1 as halo-1, its lead
+            halo), everything in-contract stays a plain shift. A bare
+            mod-n (the original formulation) gave identical indices for
+            in-contract and seam taps when ext <= n, but on a 1-DEVICE
+            axis ext = n + 2*halo > n and the mod cut a wrap boundary
+            through the ext interior: bottom-edge taps (shift in
+            [n, n+halo)) wrapped to the LEAD halo — accidentally correct
+            while halos held ring-wrap content, silently wrong once
+            _paint_edge_halo rewrites global-edge halos for color/reflect
+            (found on real TPU: reflected bottom rows mirrored)."""
+            l0 = g - base
+            return be.where(l0 < 0, l0 + n,
+                            be.where(l0 >= ext_n, l0 - n, l0))
+
         def gather(iy, ix):
-            # mod-global arithmetic lands wrap-seam indices on the ring-
-            # wrapped halo rows (exchange_halo placed the opposite global
-            # edge there): e.g. device 0 with row_base=-halo sees global
-            # iy=H-1 as (H-1+halo) mod H = halo-1, its top halo. In-range
-            # indices are unchanged (0 <= iy - row_base < H). The final
-            # clip only bounds contract-violating displacements.
+            # the mod-global value is kept as the VIOLATION metric only:
+            # a below-block contract violation shifts past ext but stays
+            # under one period, so mod leaves it large (flagged), while
+            # seam taps mod back inside ext (not flagged). Content reads
+            # use _localize; the final clip only bounds contract-violating
+            # displacements.
             lym = (iy - row_base) % gh
-            ly = be.clip(lym, 0, ext_h - 1)
+            ly = be.clip(_localize(iy, row_base, gh, ext_h), 0, ext_h - 1)
             if col_sharded:
                 lxm = (ix - col_base) % gw
-                lx = be.clip(lxm, 0, ext_w - 1)
+                lx = be.clip(_localize(ix, col_base, gw, ext_w), 0, ext_w - 1)
             else:
                 lxm = lx = ix
             if hook is not None:

@@ -532,3 +532,34 @@ def test_tiled_pallas_nearest_mixed_edges():
                         mesh_shape=(1, 2, 4))
     want = _gather_want(src, img, opts)
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+# -- 1-device-axis localization regression (found on real TPU) -------------
+# On a 1-device axis ext = global + 2*halo > global: make_gather's original
+# mod-global localization wrapped in-contract bottom-edge taps onto the
+# LEAD halo — accidentally correct while halos held ring-wrap content,
+# silently mirrored once _paint_edge_halo rewrites global-edge halos for
+# color/reflect. Reads must localize by plain shift +/- one period.
+
+
+
+@pytest.mark.parametrize("sampler", ["gather", "pallas"])
+@pytest.mark.parametrize("edges", [("wrap", "reflect"), ("reflect", "reflect"),
+                                   ("color", "color"), ("wrap", "wrap")])
+def test_tiled_one_device_axis_bottom_edge(sampler, edges):
+    """ny=1 row axis still carries the interpolation-margin halo; bottom
+    rows displaced past the global edge must read CONTENT rows, not the
+    (possibly repainted) lead halo."""
+    import jax
+
+    mesh = make_mesh(1, 1, 1, devices=jax.devices()[:1])
+    ex, ey = edges
+    img = _pimage(40)
+    src = "origVal(xy + xy:[6 * sin(y / 19), 5 * cos(x / 23 + t)])"
+    opts = mm.RenderOptions(edge_x=ex, edge_y=ey, sampler=sampler,
+                            pallas_precision="f32")
+    f = mm.compile(src)
+    r = TiledRenderer(mesh, f.filters, f.fdef, PW, PH, opts, 8)
+    got = np.asarray(r(img, t=0.3))
+    want = _gather_want(src, img, opts, t=0.3)
+    np.testing.assert_allclose(got, want, atol=5e-5, err_msg=f"{sampler} {edges}")
