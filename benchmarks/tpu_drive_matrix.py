@@ -1,0 +1,167 @@
+"""Real-TPU drive matrix: one small render per PATH COMBINATION, checked
+against the NumPy oracle (the language spec) in-process.
+
+    python - < benchmarks/tpu_drive_matrix.py        # from the repo cwd
+
+Why this exists: interpret-mode tests cannot catch TPU-only divergence
+classes (Mosaic lowering rejections, relayout/addressing bugs, bf16
+envelope breaches). The round-3 tiled-route bug (reflected bottom rows
+mirrored by make_gather's mod-global localization) was found ONLY by a
+real-TPU drive — this script systematizes that: every distinct execution
+path (sampler tier classes, per-tile claims, subset patching, LUTs,
+noise, specials, while engine, static unroll, animated inputs, batch,
+tiled/halo) gets one hardware render per round.
+
+Each config is one remote jit compile (~10-60 s at 256 px); the full
+matrix is ~10-20 min. Tolerances: 'bf16' = the Pallas sampler envelope
+(6e-3, uint8-sub-LSB); 'f32' = XLA-vs-NumPy transcendental rounding
+(2e-4); 'iter' = escape-time fractals where +/-1 iteration near the
+boundary jumps a gradient step (bounded FRACTION of differing pixels,
+the documented |delta iter|<=1 class); 'exact' = 1e-5.
+
+Replaces: the reference's on-device acceptance testing of generated code
+(mathmap_common.c render loop driven per filter) [unverified -- mount
+empty].
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+SIZE = 256
+
+
+def _img(seed=7, frames=0):
+    h = w = SIZE
+    if frames:
+        a = np.random.RandomState(seed).rand(frames, h, w, 4).astype(np.float32)
+        a[..., 3] = 1.0
+        return a
+    a = np.random.RandomState(seed).rand(h, w, 4).astype(np.float32)
+    a[..., 3] = 1.0
+    return a
+
+
+def main():
+    import mathmap_tpu as mm
+
+    results = []
+
+    def check(name, got, want, mode):
+        d = np.abs(np.asarray(got) - np.asarray(want))
+        mx = float(d.max())
+        if mode == "iter":
+            frac = float((d.max(-1) > 1e-2).mean())
+            ok = frac < 0.02
+            line = f"{name}: frac>{1e-2}={frac:.4f} max={mx:.3g} {'OK' if ok else 'FAIL'}"
+        else:
+            tol = {"bf16": 6e-3, "f32": 2e-4, "exact": 1e-5}[mode]
+            ok = mx <= tol
+            line = f"{name}: max={mx:.3g} tol={tol:g} {'OK' if ok else 'FAIL'}"
+        print(line, flush=True)
+        results.append((name, ok))
+
+    def drive(name, src_or_path, mode, opts=None, inputs=(), params=None,
+              t=0.0):
+        t0 = time.time()
+        try:
+            f = (mm.compile_file(src_or_path) if src_or_path.endswith(".mm")
+                 else mm.compile(src_or_path))
+            got = f.render(*inputs, width=SIZE, height=SIZE, t=t,
+                           options=opts, params=params)
+            want = f.render(*inputs, width=SIZE, height=SIZE, t=t,
+                            options=opts, params=params, interpret=True)
+        except Exception as e:  # a crash IS a finding — record and move on
+            print(f"{name}: EXCEPTION {type(e).__name__}: {e}", flush=True)
+            results.append((name, False))
+            return
+        check(f"{name} [{time.time()-t0:.0f}s]", got, want, mode)
+
+    O = mm.RenderOptions
+    img = _img()
+
+    # --- sampler tier classes (bf16 kernel on TPU via sampler auto) ---
+    drive("twirl/bilinear/default", "filters/Distorts/twirl.mm", "bf16",
+          inputs=(img,), t=0.8)
+    drive("twirl/bicubic/wrap", "filters/Distorts/twirl.mm", "bf16",
+          O(interpolation="bicubic", edge_x="wrap", edge_y="wrap"),
+          inputs=(img,), t=0.8)
+    drive("fisheye/nearest/mixed-edges", "filters/Distorts/fisheye.mm",
+          "bf16", O(interpolation="nearest", edge_x="reflect",
+                    edge_y="color", edge_color=(0.1, 0.2, 0.3, 1.0)),
+          inputs=(img,))
+    drive("pond/f32", "filters/Distorts/pond.mm", "f32",
+          O(pallas_precision="f32"), inputs=(img,), t=0.4)
+    drive("twirl/per-tile-on", "filters/Distorts/twirl.mm", "bf16",
+          O(pallas_per_tile="on"), inputs=(img,), t=0.8)
+    drive("polar_invert/subset-patch", "filters/Distorts/polar_invert.mm",
+          "bf16", inputs=(img,))
+    drive("aniso/sub-chunk-tier",
+          "filter f (image in) in(xy * xy:[3,1]) end", "f32",
+          O(pallas_precision="f32"), inputs=(img,))
+
+    # --- LUT application (gradient/curve through the MXU kernel) ---
+    drive("gradient_map/LUT", "filters/Colors/gradient_map.mm", "bf16",
+          inputs=(img,))
+    drive("curve_adjust/LUT", "filters/Colors/curve_adjust.mm", "bf16",
+          inputs=(img,))
+
+    # --- ops families (XLA elementwise vs NumPy oracle) ---
+    drive("clouds/noise", "filters/Noise/clouds.mm", "f32")
+    drive("elliptic_rings/specials", "filters/Render/elliptic_rings.mm",
+          "f32")
+    drive("newton/complex-loop", "filters/Render/newton.mm", "iter")
+
+    # --- loop engines ---
+    drive("mandelbrot/while-engine", "filters/Render/mandelbrot.mm", "iter")
+    drive("quat_julia/while-quat", "filters/Render/quat_julia.mm", "iter")
+    drive("lissajous/static-unroll", "filters/Render/lissajous.mm", "f32")
+
+    # --- animated input (frame-indexed sampling) ---
+    anim = _img(9, frames=3)
+    drive("animated/origValXY-frame", "origValXY(x, y, 1)", "exact",
+          O(interpolation="nearest"), inputs=(anim,))
+
+    # --- render_batch: jit-vs-jit self-consistency (no oracle) ---
+    try:
+        f = mm.compile_file("filters/Distorts/ripple.mm")
+        stack = np.stack([_img(s) for s in (1, 2, 3, 4)])
+        ts = [0.0, 0.3, 0.6, 0.9]
+        got = np.asarray(f.render_batch(stack, ts=ts))
+        want = np.stack([np.asarray(f.render(stack[i], t=ts[i]))
+                         for i in range(4)])
+        # jit-vs-jit: the batch program fuses coords differently than the
+        # lone-render program (f32 rounding), not bitwise
+        check("render_batch/4-jobs", got, want, "f32")
+    except Exception as e:
+        print(f"render_batch/4-jobs: EXCEPTION {type(e).__name__}: {e}",
+              flush=True)
+        results.append(("render_batch/4-jobs", False))
+
+    # --- tiled/halo on the 1-device mesh (the round-3 bug's path) ---
+    try:
+        from mathmap_tpu.parallel.halo import TiledRenderer
+        from mathmap_tpu.parallel.mesh import make_mesh
+
+        src = "origVal(xy + xy:[6 * sin(y / 19), 5 * cos(x / 23 + t)])"
+        f = mm.compile(src)
+        opts = O(edge_x="wrap", edge_y="reflect")
+        r = TiledRenderer(make_mesh(1, 1, 1), f.filters, f.fdef, SIZE, SIZE,
+                          opts, 8)
+        got = np.asarray(r(img, t=0.3))
+        want = f.render(img, width=SIZE, height=SIZE, t=0.3, options=opts,
+                        interpret=True)
+        check("tiled-1dev/wrap-reflect", got, want, "bf16")
+    except Exception as e:
+        print(f"tiled-1dev/wrap-reflect: EXCEPTION {type(e).__name__}: {e}",
+              flush=True)
+        results.append(("tiled-1dev/wrap-reflect", False))
+
+    n_fail = sum(1 for _, ok in results if not ok)
+    print(f"== {len(results)} configs, {n_fail} failures ==", flush=True)
+    return 1 if n_fail else 0
+
+
+sys.exit(main())
