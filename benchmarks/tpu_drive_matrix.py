@@ -13,11 +13,14 @@ noise, specials, while engine, static unroll, animated inputs, batch,
 tiled/halo) gets one hardware render per round.
 
 Each config is one remote jit compile (~10-60 s at 256 px); the full
-matrix is ~10-20 min. Tolerances: 'bf16' = the Pallas sampler envelope
-(6e-3, uint8-sub-LSB); 'f32' = XLA-vs-NumPy transcendental rounding
-(2e-4); 'iter' = escape-time fractals where +/-1 iteration near the
-boundary jumps a gradient step (bounded FRACTION of differing pixels,
-the documented |delta iter|<=1 class); 'exact' = 1e-5.
+matrix is ~10-20 min. Tolerances (hardware-calibrated round 3 — see
+docs/PERFORMANCE.md "Precision modes"): the bf16 Pallas envelope is
+INTERPOLATION-DEPENDENT — 'bf16n' nearest 2.5e-3 (pure value-rounding
+2^-9), 'bf16' bilinear/LUT 7e-3, 'bf16c' bicubic 9e-3 (negative lobes
+raise sum|w| ~1.2); 'f32' = XLA-vs-NumPy transcendental rounding (2e-4);
+'iter' = escape-time fractals where +/-1 iteration near the boundary
+jumps a gradient step (bounded FRACTION of differing pixels, the
+documented |delta iter|<=1 class); 'exact' = 1e-5.
 
 Replaces: the reference's on-device acceptance testing of generated code
 (mathmap_common.c render loop driven per filter) [unverified -- mount
@@ -57,7 +60,8 @@ def main():
             ok = frac < 0.02
             line = f"{name}: frac>{1e-2}={frac:.4f} max={mx:.3g} {'OK' if ok else 'FAIL'}"
         else:
-            tol = {"bf16": 6e-3, "f32": 2e-4, "exact": 1e-5}[mode]
+            tol = {"bf16n": 2.5e-3, "bf16": 7e-3, "bf16c": 9e-3,
+                   "f32": 2e-4, "exact": 1e-5}[mode]
             ok = mx <= tol
             line = f"{name}: max={mx:.3g} tol={tol:g} {'OK' if ok else 'FAIL'}"
         print(line, flush=True)
@@ -85,11 +89,11 @@ def main():
     # --- sampler tier classes (bf16 kernel on TPU via sampler auto) ---
     drive("twirl/bilinear/default", "filters/Distorts/twirl.mm", "bf16",
           inputs=(img,), t=0.8)
-    drive("twirl/bicubic/wrap", "filters/Distorts/twirl.mm", "bf16",
+    drive("twirl/bicubic/wrap", "filters/Distorts/twirl.mm", "bf16c",
           O(interpolation="bicubic", edge_x="wrap", edge_y="wrap"),
           inputs=(img,), t=0.8)
     drive("fisheye/nearest/mixed-edges", "filters/Distorts/fisheye.mm",
-          "bf16", O(interpolation="nearest", edge_x="reflect",
+          "bf16n", O(interpolation="nearest", edge_x="reflect",
                     edge_y="color", edge_color=(0.1, 0.2, 0.3, 1.0)),
           inputs=(img,))
     drive("pond/f32", "filters/Distorts/pond.mm", "f32",
@@ -121,7 +125,9 @@ def main():
 
     # --- animated input (frame-indexed sampling) ---
     anim = _img(9, frames=3)
-    drive("animated/origValXY-frame", "origValXY(x, y, 1)", "exact",
+    # nearest + scalar frame stays on the Pallas kernel on TPU -> the
+    # bf16 value-rounding envelope, not exact
+    drive("animated/origValXY-frame", "origValXY(x, y, 1)", "bf16n",
           O(interpolation="nearest"), inputs=(anim,))
 
     # --- render_batch: jit-vs-jit self-consistency (no oracle) ---
