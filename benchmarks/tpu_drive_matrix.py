@@ -130,6 +130,25 @@ def main():
     drive("animated/origValXY-frame", "origValXY(x, y, 1)", "bf16n",
           O(interpolation="nearest"), inputs=(anim,))
 
+
+    # --- supersampling / baked params / composition chains ---
+    drive("twirl/supersample-2x2", "filters/Distorts/twirl.mm", "bf16",
+          O(supersample=2), inputs=(img,), t=0.8)
+    drive("twirl/static-params-baked", "filters/Distorts/twirl.mm", "bf16",
+          O(static_params=("angle",)), inputs=(img,),
+          params={"angle": 2.5}, t=0.8)
+    try:
+        from mathmap_tpu.expression_db import default_db
+
+        fmmc = default_db().compile("frost_glass")
+        got = fmmc.render(img, width=SIZE, height=SIZE)
+        want = fmmc.render(img, width=SIZE, height=SIZE, interpret=True)
+        check("frost_glass/.mmc-chain", got, want, "bf16")
+    except Exception as e:
+        print(f"frost_glass/.mmc-chain: EXCEPTION {type(e).__name__}: {e}",
+              flush=True)
+        results.append(("frost_glass/.mmc-chain", False))
+
     # --- render_batch: jit-vs-jit self-consistency (no oracle) ---
     try:
         f = mm.compile_file("filters/Distorts/ripple.mm")
