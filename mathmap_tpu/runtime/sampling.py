@@ -186,50 +186,62 @@ def _sample_pallas_tiled(ev, img, x, y):
     replicates boundary rows ('clamp' — the gather path's clip-into-block
     semantics) except under 'color', whose apron is the edge color.
 
-    Out-of-contract samples plan huge source windows, fail every tier and
-    fall to the exact subset patch / gather fallback (world coords -> the
-    TiledInput gather, identical clip semantics). The halo-violation
-    check mirrors make_gather's: mod-global tap endpoints past the ext
-    block feed the violation hook (top-level samples only — same
-    loop_depth gate the gather hook applies)."""
+    Out-of-contract samples with check=False CLAMP into the block like the
+    gather path (coords are clipped to the kernel's valid [-3, ext+2]
+    domain below — without the clip, a block displaced wholly above its
+    ext would pass the max-only tier fit and index its VMEM window at
+    negative offsets: Python-wrap in interpret mode, UNDEFINED on Mosaic;
+    review finding). Which block row a violating tap clamps TO may differ
+    from the gather path's choice — unspecified content either way. The
+    halo-violation check mirrors make_gather's: mod-global tap endpoints
+    past the ext block feed the violation hook (top-level samples only —
+    same loop_depth gate the gather hook applies)."""
     import jax.numpy as jnp
 
-    from ..pallas_kernels.sample_kernel import _edge_map_coord, sample_image_pallas
-    from .value import InputImage
+    from ..pallas_kernels.sample_kernel import (_edge_map_coord, _tap_range,
+                                                sample_image_pallas)
+    from .value import InputImage, localize_period
 
     opts = ev.ctx.opts
     gh, gw = img.global_shape
     ext_h, ext_w = int(img.pixels.shape[0]), int(img.pixels.shape[1])
     col_sharded = bool(img.global_width)
 
+    # wrap/reflect edge content beyond the global edge exists ONLY in the
+    # painted/ring halo — a halo thinner than the interpolation margin
+    # cannot hold it (the clamp apron would silently stand in: wrong rows
+    # at the global edge, and the mod-global violation metric wraps those
+    # taps back inside so check=True cannot flag it; review finding).
+    # auto_halo always includes the margin; thinner explicit halos take
+    # the exact gather path, which edge-maps every tap globally.
+    margin = {"nearest": 1, "bilinear": 2, "bicubic": 3}[opts.interpolation]
+    tile_h, tile_w = ev.ctx.grid_shape
+    if opts.edge_y in ("wrap", "reflect") and (ext_h - tile_h) // 2 < margin:
+        return _sample_xla(ev, img, x, y)
+    if col_sharded and opts.edge_x in ("wrap", "reflect") \
+            and (ext_w - tile_w) // 2 < margin:
+        return _sample_xla(ev, img, x, y)
+
     px, py = world_to_pixel(jnp, x, y, gw, gh)
     pxg = _edge_map_coord(jnp, px, gw, opts.edge_x)
     pyg = _edge_map_coord(jnp, py, gh, opts.edge_y)
 
-    def _localize_wrap(pg, base, n, ext_n):
-        """Wrap-mode local map: the plain shift pg - base is the CONTIGUOUS
-        local coordinate (ext content is one unbroken run of global rows
-        mod n); seam devices see it off by exactly ±n — adjust by one
-        period, selecting INTO [0, ext). A plain mod-n would instead cut a
-        wrap boundary through the ext interior whenever ext > n (a 1-device
-        axis still carries the interpolation-margin halo) or land seam
-        content at the wrong end: taps straddling that cut read the OTHER
-        halo — observed as a 6e-2 bicubic error band on the rows adjacent
-        to local n."""
-        l0 = pg - base
-        return jnp.where(l0 < 0, l0 + n,
-                         jnp.where(l0 >= ext_n, l0 - n, l0))
-
+    # localize (shared with make_gather — value.localize_period holds the
+    # period-adjustment subtleties), then clip to the kernel's coordinate
+    # domain (check=False clamp-into-block; in-contract coords unaffected)
     if opts.edge_y == "wrap":
-        py_loc = _localize_wrap(pyg, img.row_base, float(gh), float(ext_h))
+        py_loc = localize_period(jnp, pyg, img.row_base, float(gh),
+                                 float(ext_h))
     else:
         py_loc = pyg - img.row_base
+    py_loc = jnp.clip(py_loc, -3.0, float(ext_h) + 2.0)
     if col_sharded:
         if opts.edge_x == "wrap":
-            px_loc = _localize_wrap(pxg, img.col_base, float(gw),
-                                    float(ext_w))
+            px_loc = localize_period(jnp, pxg, img.col_base, float(gw),
+                                     float(ext_w))
         else:
             px_loc = pxg - img.col_base
+        px_loc = jnp.clip(px_loc, -3.0, float(ext_w) + 2.0)
     else:
         px_loc = pxg  # unsharded axis: identical to the single-chip path
 
@@ -241,8 +253,7 @@ def _sample_pallas_tiled(ev, img, x, y):
         # stays within one mod period (max at an endpoint) or crosses it
         # (the lo endpoint lands near gh-1 >> ext, flagged regardless).
         half = 0.5 if opts.interpolation == "nearest" else 0.0
-        n_taps = {"nearest": 1, "bilinear": 2, "bicubic": 4}[opts.interpolation]
-        tap_lo = -1 if opts.interpolation == "bicubic" else 0
+        tap_lo, n_taps = _tap_range(opts.interpolation)
 
         def _tap_excess(pg, behavior, n, base, ext_n):
             exc = None

@@ -161,6 +161,34 @@ class InputImage(ImageBase):
         return sampling.sample_image(ev, self, x, y, frame=frame)
 
 
+def localize_period(be, g, base, n, ext_n):
+    """Local position of a globally edge-mapped tap index / coordinate `g`
+    on a halo-extended block (THE shared localization for the gather path
+    and the Pallas tiled route — runtime/sampling._sample_pallas_tiled):
+    the plain shift g - base, adjusted by ONE global period when that
+    shift is both outside [0, ext) AND a true period overflow. Wrap-seam
+    taps move onto the ring-wrapped halo (device 0 with base=-halo sees
+    global n-1 as halo-1, its lead halo); everything in-contract stays a
+    plain shift. Two hazards shaped the conditions:
+
+    - a bare mod-n gave identical results when ext <= n, but on a
+      1-DEVICE axis ext = n + 2*halo > n and the mod cut a wrap boundary
+      through the ext interior: bottom-edge taps (shift in [n, n+halo))
+      wrapped to the LEAD halo — accidentally correct while halos held
+      ring-wrap content, silently wrong once _paint_edge_halo rewrites
+      global-edge halos for color/reflect (found on real TPU: reflected
+      bottom rows mirrored);
+    - subtracting the period for EVERY shift >= ext sent below-block
+      contract-VIOLATING taps (shift in [ext, n)) negative, which the
+      caller's final clip landed on the possibly-repainted lead halo
+      instead of the near-edge row the documented check=False
+      clamp-into-block behavior promises (review finding) — hence the
+      `l0 >= n` guard: only true overflows move."""
+    l0 = g - base
+    return be.where(l0 < 0, l0 + n,
+                    be.where((l0 >= ext_n) & (l0 >= n), l0 - n, l0))
+
+
 @dataclass
 class TiledInput(InputImage):
     """A grid-sharded input: `pixels` is this device's row/col block PLUS
@@ -201,24 +229,6 @@ class TiledInput(InputImage):
         col_sharded = bool(self.global_width)
         hook = self.violation_hook
 
-        def _localize(g, base, n, ext_n):
-            """Local index of globally edge-mapped tap `g`: the plain shift
-            g - base, adjusted by ONE global period when it lands outside
-            [0, ext) — wrap-seam taps move onto the ring-wrapped halo
-            (device 0 with base=-halo sees global n-1 as halo-1, its lead
-            halo), everything in-contract stays a plain shift. A bare
-            mod-n (the original formulation) gave identical indices for
-            in-contract and seam taps when ext <= n, but on a 1-DEVICE
-            axis ext = n + 2*halo > n and the mod cut a wrap boundary
-            through the ext interior: bottom-edge taps (shift in
-            [n, n+halo)) wrapped to the LEAD halo — accidentally correct
-            while halos held ring-wrap content, silently wrong once
-            _paint_edge_halo rewrites global-edge halos for color/reflect
-            (found on real TPU: reflected bottom rows mirrored)."""
-            l0 = g - base
-            return be.where(l0 < 0, l0 + n,
-                            be.where(l0 >= ext_n, l0 - n, l0))
-
         def gather(iy, ix):
             # the mod-global value is kept as the VIOLATION metric only:
             # a below-block contract violation shifts past ext but stays
@@ -227,10 +237,12 @@ class TiledInput(InputImage):
             # use _localize; the final clip only bounds contract-violating
             # displacements.
             lym = (iy - row_base) % gh
-            ly = be.clip(_localize(iy, row_base, gh, ext_h), 0, ext_h - 1)
+            ly = be.clip(localize_period(be, iy, row_base, gh, ext_h),
+                         0, ext_h - 1)
             if col_sharded:
                 lxm = (ix - col_base) % gw
-                lx = be.clip(_localize(ix, col_base, gw, ext_w), 0, ext_w - 1)
+                lx = be.clip(localize_period(be, ix, col_base, gw, ext_w),
+                             0, ext_w - 1)
             else:
                 lxm = lx = ix
             if hook is not None:

@@ -563,3 +563,65 @@ def test_tiled_one_device_axis_bottom_edge(sampler, edges):
     got = np.asarray(r(img, t=0.3))
     want = _gather_want(src, img, opts, t=0.3)
     np.testing.assert_allclose(got, want, atol=5e-5, err_msg=f"{sampler} {edges}")
+
+
+# -- review findings: thin halos, check=False clamp semantics ---------------
+
+@pytest.mark.parametrize("interp,halo", [("nearest", 0), ("bilinear", 0),
+                                         ("bilinear", 1), ("bicubic", 2)])
+def test_tiled_pallas_thin_halo_takes_gather(interp, halo):
+    """A halo thinner than the interpolation margin cannot hold wrap edge
+    content locally — the route must fall back to the exact gather (which
+    edge-maps every tap globally) instead of silently standing in the
+    clamp apron (review finding: halo=0 nearest/wrap gave max err 0.96 on
+    the boundary row with check=True raising nothing)."""
+    import jax
+
+    img = _pimage(50)
+    src = "origVal(xy + xy:[0, 0.4 * sin(x / 7)])"
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32",
+                            interpolation=interp, edge_y="wrap",
+                            edge_x="wrap")
+    f = mm.compile(src)
+    mesh = make_mesh(1, 1, 1, devices=jax.devices()[:1])
+    r = TiledRenderer(mesh, f.filters, f.fdef, PW, PH, opts, halo)
+    got = np.asarray(r(img))
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_pallas_check_false_out_of_contract_is_clamped():
+    """check=False + a displacement far past the halo: the Pallas route
+    must produce in-gamut clamped content, never negative-offset window
+    reads (review finding: a block displaced wholly above its ext passed
+    the max-only tier fit and indexed VMEM at negative offsets —
+    Python-wrap in interpret mode, undefined on Mosaic)."""
+    img = _pimage(51)
+    f = mm.compile("origVal(xy + xy:[0, 40])")
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    r = TiledRenderer(make_mesh(1, 8, 1), f.filters, f.fdef, PW, PH, opts,
+                      4, check=False)
+    got = np.asarray(r(img))
+    assert np.isfinite(got).all()
+    # clamped reads return REAL block content: within the image's range
+    assert got.min() >= float(img.min()) - 1e-3
+    assert got.max() <= float(img.max()) + 1e-3
+
+
+def test_gather_check_false_below_block_clamps_to_near_edge():
+    """check=False below-block violating taps must clamp to the nearest
+    block row, NOT the (possibly repainted) lead halo (review finding:
+    the first localize rewrite sent shift in [ext, n) negative, landing
+    violations on _paint_edge_halo's color/mirror content)."""
+    img = _pimage(52)
+    f = mm.compile("origVal(xy + xy:[0, -12])")
+    opts = mm.RenderOptions(sampler="gather", edge_y="color",
+                            edge_color=(0.9, 0.1, 0.5, 1.0))
+    r = TiledRenderer(make_mesh(1, 8, 1), f.filters, f.fdef, PW, PH, opts,
+                      4, check=False)
+    got = np.asarray(r(img))
+    # device 0's top rows sample 12 rows below — past its ext bottom; the
+    # clamp must return image content, never the magenta edge color
+    top = got[:8]
+    assert not np.any(np.all(np.isclose(top, [0.9, 0.1, 0.5, 1.0],
+                                        atol=1e-3), axis=-1))
