@@ -625,3 +625,18 @@ def test_gather_check_false_below_block_clamps_to_near_edge():
     top = got[:8]
     assert not np.any(np.all(np.isclose(top, [0.9, 0.1, 0.5, 1.0],
                                         atol=1e-3), axis=-1))
+
+
+def test_tiled_pallas_sampling_inside_loop():
+    """Loop-body samples through the tiled-Pallas route: the violation
+    hook's own loop_depth gate keeps the traced excess out of the
+    lax.while carry (same mechanism as the gather path), and the kernel
+    traces cleanly into the loop body."""
+    img = _pimage(60)
+    src = ("s = 0; i = 0; while i < 3 do "
+           "s = s + red(origVal(xy + xy:[0, i])); i = i + 1 end; "
+           "grayColor(s / 3)")
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    got = _pallas_tiled(src, img, halo=6, opts=opts)
+    want = _gather_want(src, img, opts)
+    np.testing.assert_allclose(got, want, atol=5e-5)
