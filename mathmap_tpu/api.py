@@ -229,33 +229,42 @@ class Filter:
             ts = np.arange(num_frames, dtype=np.float32) / denom
         return np.asarray(renderer(ins, ts=ts))
 
-    def render_tiled(self, input_image, halo: int | tuple | str = "auto",
+    def render_tiled(self, *input_images, halo: int | tuple | str = "auto",
                      mesh=None, width: int | None = None,
                      height: int | None = None,
                      options: RenderOptions | None = None, t: float = 0.0,
                      check: bool = True):
-        """Render with the INPUT row- (and, on a 2-D mesh, column-) sharded
-        across the mesh and halo rows/cols exchanged over ICI
+        """Render with the INPUT(s) row- (and, on a 2-D mesh, column-)
+        sharded across the mesh and halo rows/cols exchanged over ICI
         (parallel/halo.py) — for canvases whose inputs exceed per-device HBM
-        when replicated. The filter's source displacement must be bounded by
-        `halo`; halo="auto" infers the bound from the filter AST
-        (parallel/bounds.py) and check=True turns a violated bound into an
-        MMRuntimeError instead of a silent clamp."""
+        when replicated. Multi-input filters pass one array per image
+        parameter (every input sharded + halo-exchanged identically; all
+        must share the output geometry). The filter's source displacement
+        must be bounded by `halo`; halo="auto" infers the bound from the
+        filter AST (parallel/bounds.py) and check=True turns a violated
+        bound into an MMRuntimeError instead of a silent clamp."""
         from .parallel.halo import TiledRenderer
         from .parallel.mesh import make_mesh
 
         options = options or RenderOptions()
-        img = to_float_rgba(np.asarray(input_image))
-        width, height = self._resolve_size([img], width, height)
+        imgs = [to_float_rgba(np.asarray(a)) for a in input_images]
+        width, height = self._resolve_size(imgs, width, height)
+        for a in imgs:
+            if a.shape[:2] != (height, width):
+                raise ValueError(
+                    f"tiled inputs must share the output geometry "
+                    f"{height}x{width}; got {a.shape[0]}x{a.shape[1]}")
         if mesh is None:
             mesh = make_mesh()
-        key = ("tiled", width, height, options, halo, id(mesh), check)
+        key = ("tiled", width, height, options, halo, id(mesh), check,
+               len(imgs))
         if key not in self._jit_cache:
             self._jit_cache[key] = TiledRenderer(
                 mesh, self.filters, self.fdef, width, height, options, halo,
                 check=check,
             )
-        return np.asarray(self._jit_cache[key](img, t=t))
+        inp = imgs[0] if len(imgs) == 1 else imgs
+        return np.asarray(self._jit_cache[key](inp, t=t))
 
     def render_frames(self, *inputs, num_frames: int, width: int | None = None,
                       height: int | None = None, options: RenderOptions | None = None,

@@ -90,12 +90,15 @@ def auto_halo(program_filters, fdef, width: int, height: int,
 def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                        input_array, halo, uservals=None, t=0.0, frame=0.0,
                        check: bool = True):
-    """One frame with the input sharded P(y[, x]) and halo exchange.
+    """One frame with the input(s) sharded P(y[, x]) and halo exchange.
 
     input_array: (H, W, 4) with H == output height (the common identity-
-    geometry case). halo: int (rows; cols derived when column-sharded) or
-    (rows, cols). Returns ((H, W, 4) sharded, max halo excess scalar —
-    <= 0 when the bounded-displacement contract held)."""
+    geometry case), or a list/tuple of such arrays for multi-input
+    filters — each input is sharded, halo-exchanged, and edge-painted
+    identically (the displacement bound covers every origVal/origValImage
+    sample, so one halo serves all). halo: int (rows; cols derived when
+    column-sharded) or (rows, cols). Returns ((H, W, 4) sharded, max halo
+    excess scalar — <= 0 when the bounded-displacement contract held)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -157,22 +160,15 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                       axis=axis)], axis=axis)
         return jnp.where(lead, lead_m, jnp.where(trail, trail_m, ext))
 
-    def tile_render(inp_local):
+    arrays = (tuple(input_array)
+              if isinstance(input_array, (list, tuple)) else (input_array,))
+
+    def tile_render(*inp_locals):
         row_idx = jax.lax.axis_index(ROW_AXIS)
         row_off = row_idx * tile_h
-        ext = exchange_halo(inp_local, halo_y, ROW_AXIS, axis=0)
-        # painting applies on 1-device axes too (ny==1 still carries the
-        # interpolation-margin halo, self-wrapped by the ring — wrong
-        # content for color/reflect); lead and trail both match there
-        if halo_y and opts.edge_y in ("color", "reflect"):
-            ext = _paint_edge_halo(ext, row_idx, ny, halo_y, 0, opts.edge_y)
         if nx > 1:
             col_idx = jax.lax.axis_index(COL_AXIS)
             col_off = col_idx * tile_w
-            ext = exchange_halo(ext, halo_x, COL_AXIS, axis=1)
-            if halo_x and opts.edge_x in ("color", "reflect"):
-                ext = _paint_edge_halo(ext, col_idx, nx, halo_x, 1,
-                                       opts.edge_x)
         else:
             col_off = 0
         excess = [jnp.float32(-(2 ** 30))]
@@ -186,16 +182,30 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
             if ctx_cell and ctx_cell[0].loop_depth == 0:
                 excess[0] = jnp.maximum(excess[0], e.astype(jnp.float32))
 
-        img = TiledInput(
-            pixels=ext, name="in0",
-            global_height=height, global_width=width if nx > 1 else 0,
-            row_base=row_off - halo_y,
-            col_base=(col_off - halo_x) if nx > 1 else 0,
-            violation_hook=hook if check else None,
-        )
+        imgs = []
+        for k, inp_local in enumerate(inp_locals):
+            ext = exchange_halo(inp_local, halo_y, ROW_AXIS, axis=0)
+            # painting applies on 1-device axes too (ny==1 still carries
+            # the interpolation-margin halo, self-wrapped by the ring —
+            # wrong content for color/reflect); lead and trail both match
+            if halo_y and opts.edge_y in ("color", "reflect"):
+                ext = _paint_edge_halo(ext, row_idx, ny, halo_y, 0,
+                                       opts.edge_y)
+            if nx > 1:
+                ext = exchange_halo(ext, halo_x, COL_AXIS, axis=1)
+                if halo_x and opts.edge_x in ("color", "reflect"):
+                    ext = _paint_edge_halo(ext, col_idx, nx, halo_x, 1,
+                                           opts.edge_x)
+            imgs.append(TiledInput(
+                pixels=ext, name=f"in{k}",
+                global_height=height, global_width=width if nx > 1 else 0,
+                row_base=row_off - halo_y,
+                col_base=(col_off - halo_x) if nx > 1 else 0,
+                violation_hook=hook if check else None,
+            ))
         ctx = RenderContext(
             be=jnp, width=width, height=height, opts=opts,
-            inputs=[img], filters=program_filters, t=t, frame=frame,
+            inputs=imgs, filters=program_filters, t=t, frame=frame,
             is_jax=True, grid_shape=(tile_h, tile_w),
             row_offset=row_off, col_offset=col_off,
         )
@@ -206,11 +216,11 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
 
     shard = jax.shard_map(
         tile_render, mesh=mesh,
-        in_specs=P(ROW_AXIS, COL_AXIS, None),
+        in_specs=tuple(P(ROW_AXIS, COL_AXIS, None) for _ in arrays),
         out_specs=(P(ROW_AXIS, COL_AXIS, None), P()),
         check_vma=False,
     )
-    return shard(input_array)
+    return shard(*arrays)
 
 
 class TiledRenderer:
@@ -243,9 +253,12 @@ class TiledRenderer:
 
     def __call__(self, input_array, t=0.0):
         jnp = self.jnp
-        out, excess = self._jitted(
-            jnp.asarray(np.asarray(input_array, np.float32)), jnp.float32(t)
-        )
+        if isinstance(input_array, (list, tuple)):
+            inp = tuple(jnp.asarray(np.asarray(a, np.float32))
+                        for a in input_array)
+        else:
+            inp = jnp.asarray(np.asarray(input_array, np.float32))
+        out, excess = self._jitted(inp, jnp.float32(t))
         if self.check and float(excess) > 0:
             raise MMRuntimeError(
                 f"tiled render violated the bounded-displacement contract: "

@@ -640,3 +640,43 @@ def test_tiled_pallas_sampling_inside_loop():
     got = _pallas_tiled(src, img, halo=6, opts=opts)
     want = _gather_want(src, img, opts)
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+# -- multi-input tiled rendering --------------------------------------------
+
+def test_tiled_multi_input_matches():
+    """Two-image composition with every input sharded + halo-exchanged:
+    matches the replicated-input render exactly on the gather path."""
+    a, b = _pimage(70), _pimage(71)
+    src = ("filter blend2 (image p, image q) "
+           "p(xy + xy:[0, 2*sin(x/7)]) * 0.6 + "
+           "q(xy + xy:[3*sin(y/9), 0]) * 0.4 end")
+    f = mm.compile(src)
+    got = f.render_tiled(a, b, halo="auto", mesh=make_mesh(1, 8, 1),
+                         width=PW, height=PH)
+    want = f.render(a, b, width=PW, height=PH)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tiled_multi_input_pallas_column_mesh():
+    """Multi-input tiled through the Pallas route on a 2x4 mesh."""
+    a, b = _pimage(72), _pimage(73)
+    src = ("filter blend2 (image p, image q) "
+           "p(xy + xy:[2*sin(y/6), 2*sin(x/7)]) * 0.5 + "
+           "q(xy - xy:[2*cos(y/8), 1]) * 0.5 end")
+    f = mm.compile(src)
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    got = f.render_tiled(a, b, halo=(5, 6), mesh=make_mesh(1, 2, 4),
+                         width=PW, height=PH, options=opts)
+    want = f.render(a, b, width=PW, height=PH,
+                    options=mm.RenderOptions(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_tiled_multi_input_geometry_mismatch_raises():
+    a = _pimage(74)
+    b = np.zeros((PH // 2, PW, 4), np.float32)
+    f = mm.compile("filter g (image p, image q) p(xy) + q(xy) end")
+    with pytest.raises(ValueError, match="share the output geometry"):
+        f.render_tiled(a, b, halo=2, mesh=make_mesh(1, 8, 1),
+                       width=PW, height=PH)
