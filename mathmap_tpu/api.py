@@ -233,7 +233,7 @@ class Filter:
                      mesh=None, width: int | None = None,
                      height: int | None = None,
                      options: RenderOptions | None = None, t: float = 0.0,
-                     check: bool = True):
+                     params: dict | None = None, check: bool = True):
         """Render with the INPUT(s) row- (and, on a 2-D mesh, column-)
         sharded across the mesh and halo rows/cols exchanged over ICI
         (parallel/halo.py) — for canvases whose inputs exceed per-device HBM
@@ -256,12 +256,16 @@ class Filter:
                     f"{height}x{width}; got {a.shape[0]}x{a.shape[1]}")
         if mesh is None:
             mesh = make_mesh()
+        def _hashable(v):
+            return tuple(v) if isinstance(v, (list, tuple)) else v
+
         key = ("tiled", width, height, options, halo, id(mesh), check,
-               len(imgs))
+               len(imgs), tuple(sorted((k, _hashable(v))
+                                       for k, v in (params or {}).items())))
         if key not in self._jit_cache:
             self._jit_cache[key] = TiledRenderer(
                 mesh, self.filters, self.fdef, width, height, options, halo,
-                check=check,
+                uservals=params, check=check,
             )
         inp = imgs[0] if len(imgs) == 1 else imgs
         return np.asarray(self._jit_cache[key](inp, t=t))

@@ -80,6 +80,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fps", type=float, default=25.0, help="GIF animation frame rate")
     p.add_argument("--sharded", action="store_true",
                    help="shard the render across all local devices (mesh over grid rows)")
+    p.add_argument("--tiled", action="store_true",
+                   help="shard the INPUT across devices with halo exchange "
+                        "(parallel/halo.py) — for inputs too large to "
+                        "replicate; requires a bounded source displacement")
+    p.add_argument("--halo", default="auto",
+                   help="tiled-mode halo: rows, rows,cols, or 'auto' "
+                        "(infer the displacement bound from the filter)")
     p.add_argument("--input-dir", default=None, metavar="DIR",
                    help="batch mode: apply the filter to every image in DIR "
                         "(same-geometry images render N per device dispatch "
@@ -104,6 +111,18 @@ def _parse_params(items):
         except json.JSONDecodeError:
             params[name] = value
     return params
+
+
+def _parse_halo(spec):
+    if spec == "auto":
+        return "auto"
+    parts = [s.strip() for s in str(spec).split(",")]
+    try:
+        vals = [int(s) for s in parts]
+    except ValueError:
+        raise SystemExit(f"--halo expects an int, 'rows,cols', or 'auto'; "
+                         f"got {spec!r}")
+    return vals[0] if len(vals) == 1 else (vals[0], vals[1])
 
 
 def _sweep_ts(args):
@@ -131,6 +150,13 @@ def _render_sweep(args, filt, inputs, width, height, opts, params):
                 interpret=args.interpret,
                 on_error="interpret" if args.fallback else "raise"))
             for i, t in enumerate(ts)])
+    if args.tiled:
+        # one TiledRenderer program (cached per geometry), F executions
+        return np.stack([
+            np.asarray(filt.render_tiled(
+                *inputs, halo=_parse_halo(args.halo), width=width,
+                height=height, options=opts, params=params, t=float(t)))
+            for t in _sweep_ts(args)])
     if args.sharded:
         return np.asarray(filt.render_sharded(
             *inputs, num_frames=args.frames, width=width, height=height,
@@ -227,6 +253,9 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", plat)
 
     args = build_arg_parser().parse_args(argv)
+    if args.tiled and args.sharded:
+        raise SystemExit("--tiled (input-sharded) and --sharded "
+                         "(output-sharded) are mutually exclusive")
     verbose = args.verbose
 
     def log(msg):
@@ -326,6 +355,14 @@ def main(argv=None) -> int:
         if args.input_dir is not None:
             frames_done = _run_batch_dir(args, filt, out_path, width, height,
                                          opts, params, log)
+        elif args.frames <= 1 and args.tiled and not (args.interpret
+                                                      or args.fallback):
+            out = filt.render_tiled(
+                *inputs, halo=_parse_halo(args.halo), width=width,
+                height=height, options=opts, params=params, t=args.t,
+            )
+            write_image(out_path, out)
+            frames_done = 1
         elif args.frames <= 1 and args.sharded and not (args.interpret
                                                         or args.fallback):
             out = filt.render_sharded(

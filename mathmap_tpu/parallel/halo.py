@@ -235,6 +235,9 @@ class TiledRenderer:
         import jax
         import jax.numpy as jnp
 
+        from ..runtime.render import _rebuild_uservals, _userval_pytree
+        from ..runtime.tracer import RenderContext as _Ctx
+
         self.jnp = jnp
         self.check = check
         if halo == "auto":
@@ -242,11 +245,18 @@ class TiledRenderer:
                              uservals, ny=axis_size(mesh, ROW_AXIS),
                              nx=axis_size(mesh, COL_AXIS))
         self.halo = halo
+        # raw param VALUES -> TupleValues, resolved at construction like
+        # ShardedRenderer (changing params rebuilds the renderer); also
+        # validates unknown names eagerly
+        _ctx = _Ctx(be=jnp, width=width, height=height, opts=opts,
+                    filters=program_filters, is_jax=True)
+        uv_arrays, uv_kinds = _userval_pytree(_ctx, fdef, uservals or {})
 
         def run(inp, t):
             return render_frame_tiled(
                 mesh, program_filters, fdef, width, height, opts, inp,
-                halo, uservals=uservals, t=t, check=check,
+                halo, uservals=_rebuild_uservals(jnp, uv_arrays, uv_kinds),
+                t=t, check=check,
             )
 
         self._jitted = jax.jit(run)

@@ -177,3 +177,41 @@ def input_png_path(tmp_path):
     p = tmp_path / "in_up.png"
     mm.write_image(str(p), np.zeros((8, 8, 4), np.float32))
     return str(p)
+
+
+def test_tiled_flag_matches_plain(input_png, tmp_path):
+    """--tiled (input-sharded halo path) must reproduce the plain render
+    bitwise at the uint8 output, params included."""
+    a = tmp_path / "tiled.png"
+    b = tmp_path / "plain.png"
+    p1 = run_cli("filters/Distorts/ripple.mm", input_png, str(a),
+                 "--tiled", "--halo", "auto", "--param", "amplitude=2")
+    p2 = run_cli("filters/Distorts/ripple.mm", input_png, str(b),
+                 "--param", "amplitude=2")
+    assert p1.returncode == 0, p1.stderr
+    assert p2.returncode == 0, p2.stderr
+    np.testing.assert_array_equal(mm.read_image(str(a)),
+                                  mm.read_image(str(b)))
+
+
+def test_tiled_animation_frames(input_png, tmp_path):
+    out = tmp_path / "anim.png"
+    proc = run_cli("filters/Distorts/ripple.mm", input_png, str(out),
+                   "--tiled", "--frames", "2")
+    assert proc.returncode == 0, proc.stderr
+    assert (tmp_path / "anim_0000.png").exists()
+    assert (tmp_path / "anim_0001.png").exists()
+
+
+def test_tiled_sharded_conflict(input_png, tmp_path):
+    proc = run_cli("filters/Distorts/ripple.mm", input_png,
+                   str(tmp_path / "x.png"), "--tiled", "--sharded")
+    assert proc.returncode != 0
+    assert "mutually exclusive" in proc.stderr
+
+
+def test_tiled_bad_halo(input_png, tmp_path):
+    proc = run_cli("filters/Distorts/ripple.mm", input_png,
+                   str(tmp_path / "x.png"), "--tiled", "--halo", "zz")
+    assert proc.returncode != 0
+    assert "--halo expects" in proc.stderr

@@ -680,3 +680,17 @@ def test_tiled_multi_input_geometry_mismatch_raises():
     with pytest.raises(ValueError, match="share the output geometry"):
         f.render_tiled(a, b, halo=2, mesh=make_mesh(1, 8, 1),
                        width=PW, height=PH)
+
+
+def test_tiled_params_resolved():
+    """render_tiled resolves raw param VALUES into uservals (previously it
+    had no params path at all); unknown names raise eagerly."""
+    img = _pimage(80)
+    f = mm.compile_file("filters/Distorts/ripple.mm")
+    got = f.render_tiled(img, halo=8, mesh=make_mesh(1, 8, 1),
+                         width=PW, height=PH, params={"amplitude": 3.0})
+    want = f.render(img, width=PW, height=PH, params={"amplitude": 3.0})
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    with pytest.raises(Exception, match="nope"):
+        f.render_tiled(img, halo=8, mesh=make_mesh(1, 8, 1),
+                       width=PW, height=PH, params={"nope": 1.0})
