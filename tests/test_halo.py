@@ -694,3 +694,19 @@ def test_tiled_params_resolved():
     with pytest.raises(Exception, match="nope"):
         f.render_tiled(img, halo=8, mesh=make_mesh(1, 8, 1),
                        width=PW, height=PH, params={"nope": 1.0})
+
+
+def test_tiled_composition_two_inputs():
+    """A 2-input composer composition (.mmc) renders input-sharded: both
+    source drawables halo-exchanged, displacement bound inferred across
+    the whole composite graph."""
+    from mathmap_tpu.expression_db import default_db
+
+    f = default_db().compile("dual_overlay")
+    a, b = _pimage(81), _pimage(82)
+    # explicit halo: composite-graph param baking (amplitude=8 inside the
+    # pond node) is opaque to the affine-interval bound walker
+    got = f.render_tiled(a, b, halo=12, mesh=make_mesh(1, 2, 4),
+                         width=PW, height=PH)
+    want = f.render(a, b, width=PW, height=PH)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

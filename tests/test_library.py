@@ -209,12 +209,13 @@ def test_composition_gallery_renders(name):
     exercises multi-node chains, fan-in masks, and generative sources)."""
     db = default_db()
     f = db.compile(name)
-    img = _image()
+    n_img = sum(1 for q in f.fdef.params if q.kind == "image")
+    imgs = [_image()] * max(n_img, 1)
     opts = mm.RenderOptions(interpolation="nearest")
-    out = f.render(img, interpret=True, options=opts)
+    out = f.render(*imgs, interpret=True, options=opts)
     assert out.shape == (H, W, 4)
     assert np.isfinite(out).all()
-    jit_out = f.render(img, options=opts)
+    jit_out = f.render(*imgs, options=opts)
     # a few pixels may land EXACTLY on a sector/texel boundary, where
     # floor() legitimately differs between differently-fused programs
     # (runtime/sampling.py docstring hazard — mandala's kaleidoscope angle
