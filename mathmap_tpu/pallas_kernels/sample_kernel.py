@@ -319,6 +319,33 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
             out = out + _dot(dnum, alo, bhi)
         return out
 
+    dn_sel = (((1,), (0,)), ((), ()))
+
+    def chan_reduce(prod, rows):
+        """out[c, p] = sum_{r: r%4==c} prod[r, p] — the channel-class
+        reduce of the y-weighted stage-A result. For short row counts the
+        (4, rows) one-hot sel matmul is optimal, but its MXU tile-ops
+        scale with K=rows while M=4 occupies a full 128-row pass — on the
+        rotation-class shape (rows=512) it cost 3.1 ms of the 15.8 ms
+        tier (benchmarks/probe_selred.py, measured on TPU; the fast shape
+        rows=128 measured the OPPOSITE — VPU variants lose there). So for
+        rows > 128: halve with static sublane-aligned slices (channel
+        classes survive any multiple-of-4 split; offsets stay multiples
+        of 8 for clean f32 tiling) down to <=128 rows, then run the tiny
+        sel matmul on the residue. Rot-shape kernel 15.8 -> 14.2 ms; the
+        halving adds are exact f32, so this also TIGHTENS the bf16-mode
+        envelope (sel cast its operand to bf16 over the full row count)."""
+        h = rows
+        acc = prod
+        while h > 128 and h % 2 == 0 and (h // 2) % 8 == 0:
+            half = h // 2
+            acc = acc[0:half, :] + acc[half:h, :]
+            h = half
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, h), 1)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (4, h), 0)
+        sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
+        return mm(dn_sel, sel, acc, split_a=False)
+
     def kernel(*refs):
         rest = list(refs)
         idx_ref = rest.pop(0) if indirect else None
@@ -395,17 +422,11 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
             # weights: row (r*4 + c) holds window row r, channel c
             iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (win_h * 4, chunk), 0)
             r_of_row = iota_h4 // 4
-            # constant channel selector (4, win_h*4): sel[c,row] = (row%4==c)
-            # — turns per-channel masked reductions into one tiny MXU matmul
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 1)
-            cidx = jax.lax.broadcasted_iota(jnp.int32, (4, win_h * 4), 0)
-            sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
-            dn_sel = (((1,), (0,)), ((), ()))
             window_dma(i, j, slot).wait()
             win = None if subw else win2[slot]
-            body(oy, ox, iota_w, r_of_row, sel, dn_sel, win)
+            body(oy, ox, iota_w, r_of_row, win)
 
-        def body(oy, ox, iota_w, r_of_row, sel, dn_sel, win):
+        def body(oy, ox, iota_w, r_of_row, win):
             for cn in range(n_chunks):
                 if subw:
                     # per-chunk 8-aligned x-sub-window: contract only the
@@ -465,10 +486,9 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                 # MXU: (win_w, win_h*4) x (win_w, chunk) -> (win_h*4, chunk)
                 tmp = mm(dn, win, ox_mat)
                 prod = tmp * oy_mat4
-                # stage B: (4, win_h*4) @ (win_h*4, chunk) channel-select-reduce
-                # (sel is 0/1 — exact in bf16, no split needed)
-                out4 = mm(dn_sel, sel, prod, split_a=False)
-                o_ref[cn, :, :] = out4
+                # stage B: channel-class reduce (tree + tiny sel matmul on
+                # tall shapes; plain sel matmul on the fast class)
+                o_ref[cn, :, :] = chan_reduce(prod, win_h * 4)
 
         def body_subchunk(oy, ox):
             sub = subw
@@ -482,10 +502,6 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
             strip_of = (lane - (lane // 64) * 64) // 16
             iota_h4 = jax.lax.broadcasted_iota(jnp.int32, (sub * 4, n), 0)
             r_of_row = iota_h4 // 4
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, (4, sub * 4), 1)
-            cidx = jax.lax.broadcasted_iota(jnp.int32, (4, sub * 4), 0)
-            sel = ((rows_i - (rows_i // 4) * 4) == cidx).astype(mm_dtype)
-            dn_sel = (((1,), (0,)), ((), ()))
             lt = (j if positional else idx_ref[j]) if indirect \
                 else i * nj + j
             px = px_ref[0, 0:1, :]
@@ -539,7 +555,7 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                     ox_mat = ox_mat * mask
                 tmp = mm(dn, wsub, ox_mat)
                 prod = tmp * oy_mat4
-                out4 = out4 + mm(dn_sel, sel, prod, split_a=False)
+                out4 = out4 + chan_reduce(prod, sub * 4)
             o_ref[0, :, :] = out4
 
         compute()
