@@ -52,6 +52,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--edge-color", default="0,0,0,0", help="RGBA floats for 'color' edge behavior")
     p.add_argument("--supersample", nargs="?", type=int, const=2, default=1,
                    metavar="N", help="NxN supersampling AA (default 2 when given bare)")
+    p.add_argument("--supersample-scheme", choices=("grid", "corners"),
+                   default="grid",
+                   help="AA sample placement: s×s subpixel grid, or the "
+                        "shared corner grid + pixel centers (5 samples/px "
+                        "at ~2.07x one render — the scheme SURVEY §2.1 "
+                        "suspects the reference uses)")
     p.add_argument("--filter", dest="filter_name", default=None, help="filter name when the file defines several")
     p.add_argument("--param", action="append", default=[], metavar="NAME=VALUE", help="set a userval")
     p.add_argument("--static-params", default="", metavar="NAME[,NAME...]",
@@ -332,6 +338,7 @@ def main(argv=None) -> int:
         edge_y=args.edge_y,
         edge_color=tuple(float(c) for c in args.edge_color.split(",")),
         supersample=args.supersample,
+        supersample_scheme=args.supersample_scheme,
         periodic=not args.non_periodic,
         seed=args.seed,
         sampler=args.sampler,

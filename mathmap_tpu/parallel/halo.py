@@ -240,6 +240,15 @@ class TiledRenderer:
 
         self.jnp = jnp
         self.check = check
+        if opts.supersample > 1 and opts.supersample_scheme == "corners":
+            # the corner grid extends each device's tile by one row/col of
+            # EVALUATION positions whose samples would need their own halo
+            # accounting; not wired into the input-sharded path — use the
+            # default s×s grid scheme here (render()/render_sharded support
+            # corners)
+            raise ValueError(
+                "supersample_scheme='corners' is not supported by the "
+                "tiled (input-sharded) renderer; use 'grid'")
         if halo == "auto":
             halo = auto_halo(program_filters, fdef, width, height, opts,
                              uservals, ny=axis_size(mesh, ROW_AXIS),

@@ -24,8 +24,20 @@ class RenderOptions:
     edge_color: tuple = (0.0, 0.0, 0.0, 0.0)
     #: supersampling antialiasing: 1 = off, 2 = 2x2 subpixel grid ("4x AA",
     #: BASELINE config 4). The exact reference scheme (corner grid + center)
-    #: is marked LOW-confidence in SURVEY §2.1; we use an s×s subpixel grid.
+    #: is marked LOW-confidence in SURVEY §2.1; see supersample_scheme.
     supersample: int = 1
+    #: AA sample placement when supersample > 1. 'grid': s×s subpixel grid
+    #: (s² evaluations — the round-1 default, kept as THE default so
+    #: goldens/records stay comparable). 'corners': the scheme SURVEY §2.1
+    #: suspects the reference uses [unverified — mount empty]: evaluate
+    #: the (H+1)×(W+1) pixel-CORNER grid once (corners are shared between
+    #: neighbors) plus the pixel centers, and average the 5 samples per
+    #: pixel — ~2.07× the work of a plain render instead of grid-2's 4×,
+    #: with a 5-point quincunx footprint. Equal 1/5 weights [weighting
+    #: unverified; re-adjudicate at SURVEY §8]. supersample's numeric
+    #: value is ignored beyond >1 in this mode. Not supported by the
+    #: input-sharded tiled renderer (render_tiled raises).
+    supersample_scheme: str = "grid"
     #: safety cap on per-pixel `while` trip counts (the reference's compile/
     #: render resource limits, SURVEY §2.1 compiler row).
     max_loop_iters: int = 10000
@@ -113,6 +125,8 @@ class RenderOptions:
             raise ValueError(f"edge behaviors must be one of {EDGE_BEHAVIORS}")
         if self.supersample < 1:
             raise ValueError("supersample must be >= 1")
+        if self.supersample_scheme not in ("grid", "corners"):
+            raise ValueError("supersample_scheme must be 'grid' or 'corners'")
         if self.while_unroll < 1:
             # 0 steps/iteration would make the jit lax.while_loop a no-op
             # body that never converges — the render would hang, not error

@@ -198,10 +198,66 @@ def build_env(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
     return env
 
 
+def _eval_rgba_once(ctx: RenderContext, fdef: A.FilterDef, uservals: dict,
+                    dx: float, dy: float, extra: int = 0):
+    """One unclipped (lh+extra, lw+extra, 4) evaluation at subpixel offset
+    (dx, dy) on a grid extended by `extra` rows/cols past the frame — the
+    building block of the corner-grid AA scheme (pixel (i, j)'s corners
+    live on the (H+1, W+1) grid at offset (-0.5, -0.5)). World coordinates
+    and the X/Y/W/H/R internals keep the REAL frame geometry; only the
+    evaluation grid grows. Returns (rgba_array, sub_ctx) — the caller
+    threads sub_ctx.rand_counter so sequential evaluations keep drawing
+    distinct rand() streams (mirroring the s×s loop, which mutates one
+    shared ctx)."""
+    from dataclasses import replace
+
+    be = ctx.be
+    if ctx.base_layout is not None:
+        lh = (ctx.local_height or ctx.height) + extra
+        lw = (ctx.local_width or ctx.width) + extra
+        sub = replace(ctx, base_layout=base_layout_for(lw, lh),
+                      local_height=lh, local_width=lw,
+                      ss_stack=1, grid_xy=None)
+    elif ctx.grid_shape is not None:
+        gh, gw = ctx.grid_shape
+        lh, lw = gh + extra, gw + extra
+        sub = replace(ctx, grid_shape=(lh, lw), ss_stack=1, grid_xy=None)
+    else:
+        lh, lw = ctx.height + extra, ctx.width + extra
+        sub = replace(ctx, grid_shape=(lh, lw) if extra else None,
+                      ss_stack=1, grid_xy=None)
+    x, y = coordinate_grids(sub, dx, dy)
+    env = build_env(sub, fdef, uservals)
+    ev = Evaluator(sub, x, y, env)
+    comps = coerce_rgba(ev, ev.eval(fdef.body), fdef)
+    rgba = be.stack(comps, axis=-1)
+    if sub.base_layout is not None:
+        nby, nbx = sub.base_layout
+        rgba = unflatten_output(be, rgba, nby, nbx, lh, lw)
+    return rgba, sub
+
+
 def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
     """Render one frame -> (H, W, 4) float32 array in [0,1]."""
     be = ctx.be
     s = ctx.opts.supersample
+    if s > 1 and getattr(ctx.opts, "supersample_scheme", "grid") == "corners":
+        # corner-grid + center AA (SURVEY §2.1's suspected reference
+        # scheme [unverified — mount empty]): ONE (H+1, W+1) evaluation at
+        # the pixel corners — each interior corner is shared by 4 pixels —
+        # plus the centers; average the 5 samples per pixel. ~2.07x a
+        # plain render vs the s×s grid's s²x. Equal 1/5 weights
+        # [weighting unverified; re-adjudicate at SURVEY §8].
+        corner, sub = _eval_rgba_once(ctx, fdef, uservals, -0.5, -0.5, 1)
+        ctx.rand_counter = sub.rand_counter
+        ctx.rand_loop_nonce = sub.rand_loop_nonce
+        center, sub2 = _eval_rgba_once(ctx, fdef, uservals, 0.0, 0.0, 0)
+        ctx.rand_counter = sub2.rand_counter
+        ctx.rand_loop_nonce = sub2.rand_loop_nonce
+        out = (corner[:-1, :-1] + corner[:-1, 1:] + corner[1:, :-1]
+               + corner[1:, 1:] + center) * be.asarray(
+                   0.2, dtype=center.dtype)
+        return be.clip(out, 0.0, 1.0)
     if ctx.ss_stack > 1:
         # stacked supersampling: ONE evaluation (one sampler planning +
         # launch set) covers every subsample — the grids hold all s*s
@@ -411,6 +467,7 @@ class JitRenderer:
                        else None)
         ss = 1
         if (base_layout is not None and opts.supersample > 1
+                and opts.supersample_scheme == "grid"
                 and not uses_rand(program_filters, fdef)
                 and os.environ.get("MMTPU_SS_STACK", "0") == "1"):
             # stacked supersampling (see RenderContext.ss_stack) — OFF by

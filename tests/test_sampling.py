@@ -648,3 +648,97 @@ def test_smem_budget_chain_drop_renders_correct(monkeypatch):
     b = f.render(img, width=640, height=640, t=0.3, params={"twist": 3.0},
                  options=mm.RenderOptions(sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Corner-grid + center supersampling (supersample_scheme='corners')
+# ---------------------------------------------------------------------------
+
+_WARP_SRC = "filter w (image in) in(xy + [sin(y/7)*3, cos(x/9)*2]) end"
+
+
+def _corners_opts(**kw):
+    return mm.RenderOptions(supersample=2, supersample_scheme="corners", **kw)
+
+
+def test_corners_constant_filter_is_exact():
+    """Averaging 5 samples of a constant is the constant — the combine's
+    1/5 weights must sum to one exactly."""
+    f = mm.compile_source("filter c () rgbColor(0.25, 0.5, 0.75) end")
+    out = f.render(width=20, height=12, options=_corners_opts())
+    assert np.allclose(out[..., :3], [0.25, 0.5, 0.75], atol=1e-6)
+
+
+def test_corners_linear_gradient_matches_unsampled():
+    """A filter LINEAR in pixel coordinates is invariant under any
+    unbiased symmetric AA scheme: the 5-point quincunx mean at the pixel
+    center equals the center sample. Pins the corner positions at exactly
+    (+-0.5, +-0.5) — an offset bias would shift the ramp."""
+    src = "filter g () rgba:[(x + X) / W, (Y - y) / H, 0.5, 1] end"
+    f = mm.compile_source(src)
+    aa = f.render(width=24, height=16, options=_corners_opts())
+    plain = f.render(width=24, height=16)
+    np.testing.assert_allclose(aa, plain, atol=1e-6)
+
+
+def test_corners_jit_matches_oracle():
+    img = _image(7)
+    f = mm.compile_source(_WARP_SRC)
+    jit = f.render(img, options=_corners_opts())
+    ora = f.render(img, options=_corners_opts(), interpret=True)
+    np.testing.assert_allclose(np.asarray(jit), ora, atol=1e-5)
+
+
+def test_corners_pallas_base_layout_matches_gather():
+    """The corner evaluation re-derives its own (H+1, W+1) base-block
+    layout; the Pallas path must agree with the exact gather path."""
+    img = _image(8)
+    f = mm.compile_source(_WARP_SRC)
+    a = f.render(img, options=_corners_opts(sampler="pallas",
+                                            pallas_precision="f32"))
+    b = f.render(img, options=_corners_opts(sampler="gather"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_corners_rand_filter_jit_matches_oracle():
+    """The two sequential evaluations must draw DISTINCT rand() streams
+    threaded through the shared context (counter copy-back), identically
+    in both backends."""
+    img = _image(9)
+    src = ("filter r (image in) "
+           "in(xy) * 0.5 + rand(0, 1) * 0.5 * [1, 1, 1, 0] + [0,0,0,0.0] end")
+    f = mm.compile_source(src)
+    jit = f.render(img, options=_corners_opts())
+    ora = f.render(img, options=_corners_opts(), interpret=True)
+    np.testing.assert_allclose(np.asarray(jit), ora, atol=1e-6)
+
+
+def test_corners_sharded_matches_unsharded():
+    img = np.random.RandomState(10).rand(32, 48, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    f = mm.compile_source(_WARP_SRC)
+    sh = f.render_sharded(img, options=_corners_opts())
+    un = f.render(img, options=_corners_opts())
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(un), atol=1e-6)
+
+
+def test_corners_tiled_renderer_raises():
+    img = _image(11)
+    f = mm.compile_source(_WARP_SRC)
+    with pytest.raises(ValueError, match="corners"):
+        f.render_tiled(img, options=_corners_opts())
+
+
+def test_corners_differs_from_grid_on_high_frequency():
+    """Sanity: the two schemes are genuinely different sample placements
+    (a regression to one shared code path would silently equalize them)."""
+    img = _image(12)
+    f = mm.compile_source(_WARP_SRC)
+    c = f.render(img, options=_corners_opts())
+    g = f.render(img, options=mm.RenderOptions(supersample=2))
+    assert float(np.max(np.abs(np.asarray(c) - np.asarray(g)))) > 1e-3
+
+
+def test_supersample_scheme_validation():
+    with pytest.raises(ValueError, match="supersample_scheme"):
+        mm.RenderOptions(supersample_scheme="hexagonal")
