@@ -30,6 +30,10 @@ def main():
     rng = np.random.RandomState(5)
     img = rng.rand(H, W, 4).astype(np.float32)
     img[..., 3] = 1.0
+    # pre-stage the input on device (bench.py does the same): a numpy
+    # input would re-ride the relay host->device on EVERY dispatch
+    img = jax.device_put(jnp.asarray(img))
+    jax.block_until_ready(img)
     f = mm.compile_file("filters/Distorts/ripple.mm")
 
     variants = [
