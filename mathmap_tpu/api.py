@@ -18,6 +18,27 @@ from .runtime.render import JitRenderer, render_oracle
 from .utils.errors import MMError, MMNameError
 
 
+def _is_device_array(a) -> bool:
+    """True for a jax device array (without importing jax when the caller
+    never passed one)."""
+    if isinstance(a, np.ndarray):
+        return False
+    mod = type(a).__module__ or ""
+    if not (mod.startswith("jax") or mod.startswith("jaxlib")):
+        return False
+    import jax
+
+    return isinstance(a, jax.Array)
+
+
+def _passthrough_rgba(a, ndim: int) -> bool:
+    """(…, H, W, 4) float32/uint8 arrays skip host conversion: float32 is
+    already the render dtype; uint8 converts IN-TRACE on device (÷255,
+    bit-identical to to_float_rgba) so the upload ships 4× fewer bytes."""
+    return (getattr(a, "ndim", None) == ndim and a.shape[-1] == 4
+            and a.dtype in (np.float32, np.uint8))
+
+
 class Filter:
     """A compiled MathMap filter (plus the filter environment of its file)."""
 
@@ -52,14 +73,22 @@ class Filter:
 
     @staticmethod
     def _conv_input(a):
-        """(H,W,C)-convertible -> float32 (H,W,4); a 4-D array is an
-        ANIMATED input -> (T,H,W,4) (render_batch instead treats 4-D as a
-        batch of independent frames — the two entries differ on purpose)."""
+        """(H,W,C)-convertible -> (H,W,4); a 4-D array is an ANIMATED
+        input -> (T,H,W,4) (render_batch instead treats 4-D as a batch of
+        independent frames — the two entries differ on purpose). float32
+        and uint8 RGBA pass through unconverted (u8 normalizes in-trace,
+        4× smaller upload); device-resident arrays pass through untouched
+        (np.asarray would pull them back to host)."""
+        if _is_device_array(a) and (_passthrough_rgba(a, 3)
+                                    or _passthrough_rgba(a, 4)):
+            return a
         arr = np.asarray(a)
         if arr.ndim == 4:
-            if arr.dtype == np.float32 and arr.shape[-1] == 4:
+            if _passthrough_rgba(arr, 4):
                 return arr
             return np.stack([to_float_rgba(f) for f in arr])
+        if _passthrough_rgba(arr, 3) and arr.dtype == np.uint8:
+            return arr
         return to_float_rgba(arr)
 
     def _renderer(self, width, height, options, num_frames) -> JitRenderer:
@@ -161,9 +190,16 @@ class Filter:
         def conv(batch):
             if isinstance(batch, (list, tuple)):
                 return np.stack([to_float_rgba(np.asarray(f)) for f in batch])
+            if _is_device_array(batch) and _passthrough_rgba(batch, 4):
+                # device-resident stack: hand it straight to the renderer —
+                # an np.asarray here would round-trip the whole batch
+                # host<->device on every dispatch
+                return batch
             arr = np.asarray(batch)
-            if arr.ndim == 4 and arr.dtype == np.float32 and arr.shape[-1] == 4:
-                return arr  # already a float RGBA stack — no copy
+            if arr.ndim == 4 and arr.shape[-1] == 4 \
+                    and arr.dtype in (np.float32, np.uint8):
+                return arr  # float/u8 RGBA stack — no copy (u8: 4× smaller
+                #             upload, normalized in-trace)
             if arr.ndim == 3 and arr.shape[-1] in (1, 3, 4):
                 # a lone (H, W, C) frame would otherwise be iterated over
                 # its ROWS and silently render H garbage jobs
@@ -181,8 +217,10 @@ class Filter:
         if ts is not None and len(ts) != n:
             raise ValueError(
                 f"render_batch: {len(ts)} ts for a batch of {n} jobs")
-        first = [a[0] for a in ins]
-        width, height = self._resolve_size(first, width, height)
+        # _resolve_size reads shape[-2]/[-3], so the (N, H, W, 4) stacks
+        # resolve directly — no a[0] slice (which would enqueue a device op
+        # per input on device-resident stacks)
+        width, height = self._resolve_size(ins, width, height)
         if ts is None:
             ts = np.zeros(n, dtype=np.float32)
         renderer = self._renderer(width, height, options, 1)
@@ -207,6 +245,11 @@ class Filter:
 
         options = options or RenderOptions()
         ins = [self._conv_input(a) for a in inputs]
+        # the shard_map tile code takes float inputs only — resolve any u8
+        # passthrough on host (replication ships the full image anyway)
+        ins = [a.astype(np.float32) / np.float32(255.0)
+               if getattr(a, "dtype", None) == np.uint8 else a
+               for a in ins]
         width, height = self._resolve_size(ins, width, height)
         if mesh is None:
             mesh = make_mesh()

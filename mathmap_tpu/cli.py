@@ -58,6 +58,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "shared corner grid + pixel centers (5 samples/px "
                         "at ~2.07x one render — the scheme SURVEY §2.1 "
                         "suspects the reference uses)")
+    p.add_argument("--output-dtype", choices=("float32", "uint8"),
+                   default="float32",
+                   help="uint8 packs the 8-bit output ON DEVICE (bit-"
+                        "identical to the host pack) — 4x less "
+                        "device->host transfer per frame")
     p.add_argument("--filter", dest="filter_name", default=None, help="filter name when the file defines several")
     p.add_argument("--param", action="append", default=[], metavar="NAME=VALUE", help="set a userval")
     p.add_argument("--static-params", default="", metavar="NAME[,NAME...]",
@@ -339,6 +344,7 @@ def main(argv=None) -> int:
         edge_color=tuple(float(c) for c in args.edge_color.split(",")),
         supersample=args.supersample,
         supersample_scheme=args.supersample_scheme,
+        output_dtype=args.output_dtype,
         periodic=not args.non_periodic,
         seed=args.seed,
         sampler=args.sampler,

@@ -43,7 +43,12 @@ def to_float_rgba(arr: np.ndarray) -> np.ndarray:
 
 def to_uint8(arr: np.ndarray) -> np.ndarray:
     """float (H,W,4) in [0,1] -> uint8, with the reference's round-to-nearest
-    8-bit packing (native hot loop when available)."""
+    8-bit packing (native hot loop when available). uint8 input passes
+    through — renders with RenderOptions(output_dtype='uint8') packed on
+    device with the identical rule."""
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint8:
+        return arr
     from .. import native
 
     return native.f32_to_u8(np.asarray(arr, dtype=np.float32))
@@ -91,14 +96,17 @@ def _read_pam_py(path: str) -> np.ndarray:
     return arr
 
 
-def read_animation(file) -> np.ndarray:
+def read_animation(file, as_uint8: bool = False) -> np.ndarray:
     """Read a multi-frame image file (animated GIF) -> float32 (T, H, W, 4)
     stack for ANIMATED inputs (origValXY frame-indexed sampling; the
     reference's multi-frame input drawables came from GIMP layer stacks
     [unverified — mount empty]). `file` is a path or a file-like object.
     Single-frame files return (1, H, W, 4); multi-frame files whose frames
     disagree in size (multi-page TIFF with a thumbnail page) keep only the
-    frames matching frame 0's geometry — an animation has one geometry."""
+    frames matching frame 0's geometry — an animation has one geometry.
+    as_uint8=True skips the float conversion and returns the decoded
+    (T, H, W, 4) uint8 — the render paths normalize u8 in-trace, so a u8
+    stack ships 4× fewer bytes host→device (the serving layer's choice)."""
     pil = _pil()
     img = pil.open(file)
     frames = []
@@ -106,7 +114,9 @@ def read_animation(file) -> np.ndarray:
         i = 0
         while True:
             img.seek(i)
-            f = to_float_rgba(np.asarray(img.convert("RGBA")))
+            f = np.asarray(img.convert("RGBA"))
+            if not as_uint8:
+                f = to_float_rgba(f)
             if not frames or f.shape == frames[0].shape:
                 frames.append(f)
             i += 1

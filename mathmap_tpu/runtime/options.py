@@ -38,6 +38,17 @@ class RenderOptions:
     #: value is ignored beyond >1 in this mode. Not supported by the
     #: input-sharded tiled renderer (render_tiled raises).
     supersample_scheme: str = "grid"
+    #: output element type. 'float32' (default): (…, H, W, 4) in [0,1].
+    #: 'uint8': the renderer packs ON DEVICE with the reference's
+    #: round-to-nearest 8-bit rule (clip·255 + 0.5, floor — bit-identical
+    #: to imgio.to_uint8 / native.f32_to_u8 on the same floats) and
+    #: returns (…, H, W, 4) uint8. The pack is fused into the render
+    #: program, so device→host readback shrinks 4× — the serving layer's
+    #: default (mathmap_tpu.serve), and the right call on any
+    #: transfer-bound link (PCIe, or this environment's relay tunnel at
+    #: ~15-40 MB/s). Applies to every renderer (jit, oracle, sharded,
+    #: tiled) — they all pack in runtime.render.render_frame.
+    output_dtype: str = "float32"
     #: safety cap on per-pixel `while` trip counts (the reference's compile/
     #: render resource limits, SURVEY §2.1 compiler row).
     max_loop_iters: int = 10000
@@ -127,6 +138,8 @@ class RenderOptions:
             raise ValueError("supersample must be >= 1")
         if self.supersample_scheme not in ("grid", "corners"):
             raise ValueError("supersample_scheme must be 'grid' or 'corners'")
+        if self.output_dtype not in ("float32", "uint8"):
+            raise ValueError("output_dtype must be 'float32' or 'uint8'")
         if self.while_unroll < 1:
             # 0 steps/iteration would make the jit lax.while_loop a no-op
             # body that never converges — the render would hang, not error

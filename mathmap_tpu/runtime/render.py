@@ -237,8 +237,35 @@ def _eval_rgba_once(ctx: RenderContext, fdef: A.FilterDef, uservals: dict,
     return rgba, sub
 
 
+def pack_uint8(be, rgba):
+    """Device-side 8-bit packing, bit-identical to imgio.to_uint8 /
+    native.f32_to_u8 on the same float values: clip to [0,1], ·255 + 0.5,
+    floor. The explicit floor makes the float→int convert exact (an
+    integer-valued float converts identically under every rounding mode,
+    so TPU/CPU/NumPy all agree)."""
+    x = be.clip(rgba, 0.0, 1.0) * be.asarray(255.0, dtype=rgba.dtype)
+    return be.floor(x + be.asarray(0.5, dtype=rgba.dtype)).astype(be.uint8)
+
+
+def float_inputs(be, arrays):
+    """Normalize render inputs: uint8 (…,H,W,4) arrays become float32/255
+    IN-TRACE (bit-identical to imgio.to_float_rgba's u8 path) so callers
+    can ship 4× fewer bytes host→device; float arrays pass through."""
+    return [a.astype(be.float32) / be.asarray(255.0, dtype=be.float32)
+            if a.dtype == np.uint8 else a for a in arrays]
+
+
 def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
-    """Render one frame -> (H, W, 4) float32 array in [0,1]."""
+    """Render one frame -> (H, W, 4) float32 array in [0,1] (uint8 when
+    opts.output_dtype='uint8' — packed here so every renderer (jit,
+    oracle, sharded, tiled) shares the same rule)."""
+    out = _render_frame_f32(ctx, fdef, uservals)
+    if getattr(ctx.opts, "output_dtype", "float32") == "uint8":
+        return pack_uint8(ctx.be, out)
+    return out
+
+
+def _render_frame_f32(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
     be = ctx.be
     s = ctx.opts.supersample
     if s > 1 and getattr(ctx.opts, "supersample_scheme", "grid") == "corners":
@@ -425,7 +452,7 @@ class JitRenderer:
             from ..pallas_kernels import sample_kernel as SK
 
             pads = []
-            for a in input_arrays:
+            for a in float_inputs(jnp, input_arrays):
                 h, w = int(a.shape[-3]), int(a.shape[-2])
                 # the kernel's OWN formula (a private copy here would,
                 # if either side changed, make the kernel silently reject
@@ -483,7 +510,7 @@ class JitRenderer:
         def run(input_arrays, userval_arrays, kinds, t, frame, prepads=None,
                 grids=None):
             inputs = []
-            for i, a in enumerate(input_arrays):
+            for i, a in enumerate(float_inputs(jnp, input_arrays)):
                 pre = prepads[i] if prepads else None
                 inputs.append(InputImage(pixels=a, name=f"in{i}", prepad=pre))
             ctx = RenderContext(
@@ -570,6 +597,23 @@ class JitRenderer:
 
         self._jitted_jobs_pp = jax.jit(run_jobs_pp, static_argnums=(2,))
 
+    def _stage(self, arrays):
+        """Host arrays -> device, preserving uint8 (the in-trace /255
+        conversion in `run` means a u8 upload ships 4× fewer bytes);
+        device arrays pass through untouched — a np.asarray on them would
+        round-trip the whole image host<->device on every frame."""
+        jnp = self.jnp
+        out = []
+        for a in arrays:
+            if isinstance(a, jnp.ndarray):
+                out.append(a)
+                continue
+            a = np.asarray(a)
+            if a.dtype != np.uint8:
+                a = np.asarray(a, dtype=np.float32)
+            out.append(jnp.asarray(a))
+        return out
+
     def _prepads_on(self) -> bool:
         from .sampling import pallas_policy
 
@@ -607,13 +651,7 @@ class JitRenderer:
             inputs=[], filters=self.filters, is_jax=True,
         )
         arrays, kinds = _userval_pytree(ctx, self.fdef, params)
-        # device arrays pass through untouched — a np.asarray on them would
-        # round-trip the whole image host<->device on every frame
-        ins = [
-            a if isinstance(a, jnp.ndarray)
-            else jnp.asarray(np.asarray(a, dtype=np.float32))
-            for a in input_arrays
-        ]
+        ins = self._stage(input_arrays)
         if self._base_layout is not None and self._grids is None:
             self._grids = self._grids_jit()
         return self._jitted(ins, arrays, kinds, jnp.float32(t),
@@ -638,11 +676,7 @@ class JitRenderer:
             be=jnp, width=self.width, height=self.height, opts=self.opts,
             inputs=[], filters=self.filters, is_jax=True,
         )
-        ins = [
-            a if isinstance(a, jnp.ndarray)
-            else jnp.asarray(np.asarray(a, dtype=np.float32))
-            for a in batched_inputs
-        ]
+        ins = self._stage(batched_inputs)
         ts = jnp.asarray(ts, dtype=jnp.float32)
         if frames is None:
             frames = jnp.arange(ts.shape[0], dtype=jnp.float32)
@@ -678,11 +712,7 @@ class JitRenderer:
             inputs=[], filters=self.filters, is_jax=True,
         )
         arrays, kinds = _userval_pytree(ctx, self.fdef, params)
-        ins = [
-            a if isinstance(a, jnp.ndarray)
-            else jnp.asarray(np.asarray(a, dtype=np.float32))
-            for a in input_arrays
-        ]
+        ins = self._stage(input_arrays)
         return self._jitted_frames(
             ins, arrays, kinds, jnp.asarray(ts, dtype=jnp.float32), jnp.float32(frame0)
         )
@@ -696,9 +726,18 @@ def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params
     `--interpret`. precision='f64' runs the whole evaluation in float64
     (the reference computes in C doubles — SURVEY §7 hard part 2)."""
     dt = np.float64 if precision == "f64" else np.float32
+
+    def conv(a):
+        # u8 inputs normalize exactly like the jit path's in-trace /255
+        # (float_inputs) and imgio.to_float_rgba's u8 branch
+        a = np.asarray(a)
+        if a.dtype == np.uint8:
+            a = a.astype(np.float32) / np.float32(255.0)
+        return np.asarray(a, dtype=dt)
+
     ctx = RenderContext(
         be=np, width=width, height=height, opts=opts,
-        inputs=[InputImage(pixels=np.asarray(a, dtype=dt), name=f"in{i}")
+        inputs=[InputImage(pixels=conv(a), name=f"in{i}")
                 for i, a in enumerate(input_arrays)],
         filters=program_filters, t=dt(t), frame=dt(frame),
         num_frames=num_frames, is_jax=False, dtype=dt,

@@ -31,10 +31,19 @@ Endpoints:
   POST /render           {"filter": ..., "width", "height", "t", "params",
                           "inputs": [base64 PNG/JPEG/GIF, ...],
                           "format": "png"|"raw"} -> {"image": base64}
+                          (raw: {"shape", "dtype", "data"} — uint8 by
+                          default, see below)
   POST /animate          {"filter": ..., "num_frames", "fps", ...} ->
                           {"gif": base64} (or "format": "raw" ->
-                          (F, H, W, 4) f32 bytes) — whole t-sweep in ONE
-                          device program (render_animation)
+                          (F, H, W, 4) bytes + declared dtype) — whole
+                          t-sweep in ONE device program (render_animation)
+
+I/O dtype: the service renders with output_dtype='uint8' by default —
+the 8-bit pack runs ON DEVICE (bit-identical to the host pack PNG/GIF
+encode needs anyway) and decoded request images stay uint8, so both
+transfer directions ship 4× fewer bytes than float32 (this relay
+tunnel moves ~15-40 MB/s; a 512² f32 frame is 4 MB, its u8 twin 1 MB).
+RenderService(output_dtype='float32') restores raw float results.
 
 Client errors (bad JSON, unknown filter, bad params) return 400; render
 timeouts 503; backend/compile failures 500.
@@ -114,12 +123,21 @@ class RenderService:
     the first job of a group; `max_batch` bounds a group's size.
     """
 
-    def __init__(self, db=None, max_batch: int = 32, window_ms: float = 4.0):
+    def __init__(self, db=None, max_batch: int = 32, window_ms: float = 4.0,
+                 output_dtype: str = "uint8"):
         from .expression_db import default_db
 
         self.db = db if db is not None else default_db()
         self.max_batch = int(max_batch)
         self.window_ms = float(window_ms)
+        #: the dtype every job renders at. 'uint8' (default): results are
+        #: device-packed (H, W, 4) uint8 — bit-identical to imgio.to_uint8
+        #: of the float render, 4× less device→host traffic (the encode
+        #: step needs u8 anyway for PNG/GIF). 'float32' restores raw float
+        #: results for API users doing further math.
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError("output_dtype must be 'float32' or 'uint8'")
+        self.output_dtype = output_dtype
         self._q: queue.Queue = queue.Queue()
         self._filters: dict = {}     # cache key -> Filter
         self._lock = threading.Lock()
@@ -132,6 +150,17 @@ class RenderService:
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="mmtpu-dispatcher")
         self._thread.start()
+
+    def _svc_opts(self, options: RenderOptions | None) -> RenderOptions:
+        """Request options + the service's output dtype (every dispatch
+        renders at self.output_dtype; the dtype is part of both the group
+        signature and the jit program)."""
+        from dataclasses import replace
+
+        options = options or RenderOptions()
+        if options.output_dtype != self.output_dtype:
+            options = replace(options, output_dtype=self.output_dtype)
+        return options
 
     # -- filter/program management ------------------------------------
     def get_filter(self, spec):
@@ -163,10 +192,13 @@ class RenderService:
         The param NAME SET is part of the program signature — warm with
         the same `params` names production requests will send."""
         filt = self.get_filter(spec)
-        options = options or RenderOptions()
+        options = self._svc_opts(options)
         params = params or {}
         n_img = sum(1 for p in filt.fdef.params if p.kind == "image")
-        blank = np.zeros((height, width, 4), np.float32)
+        # u8 blanks: production inputs arrive as decoded uint8 (the input
+        # dtype is part of the jit program signature — warm the program
+        # production will actually hit)
+        blank = np.zeros((height, width, 4), np.uint8)
         for n in batch_sizes:
             n = int(n)
             if n <= 1:
@@ -188,7 +220,7 @@ class RenderService:
                num_frames: int | None = None) -> _Job:
         filt = self.get_filter(spec)
         params = params or {}
-        options = options or RenderOptions()
+        options = self._svc_opts(options)
         # Filter._conv_input handles (H,W,C) and animated (T,H,W,4) inputs
         # in any convertible dtype — the same normalization render() does
         inputs = [filt._conv_input(a) for a in inputs]
@@ -350,7 +382,9 @@ class RenderService:
 def _decode_input(b64: str) -> np.ndarray:
     from .imgio.images import read_animation
 
-    stack = read_animation(io.BytesIO(base64.b64decode(b64)))
+    # keep the decoded uint8: the renderers normalize u8 in-trace, so the
+    # upload ships 4× fewer bytes than a host float conversion would
+    stack = read_animation(io.BytesIO(base64.b64decode(b64)), as_uint8=True)
     # single-frame files render as plain (H, W, 4) inputs; multi-frame
     # stays (T, H, W, 4) for origValXY frame-indexed sampling
     return stack[0] if stack.shape[0] == 1 else stack
@@ -421,6 +455,7 @@ def make_handler(service: RenderService):
                     if req.get("format") == "raw":
                         return self._json(200, {
                             "shape": list(frames.shape),
+                            "dtype": str(frames.dtype),
                             "data": base64.b64encode(
                                 np.ascontiguousarray(frames).tobytes(),
                             ).decode()})
@@ -449,6 +484,7 @@ def make_handler(service: RenderService):
                     if req.get("format") == "raw":
                         return self._json(200, {
                             "shape": list(out.shape),
+                            "dtype": str(out.dtype),
                             "data": base64.b64encode(
                                 np.ascontiguousarray(out).tobytes()).decode(),
                         })

@@ -1,0 +1,185 @@
+"""uint8 device-side I/O: RenderOptions(output_dtype='uint8') packs the
+8-bit output INSIDE the render program (runtime/render.pack_uint8), and
+uint8 (…, H, W, 4) inputs normalize in-trace (runtime/render.float_inputs)
+— both bit-identical to the host helpers (imgio.to_uint8 / to_float_rgba),
+so the serving path can ship 4× fewer bytes each way.
+
+Reference analog: the 8-bit pack at the end of the render loop in
+mathmap_common.c [unverified — mount empty, SURVEY.md §0]; the device-side
+placement is TPU-native design (host<->device transfer has no C analog).
+"""
+
+import numpy as np
+import pytest
+
+import mathmap_tpu as mm
+from mathmap_tpu.imgio.images import to_float_rgba, to_uint8
+
+H, W = 24, 32
+
+_WARP = "filter w (image in) in(xy + [sin(y/5)*2, cos(x/7)*2]) end"
+
+
+def _img_f32(seed=3, h=H, w=W):
+    img = np.random.RandomState(seed).rand(h, w, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+def _img_u8(seed=3, h=H, w=W):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 4), dtype=np.uint8)
+
+
+def test_output_dtype_validation():
+    with pytest.raises(ValueError, match="output_dtype"):
+        mm.RenderOptions(output_dtype="float16")
+
+
+def test_pack_matches_host_pack_bitwise():
+    """Device pack == imgio.to_uint8 of the float render, bit for bit
+    (same floats in, same clip·255+0.5 floor rule)."""
+    f = mm.compile_source(_WARP)
+    img = _img_f32()
+    f32 = f.render(img)
+    u8 = f.render(img, options=mm.RenderOptions(output_dtype="uint8"))
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8, to_uint8(f32))
+
+
+def test_pack_formula_ties_and_bounds():
+    """pack_uint8 vs native.f32_to_u8 on crafted values: exact k/255
+    sample points (ties under the +0.5 rule), out-of-range values, 0, 1."""
+    import jax.numpy as jnp
+
+    from mathmap_tpu.runtime.render import pack_uint8
+
+    vals = np.concatenate([
+        np.arange(256, dtype=np.float32) / 255.0,          # exact levels
+        np.float32([-.5, -1e-6, 0.0, 1.0, 1.0 + 1e-6, 2.0]),
+        (np.arange(255, dtype=np.float32) + 0.5) / 255.0,  # midpoints
+        np.random.RandomState(0).rand(512).astype(np.float32),
+    ])
+    dev = np.asarray(pack_uint8(jnp, jnp.asarray(vals)))
+    host = to_uint8(vals)
+    np.testing.assert_array_equal(dev, host)
+    # numpy-backend pack (the oracle's) agrees too
+    np.testing.assert_array_equal(pack_uint8(np, vals), host)
+
+
+def test_u8_input_matches_host_converted_f32_bitwise():
+    """A uint8 input renders bit-identically to its to_float_rgba twin —
+    the in-trace /255 is the same operation."""
+    f = mm.compile_source(_WARP)
+    raw = _img_u8()
+    a = f.render(raw)
+    b = f.render(to_float_rgba(raw))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_u8_in_u8_out_jit_matches_oracle():
+    f = mm.compile_source(_WARP)
+    raw = _img_u8(5)
+    opts = mm.RenderOptions(output_dtype="uint8")
+    jit = f.render(raw, options=opts)
+    ora = f.render(raw, options=opts, interpret=True)
+    assert jit.dtype == ora.dtype == np.uint8
+    # jit and oracle floats agree to ~1e-5; after packing that is at most
+    # one 8-bit count on round boundaries
+    diff = np.abs(jit.astype(np.int16) - ora.astype(np.int16))
+    assert diff.max() <= 1
+
+
+def test_u8_output_pallas_matches_gather():
+    f = mm.compile_source(_WARP)
+    img = _img_f32(7, 64, 96)
+    a = f.render(img, options=mm.RenderOptions(
+        output_dtype="uint8", sampler="pallas", pallas_precision="f32"))
+    b = f.render(img, options=mm.RenderOptions(
+        output_dtype="uint8", sampler="gather"))
+    diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    assert diff.max() <= 1
+
+
+def test_animated_u8_input_matches_f32():
+    src = "filter a (image in) origValXY(x, y, 1) end"
+    f = mm.compile_source(src)
+    anim = np.random.RandomState(9).randint(
+        0, 256, size=(3, H, W, 4), dtype=np.uint8)
+    a = f.render(anim, options=mm.RenderOptions(interpolation="nearest"))
+    b = f.render(np.stack([to_float_rgba(fr) for fr in anim]),
+                 options=mm.RenderOptions(interpolation="nearest"))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_batch_device_stack_passes_through():
+    """A device-resident (N, H, W, 4) stack must reach the renderer
+    without a host round-trip (api conv passthrough) and render exactly
+    like per-frame calls."""
+    import jax
+    import jax.numpy as jnp
+
+    f = mm.compile_source(_WARP)
+    frames = np.stack([_img_f32(s) for s in range(4)])
+    dev = jax.device_put(jnp.asarray(frames))
+    outs = f.render_batch(dev, ts=[0.0] * 4, frames=[0.0] * 4)
+    for i in range(4):
+        one = f.render(frames[i])
+        np.testing.assert_allclose(outs[i], one, atol=1e-6)
+
+
+def test_render_batch_u8_stack_and_u8_out():
+    f = mm.compile_source(_WARP)
+    raw = np.random.RandomState(11).randint(
+        0, 256, size=(3, H, W, 4), dtype=np.uint8)
+    opts = mm.RenderOptions(output_dtype="uint8")
+    outs = f.render_batch(raw, ts=[0.0] * 3, frames=[0.0] * 3, options=opts)
+    assert outs.dtype == np.uint8
+    for i in range(3):
+        one = f.render(raw[i], options=opts)
+        np.testing.assert_array_equal(outs[i], one)
+
+
+def test_sharded_u8_output_matches_unsharded():
+    img = _img_f32(13, 32, 48)
+    f = mm.compile_source(_WARP)
+    opts = mm.RenderOptions(output_dtype="uint8")
+    sh = f.render_sharded(img, options=opts)
+    un = f.render(img, options=opts)
+    assert sh.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(sh), np.asarray(un))
+
+
+def test_tiled_u8_output_matches_plain():
+    img = _img_f32(17, 32, 48)
+    f = mm.compile_source(_WARP)
+    opts = mm.RenderOptions(output_dtype="uint8")
+    ti = f.render_tiled(img, options=opts)
+    un = f.render(img, options=opts)
+    assert ti.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(un))
+
+
+def test_corners_supersample_u8():
+    f = mm.compile_source(_WARP)
+    img = _img_f32(19)
+    opts = mm.RenderOptions(supersample=2, supersample_scheme="corners",
+                            output_dtype="uint8")
+    u8 = f.render(img, options=opts)
+    f32 = f.render(img, options=mm.RenderOptions(
+        supersample=2, supersample_scheme="corners"))
+    np.testing.assert_array_equal(u8, to_uint8(f32))
+
+
+def test_to_uint8_passthrough_and_read_animation_u8(tmp_path):
+    raw = _img_u8(23)
+    assert to_uint8(raw) is raw
+    # GIF round-trip keeps uint8 under as_uint8=True
+    from PIL import Image
+
+    from mathmap_tpu.imgio.images import read_animation
+
+    p = tmp_path / "a.gif"
+    Image.fromarray(raw).save(p)
+    stack = read_animation(str(p), as_uint8=True)
+    assert stack.dtype == np.uint8 and stack.shape == (1, H, W, 4)
