@@ -197,6 +197,23 @@ def test_http_render_roundtrip(http_server):
     assert arr.shape == (H, W, 4)
 
 
+def test_http_render_png_level(http_server):
+    from PIL import Image
+
+    src = {"source": "filter f () grayColor(x / W + 0.5) end"}
+    outs = {}
+    for level in (0, 1):
+        code, body = _post(http_server, "/render", {
+            "filter": src, "width": W, "height": H, "png_level": level})
+        assert code == 200, body
+        outs[level] = base64.b64decode(body["image"])
+    # store mode is bigger but decodes to the identical frame
+    assert len(outs[0]) > len(outs[1])
+    a0 = np.asarray(Image.open(io.BytesIO(outs[0])))
+    a1 = np.asarray(Image.open(io.BytesIO(outs[1])))
+    np.testing.assert_array_equal(a0, a1)
+
+
 def test_http_render_raw_format(http_server):
     code, body = _post(http_server, "/render", {
         "filter": {"source": "filter f () grayColor(x / W + 0.5) end"},
