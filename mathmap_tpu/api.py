@@ -290,6 +290,16 @@ class Filter:
         from .parallel.mesh import make_mesh
 
         options = options or RenderOptions()
+        for a in input_images:
+            if getattr(np.asarray(a), "ndim", 0) == 4:
+                # the halo machinery shards/exchanges (H, W, 4) blocks;
+                # animated stacks would need per-frame exchange + frame-
+                # aware kernel routing. Fail with guidance instead of the
+                # shape-mangling error to_float_rgba would raise.
+                raise ValueError(
+                    "render_tiled does not support animated (T, H, W, 4) "
+                    "inputs; use render() or render_sharded() (animated "
+                    "inputs replicate per device there)")
         imgs = [to_float_rgba(np.asarray(a)) for a in input_images]
         width, height = self._resolve_size(imgs, width, height)
         for a in imgs:

@@ -131,3 +131,26 @@ def test_cli_reads_animated_gif(tmp_path):
     assert rc == 0
     got = np.asarray(Image.open(out).convert("RGBA"))
     assert abs(int(got[0, 0, 0]) - 210) <= 30  # frame 1, not frame 0
+
+
+def test_render_sharded_animated_matches_render():
+    """render_sharded replicates animated stacks per device; output must
+    equal the unsharded render frame for frame (current-frame semantics)."""
+    stack = _anim(3)
+    f = mm.compile("filter f (image in) in(xy) end")
+    opts = mm.RenderOptions(interpolation="nearest")
+    for fr in (0.0, 2.0):
+        ref = f.render(stack, width=W, height=H, frame=fr, options=opts)
+        out = f.render_sharded(stack, width=W, height=H, frame=fr,
+                               options=opts)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_render_tiled_rejects_animated_with_guidance():
+    """The tiled (input-sharded) path doesn't take (T, H, W, 4) stacks —
+    the error must say so and point at render()/render_sharded, not leak
+    a channel-count shape error."""
+    stack = _anim()
+    f = mm.compile("filter f (image in) in(xy) end")
+    with pytest.raises(ValueError, match="animated.*render_sharded"):
+        f.render_tiled(stack, width=W, height=H)
