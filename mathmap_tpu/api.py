@@ -244,12 +244,13 @@ class Filter:
         from .parallel.shard import ShardedRenderer
 
         options = options or RenderOptions()
+        from .runtime.render import float_inputs
+
         ins = [self._conv_input(a) for a in inputs]
         # the shard_map tile code takes float inputs only — resolve any u8
-        # passthrough on host (replication ships the full image anyway)
-        ins = [a.astype(np.float32) / np.float32(255.0)
-               if getattr(a, "dtype", None) == np.uint8 else a
-               for a in ins]
+        # passthrough up front with the same /255 rule as the in-trace
+        # normalization (replication ships the full image anyway)
+        ins = float_inputs(np, ins)
         width, height = self._resolve_size(ins, width, height)
         if mesh is None:
             mesh = make_mesh()
@@ -291,7 +292,9 @@ class Filter:
 
         options = options or RenderOptions()
         for a in input_images:
-            if getattr(np.asarray(a), "ndim", 0) == 4:
+            # attribute check only — np.asarray here would pull a
+            # device-resident image back to host just for the guard
+            if (getattr(a, "ndim", None) or np.ndim(a)) == 4:
                 # the halo machinery shards/exchanges (H, W, 4) blocks;
                 # animated stacks would need per-frame exchange + frame-
                 # aware kernel routing. Fail with guidance instead of the

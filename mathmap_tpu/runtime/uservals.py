@@ -99,7 +99,14 @@ def convert_userval(ctx, p: Param, value) -> TupleValue:
     if p.kind == "image":
         if isinstance(value, InputImage):
             return image_value(value)
-        arr = np.asarray(value, dtype=np.float32)
+        arr = np.asarray(value)
+        if arr.dtype == np.uint8:
+            # same /255 rule as the positional inputs' in-trace
+            # normalization (render.float_inputs) — a u8 image param must
+            # not feed 0-255 values to the filter (review r3)
+            arr = arr.astype(np.float32) / np.float32(255.0)
+        else:
+            arr = arr.astype(np.float32)
         # (T,H,W,4) = animated drawable, same as a positional input
         if arr.ndim not in (3, 4) or arr.shape[-1] != 4:
             raise MMTypeError(

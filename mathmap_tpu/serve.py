@@ -70,13 +70,17 @@ import numpy as np
 
 from .runtime.options import RenderOptions
 
-#: options forwarded from request JSON to RenderOptions
-_OPT_KEYS = ("interpolation", "edge_x", "edge_y", "supersample",
-             "pallas_precision")
+#: options forwarded from request JSON to RenderOptions. JSON arrays
+#: become tuples (edge_color, static_params — RenderOptions is frozen
+#: and hashable, lists would break the jit-cache key).
+_OPT_KEYS = ("interpolation", "edge_x", "edge_y", "edge_color",
+             "supersample", "supersample_scheme", "pallas_precision",
+             "periodic", "seed", "static_params")
 
 
 def _opts_from(req: dict) -> RenderOptions:
-    kw = {k: req[k] for k in _OPT_KEYS if k in req}
+    kw = {k: tuple(req[k]) if isinstance(req[k], list) else req[k]
+          for k in _OPT_KEYS if k in req}
     return RenderOptions(**kw)
 
 
@@ -230,7 +234,11 @@ class RenderService:
         # _params_key). Input geometries join the signature (batching
         # stacks inputs). Animated (T, H, W, 4) inputs can't join a batch
         # stack — they get a unique signature and dispatch as singletons.
-        shapes = tuple(tuple(a.shape) for a in inputs)
+        # dtype joins the signature: np.stack would silently promote a
+        # uint8 frame grouped with a float32 one to 0-255 floats, which
+        # skip the in-trace /255 normalization (review r3: reproduced as
+        # an all-white render for the u8 job)
+        shapes = tuple((tuple(a.shape), str(a.dtype)) for a in inputs)
         animated = any(a.ndim == 4 for a in inputs)
         sig = (id(filt), width, height, options,
                _params_key(params, by_value=bool(options.static_params)),
@@ -536,6 +544,11 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--window-ms", type=float, default=4.0)
+    ap.add_argument("--output-dtype", choices=("uint8", "float32"),
+                    default="uint8",
+                    help="render dtype for every dispatch (uint8 packs "
+                         "on device, 4x less readback; float32 restores "
+                         "raw float results for raw-format clients)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (like preview --cpu)")
     args = ap.parse_args(argv)
@@ -548,7 +561,8 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", plat)
-    svc = RenderService(max_batch=args.max_batch, window_ms=args.window_ms)
+    svc = RenderService(max_batch=args.max_batch, window_ms=args.window_ms,
+                        output_dtype=args.output_dtype)
     print(f"serving on http://{args.host}:{args.port}  "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
     serve(args.port, args.host, svc)

@@ -154,3 +154,17 @@ def test_render_tiled_rejects_animated_with_guidance():
     f = mm.compile("filter f (image in) in(xy) end")
     with pytest.raises(ValueError, match="animated.*render_sharded"):
         f.render_tiled(stack, width=W, height=H)
+
+
+def test_uint8_image_userval_normalizes():
+    """A uint8 array bound to an image PARAM must normalize /255 exactly
+    like a positional input (review r3: it rendered 0-255 values)."""
+    f32 = _anim(5)[0]
+    u8 = (np.clip(f32, 0, 1) * 255 + 0.5).astype(np.uint8)
+    f = mm.compile("filter f (image img) img(xy) end")
+    opts = mm.RenderOptions(interpolation="nearest")
+    a = f.render(width=W, height=H, params={"img": u8}, options=opts)
+    b = f.render(width=W, height=H, params={"img": u8.astype(np.float32) / 255.0},
+                 options=opts)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    assert a.max() <= 1.0

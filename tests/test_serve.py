@@ -331,3 +331,54 @@ def test_concurrent_mixed_programs_no_crosstalk(service, seed):
     for i, (src, img, t, ps) in enumerate(jobs):
         direct = mm.compile(src).render(img, width=W, height=H, t=t, params=ps)
         _match_u8(results[i], direct)
+
+
+def test_mixed_dtype_jobs_never_group(service):
+    """A uint8 and a float32 job with the same geometry must not share a
+    batch: np.stack would promote the u8 frames to 0-255 floats, which
+    skip the in-trace /255 normalization (review r3, reproduced as an
+    all-white u8 render)."""
+    f32 = _img(11)
+    u8 = (np.clip(f32, 0, 1) * 255 + 0.5).astype(np.uint8)
+    src = {"source": "filter f (image in) in(xy) end"}
+    jobs = [service.submit(src, [u8], W, H),
+            service.submit(src, [f32], W, H)]
+    assert jobs[0].sig != jobs[1].sig
+    for j in jobs:
+        assert j.done.wait(120)
+        assert j.error is None, j.error
+    # both render the same picture (u8 input normalizes in-trace)
+    a, b = (np.asarray(j.result) for j in jobs)
+    assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_http_supersample_scheme_honored(http_server):
+    """supersample_scheme must reach RenderOptions (it was silently
+    dropped); corners vs grid place AA samples differently, so a
+    gradient filter's outputs must differ."""
+    src = {"source": "filter f () grayColor(x * x / (W * W) * 4) end"}
+    outs = {}
+    for scheme in ("grid", "corners"):
+        code, body = _post(http_server, "/render", {
+            "filter": src, "width": W, "height": H, "format": "raw",
+            "supersample": 2, "supersample_scheme": scheme})
+        assert code == 200, body
+        outs[scheme] = np.frombuffer(
+            base64.b64decode(body["data"]), np.uint8)
+    assert not np.array_equal(outs["grid"], outs["corners"])
+
+
+def test_http_edge_color_option_forwarded(http_server):
+    """edge_color arrives as a JSON array — it must tuple-ify into the
+    frozen RenderOptions and reach the render."""
+    src = {"source": "filter f (image in) in(xy + xy:[50, 0]) end"}
+    img = _png_b64(_img(3))
+    outs = {}
+    for col in ([0, 0, 0, 1], [1, 0, 0, 1]):
+        code, body = _post(http_server, "/render", {
+            "filter": src, "width": W, "height": H, "format": "raw",
+            "inputs": [img], "edge_color": col})
+        assert code == 200, body
+        outs[str(col)] = np.frombuffer(
+            base64.b64decode(body["data"]), np.uint8)
+    assert not np.array_equal(*outs.values())
