@@ -364,3 +364,104 @@ def test_random_warp_random_ladder_chain_path_matches_gather(seed):
                  options=mm.RenderOptions(sampler="gather"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
                                err_msg=f"tiers={tiers} amp={amp}")
+
+
+class AlgebraGen:
+    """Random well-typed programs over the ALGEBRAIC surface the scalar
+    generator skips: complex `ri:` arithmetic (incl. the dispatching
+    overloads review r3 fixed), tuple literals + sub-assignment, color
+    space round-trips, polar converts, matrix/vector and quat products."""
+
+    def __init__(self, seed):
+        self.rng = np.random.RandomState(seed)
+
+    def scalar(self):
+        return self.rng.choice([
+            "x / 8", "y / 8", "r / 9", "t", "0.3", "-0.45", "1.2",
+            "gray(origVal(xy))", "sin(a)"])
+
+    def cplx(self, depth=0):
+        roll = self.rng.rand()
+        if depth > 2 or roll < 0.3:
+            return self.rng.choice([
+                f"ri:[{self.scalar()}, {self.scalar()}]",
+                "ri:[0.3, -0.2]", "I * (x / 9)", "ri:(y / 8)"])
+        z, w = self.cplx(depth + 1), self.cplx(depth + 1)
+        if roll < 0.45:
+            return f"({z} * {w})"
+        if roll < 0.55:  # guarded division
+            return f"({z} / ({w} + ri:[2, 0]))"
+        if roll < 0.65:
+            return f"({z} + {w})"
+        if roll < 0.72:
+            return f"conj({z})"
+        if roll < 0.8:
+            return f"({z} ^ 2)"
+        if roll < 0.88:
+            return f"exp({z} * 0.3)"
+        if roll < 0.94:
+            return f"sqrt({z})"
+        return f"(1 / ({z} + ri:[1.5, 0]))"  # review r3: 1/z dispatch
+
+    def program(self):
+        kind = self.rng.rand()
+        if kind < 0.3:
+            z = self.cplx()
+            out = self.rng.choice([f"abs({z}) / 4",
+                                   f"arg({z} + ri:[1.5, 0]) / 7",
+                                   f"({z})[0] * 0.5 + 0.5"])
+            return f"grayColor(clamp({out}, 0, 1))"
+        if kind < 0.5:
+            i = int(self.rng.randint(0, 3))
+            return (f"v = [{self.scalar()}, {self.scalar()}, "
+                    f"{self.scalar()}]; v[{i}] = {self.scalar()}; "
+                    f"rgbColor(clamp(v[0], 0, 1), clamp(v[1], 0, 1), "
+                    f"clamp(v[2], 0, 1))")
+        if kind < 0.62:
+            sh = self.rng.choice(["0.25", "t", "x / W + 0.5"])
+            return (f"c = toHSVA(origVal(xy)); c[0] = c[0] + {sh}; "
+                    f"c[0] = c[0] - floor(c[0]); toRGBA(c)")
+        if kind < 0.74:
+            da = self.rng.choice(["0.5", "a * 0.1", "t + 0.2"])
+            return (f"p = toRA(xy); p[1] = p[1] + {da}; "
+                    f"origVal(toXY(p))")
+        if kind < 0.86:
+            s = self.scalar()
+            return (f"m = m2x2:[1.1, {s}, 0.2, 0.9]; w = m * xy:[x/8, y/8]; "
+                    f"grayColor(clamp(abs(w) / 4 + det(m) * 0.05, 0, 1))")
+        q = f"quat:[{self.scalar()}, {self.scalar()}, 0.2, 0.8]"
+        tag = self.rng.choice(["quat", "cquat", "hyper"])
+        return (f"q = {tag}:{q}; p = q * q; "
+                f"grayColor(clamp(abs(p) / 6, 0, 1))")
+
+
+@pytest.mark.parametrize("seed", range(400, 440))
+def test_random_algebra_parity(seed):
+    src = AlgebraGen(seed).program()
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    f = mm.compile(src)
+    oracle = f.render(img, interpret=True)
+    jax_out = f.render(img)
+    assert np.isfinite(oracle).all(), src
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-3, atol=1e-4,
+                               err_msg=src)
+
+
+@pytest.mark.parametrize("seed", range(500, 512))
+def test_random_curve_gradient_lut_parity(seed):
+    """Random curve/gradient LUT params through both backends (the LUT
+    application rides the sampling kernel on the jit path)."""
+    rng = np.random.RandomState(seed)
+    lut = np.clip(rng.rand(int(rng.randint(2, 40))), 0, 1).astype(np.float32)
+    grad = np.clip(rng.rand(int(rng.randint(2, 17)), 4), 0, 1).astype(np.float32)
+    src = ("filter f (image in, curve cv, gradient g) "
+           "u = clamp(abs(x / X), 0, 1); "
+           "0.5 * g(u) + 0.5 * grayColor(cv(clamp(abs(y / Y), 0, 1))) end")
+    img = np.random.RandomState(seed + 1).rand(H, W, 4).astype(np.float32)
+    f = mm.compile(src)
+    params = {"cv": lut, "g": grad}
+    oracle = f.render(img, params=params, interpret=True)
+    jax_out = f.render(img, params=params)
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-3, atol=2e-4,
+                               err_msg=f"lut={lut.shape} grad={grad.shape}")
