@@ -402,3 +402,20 @@ def test_gradient_lut_row_gather_parity():
     o = f.render(img, interpret=True, params={"g": lut})
     j = f.render(img, params={"g": lut})
     np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=5e-3)
+
+
+def test_builtin_reference_complete():
+    """docs/BUILTINS.md must name every public builtin in the registry
+    (and not document names that don't exist) — the reference manual
+    cannot drift from the op table."""
+    import pathlib
+    import re
+
+    from mathmap_tpu.ops import registry
+
+    doc = (pathlib.Path(__file__).parent.parent / "docs" /
+           "BUILTINS.md").read_text()
+    documented = set(re.findall(r"`([A-Za-z_][A-Za-z_0-9-]*)`", doc))
+    public = {n for n in registry.BUILTINS if not n.startswith("__")}
+    missing = sorted(public - documented)
+    assert not missing, f"builtins missing from docs/BUILTINS.md: {missing}"
