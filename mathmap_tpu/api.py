@@ -277,39 +277,32 @@ class Filter:
                      mesh=None, width: int | None = None,
                      height: int | None = None,
                      options: RenderOptions | None = None, t: float = 0.0,
+                     frame: float = 0.0,
                      params: dict | None = None, check: bool = True):
         """Render with the INPUT(s) row- (and, on a 2-D mesh, column-)
         sharded across the mesh and halo rows/cols exchanged over ICI
         (parallel/halo.py) — for canvases whose inputs exceed per-device HBM
         when replicated. Multi-input filters pass one array per image
         parameter (every input sharded + halo-exchanged identically; all
-        must share the output geometry). The filter's source displacement
+        must share the output geometry). Animated (T, H, W, 4) inputs shard
+        every frame identically (`frame` selects the current frame, same
+        semantics as render()). The filter's source displacement
         must be bounded by `halo`; halo="auto" infers the bound from the
         filter AST (parallel/bounds.py) and check=True turns a violated
         bound into an MMRuntimeError instead of a silent clamp."""
         from .parallel.halo import TiledRenderer
         from .parallel.mesh import make_mesh
+        from .runtime.render import float_inputs
 
         options = options or RenderOptions()
-        for a in input_images:
-            # attribute check only — np.asarray here would pull a
-            # device-resident image back to host just for the guard
-            if (getattr(a, "ndim", None) or np.ndim(a)) == 4:
-                # the halo machinery shards/exchanges (H, W, 4) blocks;
-                # animated stacks would need per-frame exchange + frame-
-                # aware kernel routing. Fail with guidance instead of the
-                # shape-mangling error to_float_rgba would raise.
-                raise ValueError(
-                    "render_tiled does not support animated (T, H, W, 4) "
-                    "inputs; use render() or render_sharded() (animated "
-                    "inputs replicate per device there)")
-        imgs = [to_float_rgba(np.asarray(a)) for a in input_images]
+        imgs = [np.asarray(a) for a in float_inputs(
+            np, [self._conv_input(a) for a in input_images])]
         width, height = self._resolve_size(imgs, width, height)
         for a in imgs:
-            if a.shape[:2] != (height, width):
+            if a.shape[-3:-1] != (height, width):
                 raise ValueError(
                     f"tiled inputs must share the output geometry "
-                    f"{height}x{width}; got {a.shape[0]}x{a.shape[1]}")
+                    f"{height}x{width}; got {a.shape[-3]}x{a.shape[-2]}")
         if mesh is None:
             mesh = make_mesh()
         def _hashable(v):
@@ -324,7 +317,7 @@ class Filter:
                 uservals=params, check=check,
             )
         inp = imgs[0] if len(imgs) == 1 else imgs
-        return np.asarray(self._jit_cache[key](inp, t=t))
+        return np.asarray(self._jit_cache[key](inp, t=t, frame=frame))
 
     def render_frames(self, *inputs, num_frames: int, width: int | None = None,
                       height: int | None = None, options: RenderOptions | None = None,

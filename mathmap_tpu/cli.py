@@ -162,12 +162,15 @@ def _render_sweep(args, filt, inputs, width, height, opts, params):
                 on_error="interpret" if args.fallback else "raise"))
             for i, t in enumerate(ts)])
     if args.tiled:
-        # one TiledRenderer program (cached per geometry), F executions
+        # one TiledRenderer program (cached per geometry), F executions;
+        # frame tracks the sweep so animated inputs map frame i -> output
+        # frame i like every other sweep path
         return np.stack([
             np.asarray(filt.render_tiled(
                 *inputs, halo=_parse_halo(args.halo), width=width,
-                height=height, options=opts, params=params, t=float(t)))
-            for t in _sweep_ts(args)])
+                height=height, options=opts, params=params, t=float(t),
+                frame=float(i)))
+            for i, t in enumerate(_sweep_ts(args))])
     if args.sharded:
         return np.asarray(filt.render_sharded(
             *inputs, num_frames=args.frames, width=width, height=height,

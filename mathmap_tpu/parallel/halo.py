@@ -121,6 +121,9 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
     uservals = uservals or {}
 
     def _paint_edge_halo(ext, axis_idx, n_axis, halo_n, axis, behavior):
+        # `axis` is 0 (rows) / 1 (cols) in FRAME terms; animated
+        # (T, ext_h, ext_w, 4) blocks paint the same frame axes shifted
+        # by their leading frame dimension
         """A global-edge device's ring-wrapped halo holds the OPPOSITE
         global edge's rows. The gather path never exposes that content
         (it edge-maps every tap index GLOBALLY before localizing), but
@@ -136,14 +139,16 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
         'clamp into the block' never promised content for."""
         import jax.numpy as jnp
 
+        axis = axis + (ext.ndim - 3)  # frame axis 0/1 -> array axis
         ext_n = ext.shape[axis]
-        pos_shape = [1, 1, 1]
+        pos_shape = [1] * ext.ndim
         pos_shape[axis] = ext_n
         pos = jnp.arange(ext_n).reshape(pos_shape)
         lead = (axis_idx == 0) & (pos < halo_n)
         trail = (axis_idx == n_axis - 1) & (pos >= ext_n - halo_n)
         if behavior == "color":
-            col = jnp.asarray(opts.edge_color, dtype=ext.dtype).reshape(1, 1, 4)
+            col = jnp.asarray(opts.edge_color, dtype=ext.dtype).reshape(
+                (1,) * (ext.ndim - 1) + (4,))
             return jnp.where(lead | trail, col, ext)
         # reflect: global position -k mirrors to k-1, so local halo row i
         # (in [0, halo)) takes local row 2*halo-1-i; the trailing halo
@@ -184,7 +189,10 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
 
         imgs = []
         for k, inp_local in enumerate(inp_locals):
-            ext = exchange_halo(inp_local, halo_y, ROW_AXIS, axis=0)
+            # animated (T, tile_h, W, 4) blocks exchange/paint their frame
+            # row/col axes (every frame shares the device's row range)
+            ax0 = inp_local.ndim - 3
+            ext = exchange_halo(inp_local, halo_y, ROW_AXIS, axis=ax0)
             # painting applies on 1-device axes too (ny==1 still carries
             # the interpolation-margin halo, self-wrapped by the ring —
             # wrong content for color/reflect); lead and trail both match
@@ -192,7 +200,7 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                 ext = _paint_edge_halo(ext, row_idx, ny, halo_y, 0,
                                        opts.edge_y)
             if nx > 1:
-                ext = exchange_halo(ext, halo_x, COL_AXIS, axis=1)
+                ext = exchange_halo(ext, halo_x, COL_AXIS, axis=ax0 + 1)
                 if halo_x and opts.edge_x in ("color", "reflect"):
                     ext = _paint_edge_halo(ext, col_idx, nx, halo_x, 1,
                                            opts.edge_x)
@@ -216,7 +224,9 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
 
     shard = jax.shard_map(
         tile_render, mesh=mesh,
-        in_specs=tuple(P(ROW_AXIS, COL_AXIS, None) for _ in arrays),
+        in_specs=tuple(
+            P(None, ROW_AXIS, COL_AXIS, None) if a.ndim == 4
+            else P(ROW_AXIS, COL_AXIS, None) for a in arrays),
         out_specs=(P(ROW_AXIS, COL_AXIS, None), P()),
         check_vma=False,
     )
@@ -261,23 +271,23 @@ class TiledRenderer:
                     filters=program_filters, is_jax=True)
         uv_arrays, uv_kinds = _userval_pytree(_ctx, fdef, uservals or {})
 
-        def run(inp, t):
+        def run(inp, t, frame):
             return render_frame_tiled(
                 mesh, program_filters, fdef, width, height, opts, inp,
                 halo, uservals=_rebuild_uservals(jnp, uv_arrays, uv_kinds),
-                t=t, check=check,
+                t=t, frame=frame, check=check,
             )
 
         self._jitted = jax.jit(run)
 
-    def __call__(self, input_array, t=0.0):
+    def __call__(self, input_array, t=0.0, frame=0.0):
         jnp = self.jnp
         if isinstance(input_array, (list, tuple)):
             inp = tuple(jnp.asarray(np.asarray(a, np.float32))
                         for a in input_array)
         else:
             inp = jnp.asarray(np.asarray(input_array, np.float32))
-        out, excess = self._jitted(inp, jnp.float32(t))
+        out, excess = self._jitted(inp, jnp.float32(t), jnp.float32(frame))
         if self.check and float(excess) > 0:
             raise MMRuntimeError(
                 f"tiled render violated the bounded-displacement contract: "

@@ -138,6 +138,21 @@ def sample_image(ev, img, x, y, frame=None):
         frame = None  # single-frame: every index clamps to frame 0
     from .value import TiledInput
 
+    if (type(img) is TiledInput
+            and getattr(img.pixels, "ndim", 3) == 4
+            and getattr(frame, "ndim", 0) == 0):
+        # animated tiled stack with a scalar selector (incl. the T=1 case
+        # and the current-frame default): select the frame's sharded block
+        # up front — the 3-D routes below (Pallas tiled incl.) then apply
+        # unchanged. Per-pixel frame arrays fall through to the 4-D gather
+        # in TiledInput.make_gather.
+        import dataclasses
+
+        fsel = 0.0 if frame is None else frame
+        img = dataclasses.replace(
+            img, pixels=img.pixels[img.frame_index(ev.be, fsel)])
+        frame = None
+
     if (type(img) is TiledInput and frame is None and ev.ctx.is_jax
             and getattr(x, "ndim", 0) == 2 and x.shape == ev.ctx.shape
             and pallas_policy(ev.ctx.opts)):

@@ -196,7 +196,11 @@ class TiledInput(InputImage):
     — the sequence/context-parallel analog, SURVEY §2.2 SP row). Global
     index (row_base, col_base) maps to local (0, 0). Sampling beyond the
     halo clamps into the block — the caller's bounded-displacement contract
-    (recorded when `violation_hook` is set)."""
+    (recorded when `violation_hook` is set). An ANIMATED tiled input holds
+    a (T, ext_h, ext_w, 4) stack of identically-sharded frames: scalar
+    frame selectors (incl. the current-frame default) are resolved by
+    frame-selecting the stack BEFORE routing (sampling.sample_image), so
+    only per-pixel frame arrays reach the 4-D gather here."""
 
     global_height: int = 0
     global_width: int = 0  # 0 = not column-sharded (block spans full width)
@@ -208,22 +212,23 @@ class TiledInput(InputImage):
 
     @property
     def global_shape(self):
-        gw = self.global_width or int(self.pixels.shape[1])
+        gw = self.global_width or int(self.pixels.shape[-2])
         return self.global_height, gw
 
     def make_gather(self, be, frame=None):
-        # same signature as the InputImage API it overrides (sampling.py
-        # passes frame= whenever one is given); tiled inputs are single-
-        # frame local blocks, so an explicit frame cannot be honored
-        if frame is not None:
-            from ..utils.errors import MMRuntimeError
-
-            raise MMRuntimeError(
-                "animated inputs are not supported under tiled/halo "
-                "rendering", None)
-        ext_h, ext_w = int(self.pixels.shape[0]), int(self.pixels.shape[1])
+        animated = self.pixels.ndim == 4
+        ext_h = int(self.pixels.shape[-3])
+        ext_w = int(self.pixels.shape[-2])
         gh, gw = self.global_shape
-        flat = self.pixels.reshape(ext_h * ext_w, 4)
+        if animated:
+            # per-pixel frame indexing: two-axis gather like InputImage's
+            # animated path (frame axis via operand-internal offsets; the
+            # per-frame flat index stays inside int32)
+            frames_flat = self.pixels.reshape(self.num_frames,
+                                              ext_h * ext_w, 4)
+            fi = self.frame_index(be, 0.0 if frame is None else frame)
+        else:
+            flat = self.pixels.reshape(ext_h * ext_w, 4)
         row_base = self.row_base
         col_base = self.col_base
         col_sharded = bool(self.global_width)
@@ -250,7 +255,11 @@ class TiledInput(InputImage):
                 if col_sharded:
                     excess = be.maximum(excess, be.max(lxm - (ext_w - 1)))
                 hook(excess)
-            g = be.take(flat, ly * ext_w + lx, axis=0)
+            q = ly * ext_w + lx
+            if animated:
+                g = frames_flat[fi, q]  # advanced indexing -> one gather
+            else:
+                g = be.take(flat, q, axis=0)
             return [g[..., c] for c in range(4)]
 
         return gather

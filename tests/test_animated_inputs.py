@@ -146,14 +146,53 @@ def test_render_sharded_animated_matches_render():
         np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
-def test_render_tiled_rejects_animated_with_guidance():
-    """The tiled (input-sharded) path doesn't take (T, H, W, 4) stacks —
-    the error must say so and point at render()/render_sharded, not leak
-    a channel-count shape error."""
-    stack = _anim()
+def test_render_tiled_animated_matches_render():
+    """Animated stacks under the tiled (input-sharded) path: every frame
+    shards identically; current-frame, explicit-scalar, and per-pixel
+    frame selection all match the unsharded render."""
+    stack = _anim(7)
+    opts = mm.RenderOptions(interpolation="nearest")
     f = mm.compile("filter f (image in) in(xy) end")
-    with pytest.raises(ValueError, match="animated.*render_sharded"):
-        f.render_tiled(stack, width=W, height=H)
+    for fr in (0.0, 2.0):
+        ref = f.render(stack, width=W, height=H, frame=fr, options=opts)
+        out = f.render_tiled(stack, width=W, height=H, frame=fr,
+                             options=opts)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+    f2 = mm.compile("origValXY(x, y, 1)")
+    np.testing.assert_allclose(
+        f2.render_tiled(stack, width=W, height=H, options=opts),
+        f2.render(stack, width=W, height=H, options=opts), atol=1e-6)
+    f3 = mm.compile("origValXY(x, y, if x >= 0 then 2 else 0 end)")
+    np.testing.assert_allclose(
+        f3.render_tiled(stack, width=W, height=H, options=opts),
+        f3.render(stack, width=W, height=H, options=opts), atol=1e-6)
+
+
+def test_render_tiled_animated_warp_and_edges():
+    """Warped sampling over an animated tiled input exercises the halo
+    exchange + edge painting on the 4-D stack (wrap/reflect and color)."""
+    T2, H2 = 3, 64
+    stack = np.random.RandomState(8).rand(T2, H2, W, 4).astype(np.float32)
+    f = mm.compile("filter f (image in) in(xy + xy:[2, -3]) end")
+    for opts in (
+        mm.RenderOptions(interpolation="bilinear", edge_x="wrap",
+                         edge_y="reflect"),
+        mm.RenderOptions(interpolation="bilinear", edge_x="color",
+                         edge_y="color", edge_color=(1.0, 0.0, 0.0, 1.0)),
+    ):
+        ref = f.render(stack, width=W, height=H2, frame=2.0, options=opts)
+        out = f.render_tiled(stack, width=W, height=H2, frame=2.0,
+                             options=opts)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_render_tiled_animated_violation_check():
+    """The bounded-displacement contract still raises on animated inputs."""
+    T2, H2 = 2, 64
+    stack = np.random.RandomState(9).rand(T2, H2, W, 4).astype(np.float32)
+    f = mm.compile("filter f (image in) in(xy * 3) end")
+    with pytest.raises(mm.MMError):
+        f.render_tiled(stack, width=W, height=H2, halo=2)
 
 
 def test_uint8_image_userval_normalizes():

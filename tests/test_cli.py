@@ -215,3 +215,29 @@ def test_tiled_bad_halo(input_png, tmp_path):
                    str(tmp_path / "x.png"), "--tiled", "--halo", "zz")
     assert proc.returncode != 0
     assert "--halo expects" in proc.stderr
+
+
+def test_cli_tiled_animated_gif_sweep(tmp_path):
+    """--tiled with a multi-frame GIF input: sweep frame i samples input
+    frame i (animation in -> animation out through the tiled path)."""
+    import numpy as np
+    from PIL import Image
+
+    frames = [Image.fromarray(
+        np.full((16, 16, 4), 40 + 170 * i, np.uint8), "RGBA").convert("P")
+        for i in range(2)]
+    gif = tmp_path / "in.gif"
+    frames[0].save(gif, save_all=True, append_images=frames[1:],
+                   duration=100, loop=0)
+    out = tmp_path / "out.gif"
+    from mathmap_tpu.cli import main as cli_main
+
+    rc = cli_main(["origVal(xy)", str(gif), str(out), "--tiled",
+                   "--frames", "2", "--interpolation", "nearest"])
+    assert rc == 0
+    img = Image.open(out)
+    vals = []
+    for i in range(2):
+        img.seek(i)
+        vals.append(int(np.asarray(img.convert("RGBA"))[0, 0, 0]))
+    assert abs(vals[0] - 40) <= 30 and abs(vals[1] - 210) <= 30, vals

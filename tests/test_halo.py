@@ -710,3 +710,51 @@ def test_tiled_composition_two_inputs():
                          width=PW, height=PH)
     want = f.render(a, b, width=PW, height=PH)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tiled_pallas_animated_scalar_frame():
+    """Animated (T, PH, PW, 4) stacks under the tiled Pallas route: a
+    scalar frame selector frame-selects the sharded block BEFORE routing,
+    so the MXU kernel runs on the 3-D block exactly as for a plain tiled
+    input. Parity vs the exact gather path at frame 1; a bf16 run must
+    show kernel-scale divergence (proof the kernel actually engaged)."""
+    stack = np.stack([_pimage(31), _pimage(32)])
+    src = "origVal(xy + xy:[3 * sin(y / 9), 2 * sin(x / 7)])"
+    f = mm.compile(src)
+    mesh = make_mesh(1, 8, 1)
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    r = TiledRenderer(mesh, f.filters, f.fdef, PW, PH, opts, 5)
+    got = np.asarray(r(stack, frame=1.0))
+    import dataclasses
+
+    g = dataclasses.replace(opts, sampler="gather")
+    want = np.asarray(f.render(stack, width=PW, height=PH, frame=1.0,
+                               options=g))
+    np.testing.assert_allclose(got, want, atol=5e-5)
+    # frame 0 differs from frame 1 (the selector is honored, not ignored)
+    got0 = np.asarray(r(stack, frame=0.0))
+    assert np.abs(got0 - got).max() > 1e-3
+    # bf16 kernel divergence: beyond f32 rounding, inside the envelope
+    opts_b = mm.RenderOptions(sampler="pallas", pallas_precision="bf16")
+    rb = TiledRenderer(mesh, f.filters, f.fdef, PW, PH, opts_b, 5)
+    got_b = np.asarray(rb(stack, frame=1.0))
+    d = np.abs(got_b - want).max()
+    assert 1e-6 < d < 8e-3, f"bf16 divergence {d} — kernel did not engage?"
+
+
+def test_tiled_pallas_single_frame_stack():
+    """(1, PH, PW, 4) stacks (single-frame GIFs stay 4-D) must normalize
+    to the 3-D block before the Pallas tiled route (its ext-shape reads
+    assume 3-D pixels)."""
+    stack = _pimage(33)[None]
+    src = "origVal(xy + xy:[0, 2 * sin(x / 7)])"
+    f = mm.compile(src)
+    mesh = make_mesh(1, 8, 1)
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    r = TiledRenderer(mesh, f.filters, f.fdef, PW, PH, opts, 4)
+    got = np.asarray(r(stack))
+    import dataclasses
+
+    g = dataclasses.replace(opts, sampler="gather")
+    want = np.asarray(f.render(stack, width=PW, height=PH, options=g))
+    np.testing.assert_allclose(got, want, atol=5e-5)
