@@ -184,6 +184,24 @@ def main():
               flush=True)
         results.append(("tiled-1dev/wrap-reflect", False))
 
+    # --- tiled/halo with an ANIMATED stack (frame-selects the sharded
+    # block before the Pallas route; frame-axis halo machinery) ---
+    try:
+        stack = np.stack([img, img[::-1]])
+        src = "origVal(xy + xy:[5 * sin(y / 17), 4 * cos(x / 21)])"
+        f = mm.compile(src)
+        opts = O(edge_x="wrap", edge_y="reflect")
+        r = TiledRenderer(make_mesh(1, 1, 1), f.filters, f.fdef, SIZE, SIZE,
+                          opts, 8)
+        got = np.asarray(r(stack, frame=1.0))
+        want = f.render(stack, width=SIZE, height=SIZE, frame=1.0,
+                        options=opts, interpret=True)
+        check("tiled-1dev/animated-frame", got, want, "bf16")
+    except Exception as e:
+        print(f"tiled-1dev/animated-frame: EXCEPTION {type(e).__name__}: "
+              f"{e}", flush=True)
+        results.append(("tiled-1dev/animated-frame", False))
+
     n_fail = sum(1 for _, ok in results if not ok)
     print(f"== {len(results)} configs, {n_fail} failures ==", flush=True)
     return 1 if n_fail else 0
