@@ -295,8 +295,11 @@ class Filter:
         from .runtime.render import float_inputs
 
         options = options or RenderOptions()
-        imgs = [np.asarray(a) for a in float_inputs(
-            np, [self._conv_input(a) for a in input_images])]
+        # no np.asarray here: device-resident inputs pass through untouched
+        # (pulling a huge sharded-candidate stack back to host per call is
+        # exactly what this path exists to avoid); float_inputs keeps u8
+        # normalization on whichever side the array lives
+        imgs = float_inputs(np, [self._conv_input(a) for a in input_images])
         width, height = self._resolve_size(imgs, width, height)
         for a in imgs:
             if a.shape[-3:-1] != (height, width):

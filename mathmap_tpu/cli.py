@@ -164,7 +164,13 @@ def _render_sweep(args, filt, inputs, width, height, opts, params):
     if args.tiled:
         # one TiledRenderer program (cached per geometry), F executions;
         # frame tracks the sweep so animated inputs map frame i -> output
-        # frame i like every other sweep path
+        # frame i like every other sweep path. Inputs upload ONCE — the
+        # per-call path would re-ship the whole (possibly animated) stack
+        # host->device every frame (review finding)
+        import jax
+
+        inputs = [jax.device_put(np.asarray(a, np.float32))
+                  for a in inputs]
         return np.stack([
             np.asarray(filt.render_tiled(
                 *inputs, halo=_parse_halo(args.halo), width=width,
@@ -412,24 +418,40 @@ def main(argv=None) -> int:
                     continue
                 write_image(path, frames[i])
                 frames_done += 1
-        elif args.interpret or args.fallback or args.sharded:
-            # per-frame loop honoring the oracle/fallback/mesh flags, with
-            # frame-granular resume BEFORE each render
+        elif args.interpret or args.fallback or args.sharded or args.tiled:
+            # per-frame loop honoring the oracle/fallback/mesh/tiled flags,
+            # with frame-granular resume BEFORE each render (--tiled was
+            # previously only routed for GIF/--batch sweeps: a PNG-sequence
+            # sweep silently fell through to the replicated render_frames
+            # path — review finding)
             frames_done = 0
+            loop_inputs = inputs
+            if args.tiled and not (args.interpret or args.fallback):
+                import jax
+                import numpy as np
+
+                # upload once; every tiled frame reuses the device copies
+                loop_inputs = [jax.device_put(np.asarray(a, np.float32))
+                               for a in inputs]
             for i, t in enumerate(_sweep_ts(args)):
                 path = _frame_path(out_path, i, args.frames)
                 if args.resume and os.path.exists(path):
                     continue
-                if args.sharded:
-                    frame = filt.render_sharded(
-                        *inputs, width=width, height=height, t=float(t),
-                        options=opts, params=params)
-                else:
+                if args.interpret or args.fallback:
                     frame = filt.render(
                         *inputs, width=width, height=height, t=float(t),
                         frame=float(i), options=opts, params=params,
                         interpret=args.interpret,
                         on_error="interpret" if args.fallback else "raise")
+                elif args.tiled:
+                    frame = filt.render_tiled(
+                        *loop_inputs, halo=_parse_halo(args.halo),
+                        width=width, height=height, t=float(t),
+                        frame=float(i), options=opts, params=params)
+                elif args.sharded:
+                    frame = filt.render_sharded(
+                        *inputs, width=width, height=height, t=float(t),
+                        options=opts, params=params)
                 write_image(path, frame)
                 frames_done += 1
         else:

@@ -282,11 +282,13 @@ class TiledRenderer:
 
     def __call__(self, input_array, t=0.0, frame=0.0):
         jnp = self.jnp
+        # jnp.asarray is a no-op for device-resident arrays (no host
+        # round-trip) and uploads host arrays once per call
         if isinstance(input_array, (list, tuple)):
-            inp = tuple(jnp.asarray(np.asarray(a, np.float32))
+            inp = tuple(jnp.asarray(a, dtype=jnp.float32)
                         for a in input_array)
         else:
-            inp = jnp.asarray(np.asarray(input_array, np.float32))
+            inp = jnp.asarray(input_array, dtype=jnp.float32)
         out, excess = self._jitted(inp, jnp.float32(t), jnp.float32(frame))
         if self.check and float(excess) > 0:
             raise MMRuntimeError(

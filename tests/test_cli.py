@@ -241,3 +241,32 @@ def test_cli_tiled_animated_gif_sweep(tmp_path):
         img.seek(i)
         vals.append(int(np.asarray(img.convert("RGBA"))[0, 0, 0]))
     assert abs(vals[0] - 40) <= 30 and abs(vals[1] - 210) <= 30, vals
+
+
+def test_cli_tiled_png_sequence_routes_tiled(tmp_path, monkeypatch):
+    """--tiled --frames N with a PNG-sequence output must render through
+    render_tiled (it previously fell through to the replicated
+    render_frames path with no warning — review finding)."""
+    import numpy as np
+    from PIL import Image
+
+    from mathmap_tpu.api import Filter
+    from mathmap_tpu.cli import main as cli_main
+
+    img = tmp_path / "in.png"
+    Image.fromarray(np.full((16, 16, 4), 90, np.uint8), "RGBA").save(img)
+    calls = {"tiled": 0}
+    orig = Filter.render_tiled
+
+    def counting(self, *a, **kw):
+        calls["tiled"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Filter, "render_tiled", counting)
+    out = tmp_path / "out.png"
+    rc = cli_main(["origVal(xy)", str(img), str(out), "--tiled",
+                   "--frames", "2"])
+    assert rc == 0
+    assert calls["tiled"] == 2
+    for i in range(2):
+        assert (tmp_path / f"out_{i:04d}.png").exists()
