@@ -35,6 +35,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="MathMap expression, path to a .mm/.mmc file, or a library filter name")
     p.add_argument("--list", action="store_true",
                    help="list the bundled filter library (expression database) and exit")
+    p.add_argument("--selftest", action="store_true",
+                   help="run the deployment acceptance sweep on the active "
+                        "backend (each path class vs the NumPy oracle; "
+                        "seconds) and exit 0/1")
     p.add_argument("--library", default=None, metavar="DIR",
                    help="scan DIR as the filter library instead of the bundled one")
     p.add_argument("--chain", default=None, metavar="SPEC",
@@ -286,6 +290,12 @@ def main(argv=None) -> int:
         from .expression_db import ExpressionDB, default_db
 
         return ExpressionDB.scan(args.library) if args.library else default_db()
+
+    if args.selftest:
+        from .selftest import run_selftest
+
+        size = int(args.size.split("x")[0]) if args.size else 128
+        return 1 if run_selftest(size=size, verbose=verbose) else 0
 
     if args.list:
         db = get_db()

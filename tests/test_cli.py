@@ -270,3 +270,11 @@ def test_cli_tiled_png_sequence_routes_tiled(tmp_path, monkeypatch):
     assert calls["tiled"] == 2
     for i in range(2):
         assert (tmp_path / f"out_{i:04d}.png").exists()
+
+
+def test_cli_selftest_runs_clean():
+    """--selftest: the deployment acceptance sweep passes on this backend
+    and exits 0."""
+    from mathmap_tpu.cli import main as cli_main
+
+    assert cli_main(["--selftest", "--size", "64x64"]) == 0
