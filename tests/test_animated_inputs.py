@@ -207,3 +207,18 @@ def test_uint8_image_userval_normalizes():
                  options=opts)
     np.testing.assert_allclose(a, b, atol=1e-6)
     assert a.max() <= 1.0
+
+
+def test_render_sharded_frame_sweep_animated():
+    """Sharded multi-frame sweep over an animated input: output frame i
+    samples input frame i (current-frame indexing inside mesh tiles under
+    the 'f' axis sweep)."""
+    stack = _anim(11)
+    f = mm.compile("filter f (image in) in(xy) end")
+    opts = mm.RenderOptions(interpolation="nearest")
+    out = f.render_sharded(stack, num_frames=T, width=W, height=H,
+                           options=opts)
+    ref = np.stack([
+        np.asarray(f.render(stack, width=W, height=H, frame=float(i),
+                            options=opts)) for i in range(T)])
+    np.testing.assert_allclose(out, ref, atol=1e-6)
