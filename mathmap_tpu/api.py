@@ -297,9 +297,13 @@ class Filter:
         options = options or RenderOptions()
         # no np.asarray here: device-resident inputs pass through untouched
         # (pulling a huge sharded-candidate stack back to host per call is
-        # exactly what this path exists to avoid); float_inputs keeps u8
-        # normalization on whichever side the array lives
-        imgs = float_inputs(np, [self._conv_input(a) for a in input_images])
+        # exactly what this path exists to avoid). uint8 inputs stay u8 all
+        # the way to the device tiles — 4x less host->device traffic on
+        # the very path built for inputs too large to replicate — and
+        # normalize /255 in-trace per block (render_frame_tiled) — the
+        # same rule as render(); downstream fusion may differ by 1 ulp
+        # from a host-side pre-conversion.
+        imgs = [self._conv_input(a) for a in input_images]
         width, height = self._resolve_size(imgs, width, height)
         for a in imgs:
             if a.shape[-3:-1] != (height, width):

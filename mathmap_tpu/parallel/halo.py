@@ -189,6 +189,11 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
 
         imgs = []
         for k, inp_local in enumerate(inp_locals):
+            if inp_local.dtype == jnp.uint8:
+                # u8 blocks ship 4x fewer bytes host->device; the /255
+                # is render()'s in-trace normalization rule
+                inp_local = (inp_local.astype(jnp.float32)
+                             / jnp.asarray(255.0, dtype=jnp.float32))
             # animated (T, tile_h, W, 4) blocks exchange/paint their frame
             # row/col axes (every frame shares the device's row range)
             ax0 = inp_local.ndim - 3
@@ -281,14 +286,22 @@ class TiledRenderer:
         self._jitted = jax.jit(run)
 
     def __call__(self, input_array, t=0.0, frame=0.0):
+        import numpy as _np
+
         jnp = self.jnp
-        # jnp.asarray is a no-op for device-resident arrays (no host
-        # round-trip) and uploads host arrays once per call
+
+        def conv(a):
+            # jnp.asarray is a no-op for device-resident arrays (no host
+            # round-trip) and uploads host arrays once per call. uint8
+            # stays u8 (4x smaller upload; normalized in-trace per block)
+            if getattr(a, "dtype", None) == _np.uint8:
+                return jnp.asarray(a)
+            return jnp.asarray(a, dtype=jnp.float32)
+
         if isinstance(input_array, (list, tuple)):
-            inp = tuple(jnp.asarray(a, dtype=jnp.float32)
-                        for a in input_array)
+            inp = tuple(conv(a) for a in input_array)
         else:
-            inp = jnp.asarray(input_array, dtype=jnp.float32)
+            inp = conv(input_array)
         out, excess = self._jitted(inp, jnp.float32(t), jnp.float32(frame))
         if self.check and float(excess) > 0:
             raise MMRuntimeError(

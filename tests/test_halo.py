@@ -758,3 +758,29 @@ def test_tiled_pallas_single_frame_stack():
     g = dataclasses.replace(opts, sampler="gather")
     want = np.asarray(f.render(stack, width=PW, height=PH, options=g))
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tiled_uint8_input_normalizes_in_trace():
+    """uint8 inputs ride the tiled path as u8 (4x smaller upload) and
+    normalize /255 in-trace per block — equal to pre-converted float
+    inputs to f32 rounding (the /255 itself is exact; XLA may fuse it
+    into downstream arithmetic at 1-ulp differences), plain and
+    animated."""
+    rng = np.random.RandomState(44)
+    u8 = (rng.rand(64, 48, 4) * 255).astype(np.uint8)
+    f = mm.compile("filter f (image in) in(xy + xy:[2, -1]) end")
+    opts = mm.RenderOptions(interpolation="bilinear", edge_x="wrap",
+                            edge_y="reflect")
+    a = np.asarray(f.render_tiled(u8, width=48, height=64, options=opts))
+    b = np.asarray(f.render_tiled(u8.astype(np.float32) / np.float32(255.0),
+                                  width=48, height=64, options=opts))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    c = np.asarray(f.render(u8, width=48, height=64, options=opts))
+    np.testing.assert_allclose(a, c, atol=1e-6)
+    # animated u8 stack
+    stack = (rng.rand(2, 64, 48, 4) * 255).astype(np.uint8)
+    a = np.asarray(f.render_tiled(stack, width=48, height=64, frame=1.0,
+                                  options=opts))
+    c = np.asarray(f.render(stack, width=48, height=64, frame=1.0,
+                            options=opts))
+    np.testing.assert_allclose(a, c, atol=1e-6)
