@@ -1,0 +1,185 @@
+"""AOT deployment artifacts: serialize a compiled filter, load without
+the compiler.
+
+`export_artifact` lowers one (filter, geometry, options, param-NAMES)
+configuration through `jax.export` and writes a single portable file
+(.mmxa): a JSON manifest (geometry, param spec, input count) plus the
+serialized StableHLO module. `load_artifact` reconstructs a callable
+from it using ONLY jax + numpy — no parser, tracer, op registry, or
+filter sources at load time. Param VALUES (sliders, colors, curve and
+gradient LUTs) remain runtime inputs of the exported module, exactly as
+in the live renderer: the artifact serves any value without recompiling.
+
+This is the deployment analog of the reference shipping a compiled
+filter .so (cgen.c + dlopen [unverified — reference mount empty,
+SURVEY.md §0]): compile on a box with the full toolchain, serve where
+only the runtime exists. The StableHLO text export
+(generators/standalone.py) remains the human-readable variant; this one
+is executable.
+
+Portability: `jax.export` artifacts run on the platform(s) they were
+lowered for (`Exported.platforms`) with jax's usual compatibility
+window. Export on TPU for TPU serving; CPU artifacts are handy for
+tests and edge fallbacks.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+_MAGIC = b"MMXA1\n"
+
+
+def _leaf_spec(a) -> dict:
+    a = np.asarray(a)
+    return {"shape": list(a.shape), "dtype": str(a.dtype)}
+
+
+def export_artifact(filt, path: str, width: int, height: int,
+                    options=None, params: dict | None = None) -> None:
+    """Write a .mmxa artifact for `filt` at the given geometry.
+
+    `params` supplies a VALUE for every param that should be a runtime
+    input of the artifact (defaults are used for the export-time trace;
+    the values themselves stay changeable at call time). Params omitted
+    here are rendered at their declared defaults and are NOT inputs of
+    the artifact. Image params become positional inputs of the loaded
+    callable.
+    """
+    import jax
+
+    from ..runtime.options import RenderOptions
+    from ..runtime.render import _userval_pytree
+    from ..runtime.tracer import RenderContext
+
+    opts = options or RenderOptions()
+    renderer = filt._renderer(width, height, opts, 1)
+    jnp = renderer.jnp
+    ctx = RenderContext(be=jnp, width=width, height=height, opts=opts,
+                        filters=filt.filters, is_jax=True)
+    uv_arrays, kinds = _userval_pytree(ctx, filt.fdef, params or {})
+    n_img = len(filt.image_params)
+    ins_spec = [jax.ShapeDtypeStruct((height, width, 4), jnp.float32)
+                for _ in range(n_img)]
+    uv_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a),
+                                       np.asarray(a).dtype), uv_arrays)
+    scal = jax.ShapeDtypeStruct((), jnp.float32)
+    exp = jax.export.export(renderer._jitted)(
+        ins_spec, uv_spec, kinds, scal, scal)
+    manifest = {
+        "filter": filt.name,
+        "width": width, "height": height,
+        "n_inputs": n_img,
+        "platforms": list(exp.platforms),
+        # param name -> leaf structure so the loader can rebuild the
+        # userval pytree from plain values (dict of name -> array |
+        # tuple-of-scalars, mirroring _userval_pytree)
+        "params": {
+            name: ({"tuple": [_leaf_spec(x) for x in a]}
+                   if isinstance(a, (list, tuple))
+                   else {"array": _leaf_spec(a)})
+            for name, a in uv_arrays.items()
+        },
+        "interpolation": opts.interpolation,
+        "edges": [opts.edge_x, opts.edge_y],
+    }
+    blob = exp.serialize()
+    head = json.dumps(manifest).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(head)))
+        f.write(head)
+        f.write(blob)
+
+
+class LoadedArtifact:
+    """A deserialized .mmxa: `render(*inputs, params=..., t=, frame=)`.
+
+    `inputs` are (H, W, 4) float32 arrays matching the exported
+    geometry; `params` gives values for the params recorded in the
+    manifest (floats/bools, length-n sequences for colors/tuples, 1-D
+    LUT arrays for curves, (N, 4) for gradients — the same leaf shapes
+    as at export)."""
+
+    def __init__(self, manifest: dict, exported):
+        self.manifest = manifest
+        self._exp = exported
+
+    @property
+    def platforms(self):
+        return tuple(self.manifest.get("platforms", ()))
+
+    def _build_uv(self, params: dict):
+        spec = self.manifest["params"]
+        params = params or {}
+        unknown = set(params) - set(spec)
+        if unknown:
+            raise ValueError(
+                f"artifact has no param(s) {sorted(unknown)}; exported "
+                f"params: {sorted(spec)}")
+        uv = {}
+        for name, leaf in spec.items():
+            if name not in params:
+                raise ValueError(
+                    f"artifact param {name!r} needs a value (it was "
+                    f"exported as a runtime input)")
+            v = params[name]
+            if "tuple" in leaf:
+                shapes = leaf["tuple"]
+                vals = (list(v) if isinstance(v, (list, tuple, np.ndarray))
+                        else [v])
+                if len(vals) == 3 and len(shapes) == 4:
+                    vals = vals + [1.0]  # rgb -> rgba like the live path
+                if len(vals) != len(shapes):
+                    raise ValueError(
+                        f"param {name!r} expects {len(shapes)} components, "
+                        f"got {len(vals)}")
+                # a LIST, matching the export-time pytree structure
+                # (_userval_pytree stores numeric tuples as lists)
+                uv[name] = [
+                    np.asarray(x, dtype=s["dtype"]).reshape(s["shape"])
+                    for x, s in zip(vals, shapes)]
+            else:
+                s = leaf["array"]
+                arr = np.asarray(v, dtype=s["dtype"])
+                if list(arr.shape) != s["shape"]:
+                    raise ValueError(
+                        f"param {name!r} expects shape {s['shape']} "
+                        f"{s['dtype']}, got {list(arr.shape)}")
+                uv[name] = arr
+        return uv
+
+    def render(self, *inputs, params: dict | None = None, t: float = 0.0,
+               frame: float = 0.0):
+        m = self.manifest
+        if len(inputs) != m["n_inputs"]:
+            raise ValueError(
+                f"artifact expects {m['n_inputs']} input image(s), got "
+                f"{len(inputs)}")
+        ins = [np.asarray(a, dtype=np.float32) for a in inputs]
+        for a in ins:
+            if a.shape != (m["height"], m["width"], 4):
+                raise ValueError(
+                    f"artifact inputs must be ({m['height']}, "
+                    f"{m['width']}, 4); got {a.shape}")
+        uv = self._build_uv(params or {})
+        out = self._exp.call(ins, uv, np.float32(t), np.float32(frame))
+        return np.asarray(out)
+
+
+def load_artifact(path: str) -> LoadedArtifact:
+    """Load a .mmxa written by export_artifact (jax + numpy only)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a mathmap_tpu artifact")
+        (n,) = struct.unpack("<I", f.read(4))
+        manifest = json.loads(f.read(n))
+        blob = f.read()
+    return LoadedArtifact(manifest, jexport.deserialize(blob))

@@ -1,6 +1,7 @@
 """Code-generator exports (generators/ row of SURVEY §2.1)."""
 
 import subprocess
+import pytest
 import sys
 
 import numpy as np
@@ -69,3 +70,70 @@ def test_load_mmc_counter_and_output_validation():
     with _pytest.raises(MMRuntimeError, match="expected a number"):
         from_mmc('(composer (node "n1" "twirl" (param "angle" fast))'
                  ' (output "n1"))', db=db)
+
+
+# -- AOT artifacts (generators/artifact.py) ----------------------------
+
+def _art_filter():
+    return mm.compile(
+        "filter tw (image in, float angle: -10-10 (3), color tint) "
+        "c = in(toXY(ra:[r, a + angle * (1 - r / R) ^ 2])); c * tint end")
+
+
+def test_artifact_roundtrip_params_stay_runtime(tmp_path):
+    """Export -> load -> render matches the live renderer, and param
+    VALUES (slider + color) change at call time without re-export."""
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = _art_filter()
+    W, H = 48, 32
+    p0 = {"angle": 3.0, "tint": [1.0, 0.8, 0.6, 1.0]}
+    path = tmp_path / "tw.mmxa"
+    export_artifact(f, str(path), W, H, params=p0)
+    art = load_artifact(str(path))
+    img = np.random.RandomState(0).rand(H, W, 4).astype(np.float32)
+    for p in (p0, {"angle": 5.5, "tint": [0.2, 1.0, 0.4, 1.0]}):
+        got = art.render(img, params=p, t=0.1)
+        want = np.asarray(f.render(img, width=W, height=H, t=0.1, params=p))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_artifact_curve_lut_param(tmp_path):
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = mm.compile("filter c (image in, curve cv) "
+                   "grayColor(cv(clamp(abs(x / X), 0, 1))) end")
+    lut = (np.linspace(0, 1, 16) ** 2).astype(np.float32)
+    path = tmp_path / "c.mmxa"
+    export_artifact(f, str(path), 48, 32, params={"cv": lut})
+    art = load_artifact(str(path))
+    img = np.random.RandomState(1).rand(32, 48, 4).astype(np.float32)
+    got = art.render(img, params={"cv": (lut * 0.5).astype(np.float32)})
+    want = np.asarray(f.render(img, width=48, height=32,
+                               params={"cv": (lut * 0.5).astype(np.float32)}))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_artifact_validation_errors(tmp_path):
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = _art_filter()
+    path = tmp_path / "tw.mmxa"
+    export_artifact(f, str(path), 48, 32,
+                    params={"angle": 3.0, "tint": [1, 1, 1, 1]})
+    art = load_artifact(str(path))
+    img = np.zeros((32, 48, 4), np.float32)
+    with pytest.raises(ValueError, match="needs a value"):
+        art.render(img, params={"angle": 1.0})
+    with pytest.raises(ValueError, match="no param"):
+        art.render(img, params={"angle": 1.0, "tint": [1, 1, 1, 1],
+                                "nope": 2})
+    with pytest.raises(ValueError, match="input image"):
+        art.render(params={"angle": 1.0, "tint": [1, 1, 1, 1]})
+    with pytest.raises(ValueError, match="inputs must be"):
+        art.render(np.zeros((8, 8, 4), np.float32),
+                   params={"angle": 1.0, "tint": [1, 1, 1, 1]})
+    bad = tmp_path / "bad.mmxa"
+    bad.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="not a mathmap_tpu artifact"):
+        load_artifact(str(bad))
