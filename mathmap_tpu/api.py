@@ -292,7 +292,6 @@ class Filter:
         bound into an MMRuntimeError instead of a silent clamp."""
         from .parallel.halo import TiledRenderer
         from .parallel.mesh import make_mesh
-        from .runtime.render import float_inputs
 
         options = options or RenderOptions()
         # no np.asarray here: device-resident inputs pass through untouched

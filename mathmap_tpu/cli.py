@@ -294,7 +294,18 @@ def main(argv=None) -> int:
     if args.selftest:
         from .selftest import run_selftest
 
-        size = int(args.size.split("x")[0]) if args.size else 128
+        size = 128
+        if args.size:
+            # same parsing rule as the render path (line ~357): lowercase,
+            # both dims; the selftest sweep is square-only, so reject a
+            # non-square request instead of silently dropping the height
+            dims = [int(v) for v in args.size.lower().split("x")]
+            if len(dims) == 1:
+                dims = dims * 2
+            if len(dims) != 2 or dims[0] != dims[1]:
+                raise SystemExit(
+                    "--selftest runs square renders; use --size NxN")
+            size = dims[0]
         return 1 if run_selftest(size=size, verbose=verbose) else 0
 
     if args.list:

@@ -68,8 +68,31 @@ def export_artifact(filt, path: str, width: int, height: int,
         lambda a: jax.ShapeDtypeStruct(np.shape(a),
                                        np.asarray(a).dtype), uv_arrays)
     scal = jax.ShapeDtypeStruct((), jnp.float32)
-    exp = jax.export.export(renderer._jitted)(
-        ins_spec, uv_spec, kinds, scal, scal)
+    grids_blob = None
+    if renderer._base_layout is not None:
+        # the live renderer computes the constant base-layout coordinate
+        # grids once per config (_grids_jit) and passes them to every
+        # frame. The artifact does the same: a SECOND exported module
+        # computes the grids (the loader runs it once at load time), and
+        # the main module takes them as runtime args. Baking them in as
+        # closed-over CONSTANTS instead lets XLA constant-fold downstream
+        # coordinate math with different rounding (measured: one-bf16-ulp
+        # divergence vs the live renderer); grids=None would rebuild them
+        # in-trace on every call (~1 ms/4K frame, CLAUDE.md). Runtime args
+        # keep bit-parity AND the zero per-call rebuild.
+        grids_blob = jax.export.export(renderer._grids_jit)().serialize()
+        grids_spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            jax.eval_shape(renderer._grids_jit))
+
+        def fn(ins, uv, kinds, t, frame, grids):
+            return renderer._jitted(ins, uv, kinds, t, frame, None, grids)
+
+        exp = jax.export.export(jax.jit(fn, static_argnums=(2,)))(
+            ins_spec, uv_spec, kinds, scal, scal, grids_spec)
+    else:
+        exp = jax.export.export(renderer._jitted)(
+            ins_spec, uv_spec, kinds, scal, scal)
     manifest = {
         "filter": filt.name,
         "width": width, "height": height,
@@ -86,6 +109,10 @@ def export_artifact(filt, path: str, width: int, height: int,
         },
         "interpolation": opts.interpolation,
         "edges": [opts.edge_x, opts.edge_y],
+        # when present, a second exported module (run once at load time)
+        # computes the constant coordinate grids the main module takes as
+        # its trailing runtime argument
+        "has_grids": grids_blob is not None,
     }
     blob = exp.serialize()
     head = json.dumps(manifest).encode()
@@ -93,6 +120,9 @@ def export_artifact(filt, path: str, width: int, height: int,
         f.write(_MAGIC)
         f.write(struct.pack("<I", len(head)))
         f.write(head)
+        if grids_blob is not None:
+            f.write(struct.pack("<Q", len(grids_blob)))
+            f.write(grids_blob)
         f.write(blob)
 
 
@@ -105,9 +135,11 @@ class LoadedArtifact:
     LUT arrays for curves, (N, 4) for gradients — the same leaf shapes
     as at export)."""
 
-    def __init__(self, manifest: dict, exported):
+    def __init__(self, manifest: dict, exported, grids_exported=None):
         self.manifest = manifest
         self._exp = exported
+        self._exp_grids = grids_exported
+        self._grids = None
 
     @property
     def platforms(self):
@@ -130,8 +162,14 @@ class LoadedArtifact:
             v = params[name]
             if "tuple" in leaf:
                 shapes = leaf["tuple"]
-                vals = (list(v) if isinstance(v, (list, tuple, np.ndarray))
-                        else [v])
+                if isinstance(v, np.ndarray):
+                    # reshape(-1) also handles 0-d scalars (list() on a
+                    # 0-d array raises TypeError)
+                    vals = list(v.reshape(-1))
+                elif isinstance(v, (list, tuple)):
+                    vals = list(v)
+                else:
+                    vals = [v]
                 if len(vals) == 3 and len(shapes) == 4:
                     vals = vals + [1.0]  # rgb -> rgba like the live path
                 if len(vals) != len(shapes):
@@ -167,7 +205,13 @@ class LoadedArtifact:
                     f"artifact inputs must be ({m['height']}, "
                     f"{m['width']}, 4); got {a.shape}")
         uv = self._build_uv(params or {})
-        out = self._exp.call(ins, uv, np.float32(t), np.float32(frame))
+        if self._exp_grids is not None:
+            if self._grids is None:
+                self._grids = self._exp_grids.call()
+            out = self._exp.call(ins, uv, np.float32(t), np.float32(frame),
+                                 self._grids)
+        else:
+            out = self._exp.call(ins, uv, np.float32(t), np.float32(frame))
         return np.asarray(out)
 
 
@@ -179,7 +223,26 @@ def load_artifact(path: str) -> LoadedArtifact:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
             raise ValueError(f"{path}: not a mathmap_tpu artifact")
-        (n,) = struct.unpack("<I", f.read(4))
-        manifest = json.loads(f.read(n))
+        head = f.read(4)
+        if len(head) < 4:
+            raise ValueError(f"{path}: truncated artifact")
+        (n,) = struct.unpack("<I", head)
+        raw = f.read(n)
+        if len(raw) < n:
+            raise ValueError(f"{path}: truncated artifact")
+        try:
+            manifest = json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"{path}: corrupt artifact manifest") from e
+        grids_exp = None
+        if manifest.get("has_grids"):
+            head = f.read(8)
+            if len(head) < 8:
+                raise ValueError(f"{path}: truncated artifact")
+            (gn,) = struct.unpack("<Q", head)
+            graw = f.read(gn)
+            if len(graw) < gn:
+                raise ValueError(f"{path}: truncated artifact")
+            grids_exp = jexport.deserialize(graw)
         blob = f.read()
-    return LoadedArtifact(manifest, jexport.deserialize(blob))
+    return LoadedArtifact(manifest, jexport.deserialize(blob), grids_exp)

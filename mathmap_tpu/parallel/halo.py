@@ -24,7 +24,7 @@ import math
 
 import numpy as np
 
-from ..runtime.render import render_frame
+from ..runtime.render import float_inputs, render_frame
 from ..runtime.tracer import RenderContext
 from ..runtime.value import TiledInput
 from ..utils.errors import MMRuntimeError
@@ -189,11 +189,9 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
 
         imgs = []
         for k, inp_local in enumerate(inp_locals):
-            if inp_local.dtype == jnp.uint8:
-                # u8 blocks ship 4x fewer bytes host->device; the /255
-                # is render()'s in-trace normalization rule
-                inp_local = (inp_local.astype(jnp.float32)
-                             / jnp.asarray(255.0, dtype=jnp.float32))
+            # u8 blocks ship 4x fewer bytes host->device; float_inputs is
+            # the single source of the in-trace /255 normalization rule
+            (inp_local,) = float_inputs(jnp, [inp_local])
             # animated (T, tile_h, W, 4) blocks exchange/paint their frame
             # row/col axes (every frame shares the device's row range)
             ax0 = inp_local.ndim - 3

@@ -137,3 +137,62 @@ def test_artifact_validation_errors(tmp_path):
     bad.write_bytes(b"not an artifact")
     with pytest.raises(ValueError, match="not a mathmap_tpu artifact"):
         load_artifact(str(bad))
+
+
+def test_artifact_scalar_param_value_forms(tmp_path):
+    """0-d numpy scalars (accepted by the live path) must work — list()
+    on a 0-d array raises TypeError (review r3)."""
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = _art_filter()
+    path = tmp_path / "tw.mmxa"
+    export_artifact(f, str(path), 48, 32,
+                    params={"angle": 3.0, "tint": [1, 1, 1, 1]})
+    art = load_artifact(str(path))
+    img = np.random.RandomState(2).rand(32, 48, 4).astype(np.float32)
+    base = art.render(img, params={"angle": 4.0, "tint": [1, 1, 1, 1]})
+    for v in (np.array(4.0), np.float32(4.0), np.array([4.0])):
+        got = art.render(img, params={"angle": v,
+                                      "tint": np.ones(4, np.float32)})
+        np.testing.assert_allclose(got, base, atol=1e-6)
+
+
+def test_artifact_truncated_files_raise_valueerror(tmp_path):
+    """Truncated/corrupt .mmxa files must raise the documented ValueError,
+    not struct.error / JSONDecodeError (review r3)."""
+    from mathmap_tpu.generators.artifact import (_MAGIC, export_artifact,
+                                                 load_artifact)
+
+    f = _art_filter()
+    path = tmp_path / "tw.mmxa"
+    export_artifact(f, str(path), 48, 32,
+                    params={"angle": 3.0, "tint": [1, 1, 1, 1]})
+    whole = path.read_bytes()
+    cases = [
+        _MAGIC + b"\x01",                      # short length word
+        whole[:len(_MAGIC) + 4 + 10],          # manifest cut off
+    ]
+    for i, data in enumerate(cases):
+        bad = tmp_path / f"bad{i}.mmxa"
+        bad.write_bytes(data)
+        with pytest.raises(ValueError, match="truncated|corrupt"):
+            load_artifact(str(bad))
+
+
+def test_artifact_base_layout_grids_baked(tmp_path):
+    """sampler='pallas' exports carry the constant coordinate grids as
+    baked constants (parity with the live renderer, review r3)."""
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = _art_filter()
+    opts = mm.RenderOptions(sampler="pallas")
+    path = tmp_path / "twp.mmxa"
+    export_artifact(f, str(path), 64, 32, options=opts,
+                    params={"angle": 3.0, "tint": [1, 1, 1, 1]})
+    art = load_artifact(str(path))
+    img = np.random.RandomState(3).rand(32, 64, 4).astype(np.float32)
+    p = {"angle": 2.5, "tint": [0.9, 1.0, 0.8, 1.0]}
+    got = art.render(img, params=p, t=0.2)
+    want = np.asarray(f.render(img, width=64, height=32, t=0.2,
+                               params=p, options=opts))
+    np.testing.assert_allclose(got, want, atol=1e-6)
