@@ -198,7 +198,11 @@ class LoadedArtifact:
             raise ValueError(
                 f"artifact expects {m['n_inputs']} input image(s), got "
                 f"{len(inputs)}")
-        ins = [np.asarray(a, dtype=np.float32) for a in inputs]
+        # uint8 inputs normalize /255 like every other render entry point
+        # (a bare float cast would feed 0-255 values to a [0,1] program)
+        ins = [np.asarray(a, dtype=np.float32) / 255.0
+               if np.asarray(a).dtype == np.uint8
+               else np.asarray(a, dtype=np.float32) for a in inputs]
         for a in ins:
             if a.shape != (m["height"], m["width"], 4):
                 raise ValueError(

@@ -32,11 +32,19 @@ Endpoints:
                           "inputs": [base64 PNG/JPEG/GIF, ...],
                           "format": "png"|"raw"} -> {"image": base64}
                           (raw: {"shape", "dtype", "data"} — uint8 by
-                          default, see below)
+                          default, see below). {"artifact": name} instead
+                          of "filter" runs a precompiled .mmxa program
+                          (load_artifacts) — no compiler at serve time.
   POST /animate          {"filter": ..., "num_frames", "fps", ...} ->
                           {"gif": base64} (or "format": "raw" ->
                           (F, H, W, 4) bytes + declared dtype) — whole
                           t-sweep in ONE device program (render_animation)
+  GET  /artifacts        loaded .mmxa programs + their geometry/params
+
+Any render/animate request may set {"binary": true} to receive the bytes
+directly (Content-Type image/png, image/gif, or application/octet-stream
+with X-Shape/X-Dtype headers) instead of base64-in-JSON — base64 costs
++33% bytes plus an encode pass on the single-core serving host.
 
 I/O dtype: the service renders with output_dtype='uint8' by default —
 the 8-bit pack runs ON DEVICE (bit-identical to the host pack PNG/GIF
@@ -132,6 +140,7 @@ class RenderService:
         from .expression_db import default_db
 
         self.db = db if db is not None else default_db()
+        self.artifacts: dict = {}    # name -> LoadedArtifact (.mmxa)
         self.max_batch = int(max_batch)
         self.window_ms = float(window_ms)
         #: the dtype every job renders at. 'uint8' (default): results are
@@ -184,6 +193,41 @@ class RenderService:
                     filt = self.db.compile(str(spec))
                 self._filters[key] = filt
             return filt
+
+    def load_artifacts(self, path) -> list:
+        """Register .mmxa AOT artifacts (a file or a directory of them)
+        under their exported filter names (file stem on collision).
+
+        Artifact requests ({"artifact": name} on /render) run the
+        precompiled program directly — no parse/trace/compile at serve
+        time, fixed geometry, single-frame dispatch (the micro-batcher
+        only applies to live filters; export covers the AOT analog of
+        one-request-one-frame serving)."""
+        import os
+
+        from .generators.artifact import load_artifact
+
+        files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+                  if f.endswith(".mmxa")]
+                 if os.path.isdir(path) else [path])
+        names = []
+        for f in files:
+            art = load_artifact(f)
+            name = art.manifest.get("filter") or os.path.basename(f)
+            if name in self.artifacts:
+                name = os.path.splitext(os.path.basename(f))[0]
+            self.artifacts[name] = art
+            names.append(name)
+        return names
+
+    def render_artifact(self, name: str, inputs, params: dict | None = None,
+                        t: float = 0.0, frame: float = 0.0) -> np.ndarray:
+        art = self.artifacts.get(name)
+        if art is None:
+            raise ValueError(
+                f"unknown artifact {name!r}; loaded: "
+                f"{sorted(self.artifacts)}")
+        return art.render(*inputs, params=params, t=t, frame=frame)
 
     def warmup(self, spec, width: int, height: int,
                options: RenderOptions | None = None,
@@ -398,15 +442,6 @@ def _decode_input(b64: str) -> np.ndarray:
     return stack[0] if stack.shape[0] == 1 else stack
 
 
-def _encode_png(arr: np.ndarray, level: int = 1) -> str:
-    from .imgio.images import to_uint8
-    from .imgio.png import encode_png
-
-    # fast numpy+zlib encoder (imgio/png.py): ~5x Pillow's default on the
-    # single-core serving host, where encode time rivals device dispatch
-    return base64.b64encode(encode_png(to_uint8(arr), level)).decode()
-
-
 def make_handler(service: RenderService):
     from http.server import BaseHTTPRequestHandler
 
@@ -422,6 +457,41 @@ def make_handler(service: RenderService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _binary(self, data: bytes, ctype: str, headers: dict = None):
+            # "binary": true responses skip base64 (+33% bytes) AND the
+            # JSON wrapper — on the single-core serving host the encode
+            # step rivals device dispatch (docs/SERVING.md)
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _send_array(self, arr: np.ndarray, req: dict):
+            """Shared /render response tail: raw|png x json|binary."""
+            from .imgio.images import to_uint8
+            from .imgio.png import encode_png
+
+            binary = bool(req.get("binary"))
+            if req.get("format") == "raw":
+                data = np.ascontiguousarray(arr).tobytes()
+                if binary:
+                    return self._binary(
+                        data, "application/octet-stream",
+                        {"X-Shape": ",".join(map(str, arr.shape)),
+                         "X-Dtype": str(arr.dtype)})
+                return self._json(200, {
+                    "shape": list(arr.shape), "dtype": str(arr.dtype),
+                    "data": base64.b64encode(data).decode()})
+            # png_level 0-9: zlib effort (0 = store — fastest for
+            # localhost hops; default 1 ~= Pillow level-1 sizes)
+            png = encode_png(to_uint8(arr), int(req.get("png_level", 1)))
+            if binary:
+                return self._binary(png, "image/png")
+            return self._json(200, {"image": base64.b64encode(png).decode()})
+
         def do_GET(self):
             if self.path == "/healthz":
                 import jax
@@ -431,6 +501,13 @@ def make_handler(service: RenderService):
                                  "programs": len(service._filters)})
             elif self.path == "/stats":
                 self._json(200, service.snapshot())
+            elif self.path == "/artifacts":
+                self._json(200, {
+                    name: {"width": a.manifest["width"],
+                           "height": a.manifest["height"],
+                           "n_inputs": a.manifest["n_inputs"],
+                           "params": sorted(a.manifest["params"])}
+                    for name, a in service.artifacts.items()})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -461,12 +538,16 @@ def make_handler(service: RenderService):
                     from .imgio.images import to_uint8
 
                     if req.get("format") == "raw":
+                        data = np.ascontiguousarray(frames).tobytes()
+                        if req.get("binary"):
+                            return self._binary(
+                                data, "application/octet-stream",
+                                {"X-Shape": ",".join(map(str, frames.shape)),
+                                 "X-Dtype": str(frames.dtype)})
                         return self._json(200, {
                             "shape": list(frames.shape),
                             "dtype": str(frames.dtype),
-                            "data": base64.b64encode(
-                                np.ascontiguousarray(frames).tobytes(),
-                            ).decode()})
+                            "data": base64.b64encode(data).decode()})
                     from PIL import Image
 
                     pil_frames = [Image.fromarray(to_uint8(f))
@@ -476,10 +557,21 @@ def make_handler(service: RenderService):
                         buf, format="GIF", save_all=True, loop=0,
                         append_images=pil_frames[1:],
                         duration=int(1000 / float(req.get("fps", 25))))
+                    if req.get("binary"):
+                        return self._binary(buf.getvalue(), "image/gif")
                     return self._json(200, {"gif": base64.b64encode(
                         buf.getvalue()).decode()})
                 if self.path == "/render":
                     inputs = [_decode_input(b) for b in req.get("inputs", [])]
+                    if "artifact" in req:
+                        # precompiled .mmxa: direct single-frame dispatch,
+                        # geometry fixed at export (no parse/trace/compile)
+                        out = service.render_artifact(
+                            req["artifact"], inputs,
+                            params=req.get("params"),
+                            t=float(req.get("t", 0.0)),
+                            frame=float(req.get("frame", 0.0)))
+                        return self._send_array(out, req)
                     w = int(req.get("width") or
                             (inputs[0].shape[-2] if inputs else 256))
                     h = int(req.get("height") or
@@ -489,17 +581,7 @@ def make_handler(service: RenderService):
                         t=float(req.get("t", 0.0)),
                         params=req.get("params"),
                         options=_opts_from(req))
-                    if req.get("format") == "raw":
-                        return self._json(200, {
-                            "shape": list(out.shape),
-                            "dtype": str(out.dtype),
-                            "data": base64.b64encode(
-                                np.ascontiguousarray(out).tobytes()).decode(),
-                        })
-                    # png_level 0-9: zlib effort (0 = store — fastest for
-                    # localhost hops; default 1 ~= Pillow level-1 sizes)
-                    return self._json(200, {"image": _encode_png(
-                        out, int(req.get("png_level", 1)))})
+                    return self._send_array(out, req)
                 return self._json(404, {"error": "unknown path"})
             except KeyError as e:
                 return self._json(400, {"error": f"missing field {e}"})
@@ -551,6 +633,10 @@ def main(argv=None):
                          "raw float results for raw-format clients)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (like preview --cpu)")
+    ap.add_argument("--artifacts", default=None, metavar="PATH",
+                    help="a .mmxa file or directory of them to serve as "
+                         "precompiled programs ({'artifact': name} on "
+                         "/render; GET /artifacts lists them)")
     args = ap.parse_args(argv)
     import os
 
@@ -563,6 +649,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", plat)
     svc = RenderService(max_batch=args.max_batch, window_ms=args.window_ms,
                         output_dtype=args.output_dtype)
+    if args.artifacts:
+        names = svc.load_artifacts(args.artifacts)
+        print(f"loaded {len(names)} artifact(s): {', '.join(names)}")
     print(f"serving on http://{args.host}:{args.port}  "
           f"(max_batch={args.max_batch}, window={args.window_ms}ms)")
     serve(args.port, args.host, svc)

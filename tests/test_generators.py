@@ -180,8 +180,9 @@ def test_artifact_truncated_files_raise_valueerror(tmp_path):
 
 
 def test_artifact_base_layout_grids_baked(tmp_path):
-    """sampler='pallas' exports carry the constant coordinate grids as
-    baked constants (parity with the live renderer, review r3)."""
+    """sampler='pallas' exports ship a second grids module (run once at
+    load); runtime-arg grids keep bit-parity with the live renderer
+    (baking them as constants diverged one bf16 ulp — review r3)."""
     from mathmap_tpu.generators.artifact import export_artifact, load_artifact
 
     f = _art_filter()

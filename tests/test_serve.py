@@ -382,3 +382,94 @@ def test_http_edge_color_option_forwarded(http_server):
         outs[str(col)] = np.frombuffer(
             base64.b64decode(body["data"]), np.uint8)
     assert not np.array_equal(*outs.values())
+
+
+# -- binary responses + artifact serving (review r3 additions) ---------
+
+def _post_bytes(base, path, obj):
+    """POST returning (status, raw bytes, headers)."""
+    req = urllib.request.Request(
+        base + path, json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_http_binary_png_and_raw_match_json(http_server):
+    """binary:true returns the same bytes the base64-in-JSON form wraps,
+    with the right content types (and X-Shape/X-Dtype for raw)."""
+    src = {"source": "filter f () grayColor(x / W + 0.5) end"}
+    base_req = {"filter": src, "width": W, "height": H}
+    _, body = _post(http_server, "/render", {**base_req, "png_level": 1})
+    code, data, hdr = _post_bytes(
+        http_server, "/render", {**base_req, "png_level": 1, "binary": True})
+    assert code == 200 and hdr["Content-Type"] == "image/png"
+    assert data == base64.b64decode(body["image"])
+    _, body = _post(http_server, "/render", {**base_req, "format": "raw"})
+    code, data, hdr = _post_bytes(
+        http_server, "/render", {**base_req, "format": "raw", "binary": True})
+    assert code == 200
+    assert hdr["Content-Type"] == "application/octet-stream"
+    assert hdr["X-Shape"] == f"{H},{W},4" and hdr["X-Dtype"] == "uint8"
+    assert data == base64.b64decode(body["data"])
+
+
+def test_http_binary_gif(http_server):
+    code, data, hdr = _post_bytes(http_server, "/animate", {
+        "filter": {"source": "filter f () grayColor(t) end"},
+        "width": W, "height": H, "num_frames": 2, "binary": True})
+    assert code == 200 and hdr["Content-Type"] == "image/gif"
+    assert data[:6] in (b"GIF87a", b"GIF89a")
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    from mathmap_tpu.generators.artifact import export_artifact
+
+    d = tmp_path_factory.mktemp("artifacts")
+    f = mm.compile(
+        "filter tinted (image in, float gain: 0-2 (1)) in(xy) * gain end")
+    export_artifact(f, str(d / "tinted.mmxa"), W, H,
+                    params={"gain": 1.0})
+    return d
+
+
+def test_artifact_serving_http(artifact_dir, service, http_server):
+    names = service.load_artifacts(str(artifact_dir))
+    assert names == ["tinted"]
+    code, body = _get(http_server, "/artifacts")
+    assert code == 200 and body["tinted"]["n_inputs"] == 1
+    img = _img(7)
+    code, body = _post(http_server, "/render", {
+        "artifact": "tinted", "inputs": [_png_b64(img)],
+        "params": {"gain": 0.5}, "format": "raw"})
+    assert code == 200, body
+    out = np.frombuffer(base64.b64decode(body["data"]),
+                        np.dtype(body["dtype"])).reshape(body["shape"])
+    # the artifact renders float32 (no service output_dtype repack) and
+    # the PNG round-trip quantized the input to u8 -> compare loosely
+    expect = np.asarray(Image_open_rgba(_png_b64(img))) / 255.0 * 0.5
+    assert np.abs(out[..., :3] - expect[..., :3]).max() < 2 / 255
+    code, body = _post(http_server, "/render", {
+        "artifact": "nope", "inputs": [_png_b64(img)]})
+    assert code == 400 and "unknown artifact" in body["error"]
+
+
+def Image_open_rgba(b64):
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGBA")
+    return np.asarray(im)
+
+
+def test_artifact_u8_input_normalizes(artifact_dir):
+    """uint8 inputs to a loaded artifact must normalize /255 like every
+    other render entry point (review r3: a bare float cast fed 0-255)."""
+    from mathmap_tpu.generators.artifact import load_artifact
+
+    art = load_artifact(str(artifact_dir / "tinted.mmxa"))
+    f32 = _img(9)
+    u8 = (f32 * 255).round().astype(np.uint8)
+    a = art.render(u8.astype(np.float32) / 255.0, params={"gain": 1.0})
+    b = art.render(u8, params={"gain": 1.0})
+    np.testing.assert_array_equal(a, b)
