@@ -39,7 +39,8 @@ def _leaf_spec(a) -> dict:
 
 
 def export_artifact(filt, path: str, width: int, height: int,
-                    options=None, params: dict | None = None) -> None:
+                    options=None, params: dict | None = None,
+                    batch_sizes=()) -> None:
     """Write a .mmxa artifact for `filt` at the given geometry.
 
     `params` supplies a VALUE for every param that should be a runtime
@@ -48,6 +49,14 @@ def export_artifact(filt, path: str, width: int, height: int,
     here are rendered at their declared defaults and are NOT inputs of
     the artifact. Image params become positional inputs of the loaded
     callable.
+
+    `batch_sizes` additionally exports the N-job batched program for
+    each size N (the renderer's render_batch path: per-job inputs, t,
+    frame, and param VALUES in ONE device dispatch — the serving
+    answer to the per-dispatch floor on small frames). The loaded
+    artifact then offers `render_batch`; requests pad up to the next
+    exported size, so (4, 16) covers any batch <= 16 with at most 3
+    programs.
     """
     import jax
 
@@ -93,6 +102,19 @@ def export_artifact(filt, path: str, width: int, height: int,
     else:
         exp = jax.export.export(renderer._jitted)(
             ins_spec, uv_spec, kinds, scal, scal)
+    batch_blobs = []
+    for bn in batch_sizes:
+        bn = int(bn)
+        ins_b = [jax.ShapeDtypeStruct((bn, height, width, 4), jnp.float32)
+                 for _ in range(n_img)]
+        uv_b = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct((bn,) + tuple(np.shape(a)),
+                                           np.asarray(a).dtype), uv_arrays)
+        vec = jax.ShapeDtypeStruct((bn,), jnp.float32)
+        # the same program Filter.render_batch runs (per-job param values
+        # ride a lax.map; grids amortize in-trace across the batch)
+        batch_blobs.append(jax.export.export(renderer._jitted_jobs_pp)(
+            ins_b, uv_b, kinds, vec, vec).serialize())
     manifest = {
         "filter": filt.name,
         "width": width, "height": height,
@@ -113,6 +135,7 @@ def export_artifact(filt, path: str, width: int, height: int,
         # computes the constant coordinate grids the main module takes as
         # its trailing runtime argument
         "has_grids": grids_blob is not None,
+        "batch_sizes": [int(n) for n in batch_sizes],
     }
     blob = exp.serialize()
     head = json.dumps(manifest).encode()
@@ -123,7 +146,16 @@ def export_artifact(filt, path: str, width: int, height: int,
         if grids_blob is not None:
             f.write(struct.pack("<Q", len(grids_blob)))
             f.write(grids_blob)
-        f.write(blob)
+        if batch_blobs:
+            # batched layout: every remaining blob is u64-length-prefixed
+            # (main first, then one per batch size, manifest order)
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+            for b in batch_blobs:
+                f.write(struct.pack("<Q", len(b)))
+                f.write(b)
+        else:
+            f.write(blob)  # legacy layout: main blob runs to EOF
 
 
 class LoadedArtifact:
@@ -135,11 +167,19 @@ class LoadedArtifact:
     LUT arrays for curves, (N, 4) for gradients — the same leaf shapes
     as at export)."""
 
-    def __init__(self, manifest: dict, exported, grids_exported=None):
+    def __init__(self, manifest: dict, exported, grids_exported=None,
+                 batch_exported=None):
         self.manifest = manifest
         self._exp = exported
         self._exp_grids = grids_exported
         self._grids = None
+        #: batch size -> exported N-job program (render_batch analog)
+        self._exp_batch = dict(zip(manifest.get("batch_sizes", []),
+                                   batch_exported or []))
+
+    @property
+    def batch_sizes(self) -> tuple:
+        return tuple(sorted(self._exp_batch))
 
     @property
     def platforms(self):
@@ -218,6 +258,67 @@ class LoadedArtifact:
             out = self._exp.call(ins, uv, np.float32(t), np.float32(frame))
         return np.asarray(out)
 
+    def render_batch(self, *input_stacks, params, ts, frames=None):
+        """N independent jobs in one device dispatch -> (N, H, W, 4).
+
+        Mirrors Filter.render_batch: each element of `input_stacks` is an
+        (N, H, W, 4) stack, job i renders at t=ts[i] with params[i]
+        (`params` may be ONE dict shared by all jobs). Requires the
+        artifact to have been exported with `batch_sizes`; a batch pads
+        up to the next exported size (repeating the last job), so sizes
+        are buckets, not exact-match requirements."""
+        m = self.manifest
+        if not self._exp_batch:
+            raise ValueError(
+                "artifact has no batched programs; export with "
+                "batch_sizes=(...) to enable render_batch")
+        ts = np.asarray(ts, np.float32).reshape(-1)
+        n = int(ts.shape[0])
+        params = [params] * n if isinstance(params, dict) else list(params)
+        if len(params) != n:
+            raise ValueError(
+                f"render_batch: {len(params)} param dicts for {n} jobs")
+        if len(input_stacks) != m["n_inputs"]:
+            raise ValueError(
+                f"artifact expects {m['n_inputs']} input stack(s), got "
+                f"{len(input_stacks)}")
+        ins = []
+        for a in input_stacks:
+            arr = np.asarray(a)
+            arr = (arr.astype(np.float32) / 255.0
+                   if arr.dtype == np.uint8 else arr.astype(np.float32))
+            if arr.shape != (n, m["height"], m["width"], 4):
+                raise ValueError(
+                    f"input stacks must be ({n}, {m['height']}, "
+                    f"{m['width']}, 4); got {arr.shape}")
+            ins.append(arr)
+        frames = (np.arange(n, dtype=np.float32) if frames is None
+                  else np.asarray(frames, np.float32).reshape(-1))
+        bucket = next((s for s in sorted(self._exp_batch) if s >= n), None)
+        if bucket is None:
+            raise ValueError(
+                f"batch of {n} exceeds the largest exported batch size "
+                f"{max(self._exp_batch)}; chunk the batch or re-export")
+        if bucket > n:
+            pad = bucket - n
+            ins = [np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                   for a in ins]
+            params = params + [params[-1]] * pad
+            ts = np.concatenate([ts, np.repeat(ts[-1:], pad)])
+            frames = np.concatenate([frames, np.repeat(frames[-1:], pad)])
+        uvs = [self._build_uv(p) for p in params]
+        stacked = {}
+        for name in self.manifest["params"]:
+            leaves = [u[name] for u in uvs]
+            if isinstance(leaves[0], list):  # tuple param: stack per comp
+                stacked[name] = [
+                    np.stack([lv[i] for lv in leaves])
+                    for i in range(len(leaves[0]))]
+            else:
+                stacked[name] = np.stack(leaves)
+        out = self._exp_batch[bucket].call(ins, stacked, ts, frames)
+        return np.asarray(out)[:n]
+
 
 def load_artifact(path: str) -> LoadedArtifact:
     """Load a .mmxa written by export_artifact (jax + numpy only)."""
@@ -248,5 +349,23 @@ def load_artifact(path: str) -> LoadedArtifact:
             if len(graw) < gn:
                 raise ValueError(f"{path}: truncated artifact")
             grids_exp = jexport.deserialize(graw)
-        blob = f.read()
-    return LoadedArtifact(manifest, jexport.deserialize(blob), grids_exp)
+        batch_exps = []
+        if manifest.get("batch_sizes"):
+            # batched layout: u64-prefixed main blob, then one per size
+            def read_blob():
+                head = f.read(8)
+                if len(head) < 8:
+                    raise ValueError(f"{path}: truncated artifact")
+                (bn,) = struct.unpack("<Q", head)
+                braw = f.read(bn)
+                if len(braw) < bn:
+                    raise ValueError(f"{path}: truncated artifact")
+                return braw
+
+            blob = read_blob()
+            batch_exps = [jexport.deserialize(read_blob())
+                          for _ in manifest["batch_sizes"]]
+        else:
+            blob = f.read()
+    return LoadedArtifact(manifest, jexport.deserialize(blob), grids_exp,
+                          batch_exps)

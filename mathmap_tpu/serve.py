@@ -124,6 +124,10 @@ class _Job:
     #: not None -> an animation job: one render_animation dispatch for the
     #: whole t-sweep (never grouped; its sig is unique)
     num_frames: int | None = None
+    #: not None -> a LoadedArtifact job (filt is None): groups dispatch
+    #: through the artifact's exported batch programs when it has them
+    artifact: Any = None
+    frame: float = 0.0
 
 
 class RenderService:
@@ -199,10 +203,11 @@ class RenderService:
         under their exported filter names (file stem on collision).
 
         Artifact requests ({"artifact": name} on /render) run the
-        precompiled program directly — no parse/trace/compile at serve
-        time, fixed geometry, single-frame dispatch (the micro-batcher
-        only applies to live filters; export covers the AOT analog of
-        one-request-one-frame serving)."""
+        precompiled program — no parse/trace/compile at serve time,
+        geometry fixed at export. Artifacts exported with batch_sizes
+        micro-batch exactly like live filters (concurrent requests
+        coalesce into one exported-batch-program dispatch); others
+        dispatch as singletons."""
         import os
 
         from .generators.artifact import load_artifact
@@ -221,13 +226,29 @@ class RenderService:
         return names
 
     def render_artifact(self, name: str, inputs, params: dict | None = None,
-                        t: float = 0.0, frame: float = 0.0) -> np.ndarray:
+                        t: float = 0.0, frame: float = 0.0,
+                        timeout: float | None = 600.0) -> np.ndarray:
+        """Render a loaded .mmxa through the job queue. Artifacts exported
+        with batch_sizes micro-batch like live filters (concurrent
+        requests share one exported-batch-program dispatch); others
+        dispatch as singletons (unique sig — no pointless window wait)."""
         art = self.artifacts.get(name)
         if art is None:
             raise ValueError(
                 f"unknown artifact {name!r}; loaded: "
                 f"{sorted(self.artifacts)}")
-        return art.render(*inputs, params=params, t=t, frame=frame)
+        sig = (("art", id(art)) if art.batch_sizes
+               else ("art", id(art), object()))
+        job = _Job(sig=sig, filt=None, inputs=list(inputs), t=float(t),
+                   params=params or {}, width=art.manifest["width"],
+                   height=art.manifest["height"], options=RenderOptions(),
+                   artifact=art, frame=float(frame))
+        self._q.put(job)
+        if not job.done.wait(timeout):
+            raise TimeoutError("render timed out")
+        if job.error is not None:
+            raise job.error
+        return job.result
 
     def warmup(self, spec, width: int, height: int,
                options: RenderOptions | None = None,
@@ -360,6 +381,8 @@ class RenderService:
 
     def _dispatch(self, group: list):
         try:
+            if group[0].artifact is not None:
+                return self._dispatch_artifact(group)
             if len(group) == 1:
                 j = group[0]
                 if j.num_frames is not None:
@@ -410,6 +433,38 @@ class RenderService:
                     self.stats["latency_ms_sum"] += (now - g.enqueued) * 1e3
             for g in group:
                 g.done.set()
+
+    def _dispatch_artifact(self, group: list):
+        """Artifact jobs: exported-batch-program dispatch when available
+        (chunked to the largest exported size), singletons otherwise.
+        Stats/done bookkeeping stays in _dispatch's finally."""
+        art = group[0].artifact
+
+        def nrm(a):
+            a = np.asarray(a)
+            return (a.astype(np.float32) / 255.0 if a.dtype == np.uint8
+                    else np.asarray(a, np.float32))
+
+        if len(group) == 1 or not art.batch_sizes:
+            for g in group:
+                g.result = art.render(*g.inputs, params=g.params, t=g.t,
+                                      frame=g.frame)
+            return
+        cap = max(art.batch_sizes)
+        n_in = len(group[0].inputs)
+        for s in range(0, len(group), cap):
+            chunk = group[s:s + cap]
+            # normalize PER JOB before stacking: np.stack of mixed
+            # u8+f32 inputs would promote u8 to 0-255 floats (the same
+            # hazard the live batch path guards with its dtype signature)
+            stacks = [np.stack([nrm(g.inputs[i]) for g in chunk])
+                      for i in range(n_in)]
+            outs = art.render_batch(
+                *stacks, params=[g.params for g in chunk],
+                ts=np.asarray([g.t for g in chunk], np.float32),
+                frames=np.asarray([g.frame for g in chunk], np.float32))
+            for g, o in zip(chunk, outs):
+                g.result = np.asarray(o)
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -564,8 +619,8 @@ def make_handler(service: RenderService):
                 if self.path == "/render":
                     inputs = [_decode_input(b) for b in req.get("inputs", [])]
                     if "artifact" in req:
-                        # precompiled .mmxa: direct single-frame dispatch,
-                        # geometry fixed at export (no parse/trace/compile)
+                        # precompiled .mmxa: no parse/trace/compile at
+                        # serve time; batch-exported artifacts micro-batch
                         out = service.render_artifact(
                             req["artifact"], inputs,
                             params=req.get("params"),

@@ -197,3 +197,42 @@ def test_artifact_base_layout_grids_baked(tmp_path):
     want = np.asarray(f.render(img, width=64, height=32, t=0.2,
                                params=p, options=opts))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_artifact_render_batch_parity(tmp_path):
+    """Batched artifact programs (export batch_sizes) match per-job
+    renders AND the live render_batch bitwise; pad-to-bucket works; u8
+    stacks normalize; unexported/oversized batches raise."""
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = _art_filter()
+    path = tmp_path / "tw.mmxa"
+    export_artifact(f, str(path), 48, 32,
+                    params={"angle": 3.0, "tint": [1, 1, 1, 1]},
+                    batch_sizes=(4,))
+    art = load_artifact(str(path))
+    assert art.batch_sizes == (4,)
+    stack = np.random.RandomState(5).rand(3, 32, 48, 4).astype(np.float32)
+    plist = [{"angle": a, "tint": [1, 0.9, 0.8, 1]} for a in (1.0, 2.5, 4.0)]
+    ts = [0.0, 0.1, 0.2]
+    got = art.render_batch(stack, params=plist, ts=ts)
+    for i in range(3):  # pad-3-to-4 vs per-job lone renders
+        want = np.asarray(f.render(stack[i], width=48, height=32,
+                                   t=ts[i], frame=float(i), params=plist[i]))
+        np.testing.assert_array_equal(got[i], want)
+    live = np.asarray(f.render_batch(stack, ts=np.asarray(ts),
+                                     width=48, height=32, params=plist))
+    np.testing.assert_array_equal(got, live)
+    u8 = (stack * 255).round().astype(np.uint8)
+    np.testing.assert_array_equal(
+        art.render_batch(u8, params=plist, ts=ts),
+        art.render_batch(u8.astype(np.float32) / 255.0, params=plist, ts=ts))
+    with pytest.raises(ValueError, match="exceeds the largest"):
+        art.render_batch(np.zeros((5, 32, 48, 4), np.float32),
+                         params=plist[0], ts=np.zeros(5))
+    # an artifact without batch programs refuses render_batch
+    export_artifact(f, str(tmp_path / "nb.mmxa"), 48, 32,
+                    params={"angle": 3.0, "tint": [1, 1, 1, 1]})
+    with pytest.raises(ValueError, match="no batched programs"):
+        load_artifact(str(tmp_path / "nb.mmxa")).render_batch(
+            stack, params=plist, ts=ts)

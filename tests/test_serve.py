@@ -473,3 +473,59 @@ def test_artifact_u8_input_normalizes(artifact_dir):
     a = art.render(u8.astype(np.float32) / 255.0, params={"gain": 1.0})
     b = art.render(u8, params={"gain": 1.0})
     np.testing.assert_array_equal(a, b)
+
+
+def test_artifact_requests_microbatch(tmp_path_factory):
+    """Concurrent requests for a batch-exported artifact coalesce into
+    one exported-batch-program dispatch (and match lone renders)."""
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    d = tmp_path_factory.mktemp("arts_batched")
+    f = mm.compile(
+        "filter sc (image in, float gain: 0-2 (1)) in(xy) * gain end")
+    export_artifact(f, str(d / "sc.mmxa"), W, H, params={"gain": 1.0},
+                    batch_sizes=(4,))
+    svc = RenderService(max_batch=8, window_ms=60.0)
+    try:
+        svc.load_artifacts(str(d))
+        art = load_artifact(str(d / "sc.mmxa"))
+        imgs = [_img(i) for i in range(4)]
+        results = [None] * 4
+
+        def go(i):
+            results[i] = svc.render_artifact(
+                "sc", [imgs[i]], params={"gain": 0.25 * (i + 1)})
+
+        ths = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join(120)
+        snap = svc.snapshot()
+        assert snap["jobs"] == 4
+        assert snap["batch_hist"].get("4") == 1, snap  # ONE dispatch
+        for i in range(4):
+            want = art.render(imgs[i], params={"gain": 0.25 * (i + 1)})
+            np.testing.assert_array_equal(results[i], want)
+    finally:
+        svc.shutdown()
+
+
+def test_artifact_without_batch_programs_singletons(tmp_path_factory):
+    """Artifacts exported without batch_sizes dispatch per-request (no
+    window wait, unique sigs) and still serve correct results."""
+    from mathmap_tpu.generators.artifact import export_artifact
+
+    d = tmp_path_factory.mktemp("arts_single")
+    f = mm.compile("filter g () grayColor(x / W + 0.5) end")
+    export_artifact(f, str(d / "g.mmxa"), W, H)
+    svc = RenderService(max_batch=8, window_ms=60.0)
+    try:
+        svc.load_artifacts(str(d))
+        outs = [svc.render_artifact("g", []) for _ in range(2)]
+        snap = svc.snapshot()
+        assert snap["dispatches"] == 2  # never grouped
+        np.testing.assert_array_equal(outs[0], outs[1])
+        assert outs[0].shape == (H, W, 4)
+    finally:
+        svc.shutdown()
