@@ -40,7 +40,7 @@ def _leaf_spec(a) -> dict:
 
 def export_artifact(filt, path: str, width: int, height: int,
                     options=None, params: dict | None = None,
-                    batch_sizes=()) -> None:
+                    batch_sizes=(), anim_frames: int | None = None) -> None:
     """Write a .mmxa artifact for `filt` at the given geometry.
 
     `params` supplies a VALUE for every param that should be a runtime
@@ -57,6 +57,12 @@ def export_artifact(filt, path: str, width: int, height: int,
     artifact then offers `render_batch`; requests pad up to the next
     exported size, so (4, 16) covers any batch <= 16 with at most 3
     programs.
+
+    `anim_frames=F` additionally exports the whole-t-sweep program
+    (render_animation's lax.map over F frames in one dispatch; the frame
+    count is part of the compiled program). The loaded artifact then
+    offers `render_animation()` -> (F, H, W, 4), with the t spacing
+    (periodic or not) fixed by the export-time options.
     """
     import jax
 
@@ -115,6 +121,16 @@ def export_artifact(filt, path: str, width: int, height: int,
         # ride a lax.map; grids amortize in-trace across the batch)
         batch_blobs.append(jax.export.export(renderer._jitted_jobs_pp)(
             ins_b, uv_b, kinds, vec, vec).serialize())
+    anim_blob = None
+    if anim_frames is not None:
+        fn = int(anim_frames)
+        # the frame count (and num_frames internal) is part of the traced
+        # program — the animation renderer is built with num_frames=F,
+        # exactly like api.render_animation's live path
+        anim_renderer = filt._renderer(width, height, opts, fn)
+        tspec = jax.ShapeDtypeStruct((fn,), jnp.float32)
+        anim_blob = jax.export.export(anim_renderer._jitted_frames)(
+            ins_spec, uv_spec, kinds, tspec, scal).serialize()
     manifest = {
         "filter": filt.name,
         "width": width, "height": height,
@@ -136,6 +152,8 @@ def export_artifact(filt, path: str, width: int, height: int,
         # its trailing runtime argument
         "has_grids": grids_blob is not None,
         "batch_sizes": [int(n) for n in batch_sizes],
+        "anim_frames": int(anim_frames) if anim_frames else None,
+        "periodic": bool(opts.periodic),
     }
     blob = exp.serialize()
     head = json.dumps(manifest).encode()
@@ -146,12 +164,12 @@ def export_artifact(filt, path: str, width: int, height: int,
         if grids_blob is not None:
             f.write(struct.pack("<Q", len(grids_blob)))
             f.write(grids_blob)
-        if batch_blobs:
-            # batched layout: every remaining blob is u64-length-prefixed
-            # (main first, then one per batch size, manifest order)
-            f.write(struct.pack("<Q", len(blob)))
-            f.write(blob)
-            for b in batch_blobs:
+        if batch_blobs or anim_blob is not None:
+            # multi-program layout: every remaining blob is u64-length-
+            # prefixed (main, then one per batch size, then the animation
+            # program — manifest order)
+            for b in [blob] + batch_blobs + (
+                    [anim_blob] if anim_blob is not None else []):
                 f.write(struct.pack("<Q", len(b)))
                 f.write(b)
         else:
@@ -168,7 +186,7 @@ class LoadedArtifact:
     as at export)."""
 
     def __init__(self, manifest: dict, exported, grids_exported=None,
-                 batch_exported=None):
+                 batch_exported=None, anim_exported=None):
         self.manifest = manifest
         self._exp = exported
         self._exp_grids = grids_exported
@@ -176,6 +194,7 @@ class LoadedArtifact:
         #: batch size -> exported N-job program (render_batch analog)
         self._exp_batch = dict(zip(manifest.get("batch_sizes", []),
                                    batch_exported or []))
+        self._exp_anim = anim_exported
 
     @property
     def batch_sizes(self) -> tuple:
@@ -257,6 +276,32 @@ class LoadedArtifact:
         else:
             out = self._exp.call(ins, uv, np.float32(t), np.float32(frame))
         return np.asarray(out)
+
+    def render_animation(self, *inputs, params: dict | None = None):
+        """Whole t-sweep in one dispatch -> (F, H, W, 4); F and the t
+        spacing (periodic or not) were fixed at export (anim_frames)."""
+        m = self.manifest
+        if self._exp_anim is None:
+            raise ValueError(
+                "artifact has no animation program; export with "
+                "anim_frames=F to enable render_animation")
+        if len(inputs) != m["n_inputs"]:
+            raise ValueError(
+                f"artifact expects {m['n_inputs']} input image(s), got "
+                f"{len(inputs)}")
+        ins = [np.asarray(a, dtype=np.float32) / 255.0
+               if np.asarray(a).dtype == np.uint8
+               else np.asarray(a, dtype=np.float32) for a in inputs]
+        for a in ins:
+            if a.shape != (m["height"], m["width"], 4):
+                raise ValueError(
+                    f"artifact inputs must be ({m['height']}, "
+                    f"{m['width']}, 4); got {a.shape}")
+        fn = int(m["anim_frames"])
+        denom = fn if m.get("periodic") else max(fn - 1, 1)
+        ts = np.arange(fn, dtype=np.float32) / denom
+        uv = self._build_uv(params or {})
+        return np.asarray(self._exp_anim.call(ins, uv, ts, np.float32(0.0)))
 
     def render_batch(self, *input_stacks, params, ts, frames=None):
         """N independent jobs in one device dispatch -> (N, H, W, 4).
@@ -350,8 +395,10 @@ def load_artifact(path: str) -> LoadedArtifact:
                 raise ValueError(f"{path}: truncated artifact")
             grids_exp = jexport.deserialize(graw)
         batch_exps = []
-        if manifest.get("batch_sizes"):
-            # batched layout: u64-prefixed main blob, then one per size
+        anim_exp = None
+        if manifest.get("batch_sizes") or manifest.get("anim_frames"):
+            # multi-program layout: u64-prefixed main blob, then one per
+            # batch size, then the animation program (manifest order)
             def read_blob():
                 head = f.read(8)
                 if len(head) < 8:
@@ -364,8 +411,10 @@ def load_artifact(path: str) -> LoadedArtifact:
 
             blob = read_blob()
             batch_exps = [jexport.deserialize(read_blob())
-                          for _ in manifest["batch_sizes"]]
+                          for _ in manifest.get("batch_sizes", [])]
+            if manifest.get("anim_frames"):
+                anim_exp = jexport.deserialize(read_blob())
         else:
             blob = f.read()
     return LoadedArtifact(manifest, jexport.deserialize(blob), grids_exp,
-                          batch_exps)
+                          batch_exps, anim_exp)

@@ -250,6 +250,29 @@ class RenderService:
             raise job.error
         return job.result
 
+    def animate_artifact(self, name: str, inputs,
+                         params: dict | None = None,
+                         timeout: float | None = 600.0) -> np.ndarray:
+        """Run a loaded artifact's exported animation program (one
+        whole-sweep dispatch; F fixed at export). Never grouped."""
+        art = self.artifacts.get(name)
+        if art is None:
+            raise ValueError(
+                f"unknown artifact {name!r}; loaded: "
+                f"{sorted(self.artifacts)}")
+        job = _Job(sig=("art-anim", id(art), object()), filt=None,
+                   inputs=list(inputs), t=0.0, params=params or {},
+                   width=art.manifest["width"],
+                   height=art.manifest["height"], options=RenderOptions(),
+                   artifact=art,
+                   num_frames=int(art.manifest.get("anim_frames") or 0))
+        self._q.put(job)
+        if not job.done.wait(timeout):
+            raise TimeoutError("animation timed out")
+        if job.error is not None:
+            raise job.error
+        return job.result
+
     def warmup(self, spec, width: int, height: int,
                options: RenderOptions | None = None,
                params: dict | None = None, batch_sizes=(1,)):
@@ -445,6 +468,10 @@ class RenderService:
             return (a.astype(np.float32) / 255.0 if a.dtype == np.uint8
                     else np.asarray(a, np.float32))
 
+        if group[0].num_frames is not None:
+            (g,) = group  # animation sigs are unique — never grouped
+            g.result = art.render_animation(*g.inputs, params=g.params)
+            return
         if len(group) == 1 or not art.batch_sizes:
             for g in group:
                 g.result = art.render(*g.inputs, params=g.params, t=g.t,
@@ -582,14 +609,21 @@ def make_handler(service: RenderService):
                     return self._json(200, {"ok": True, "filter": filt.name})
                 if self.path == "/animate":
                     inputs = [_decode_input(b) for b in req.get("inputs", [])]
-                    w = int(req.get("width") or
-                            (inputs[0].shape[-2] if inputs else 256))
-                    h = int(req.get("height") or
-                            (inputs[0].shape[-3] if inputs else 256))
-                    frames = service.animate_sync(
-                        req["filter"], inputs, w, h,
-                        num_frames=int(req.get("num_frames", 8)),
-                        params=req.get("params"), options=_opts_from(req))
+                    if "artifact" in req:
+                        # exported whole-sweep program: F fixed at export
+                        frames = service.animate_artifact(
+                            req["artifact"], inputs,
+                            params=req.get("params"))
+                    else:
+                        w = int(req.get("width") or
+                                (inputs[0].shape[-2] if inputs else 256))
+                        h = int(req.get("height") or
+                                (inputs[0].shape[-3] if inputs else 256))
+                        frames = service.animate_sync(
+                            req["filter"], inputs, w, h,
+                            num_frames=int(req.get("num_frames", 8)),
+                            params=req.get("params"),
+                            options=_opts_from(req))
                     from .imgio.images import to_uint8
 
                     if req.get("format") == "raw":

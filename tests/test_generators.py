@@ -236,3 +236,47 @@ def test_artifact_render_batch_parity(tmp_path):
     with pytest.raises(ValueError, match="no batched programs"):
         load_artifact(str(tmp_path / "nb.mmxa")).render_batch(
             stack, params=plist, ts=ts)
+
+
+def test_artifact_render_animation_parity(tmp_path):
+    """anim_frames exports the whole-sweep program; the loaded artifact's
+    render_animation matches the live one bitwise (t spacing + frame
+    internal + num_frames internal fixed at export)."""
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = mm.compile(
+        "filter an (image in, float k: 0-9 (2)) "
+        "in(xy + xy:[k * sin(t * 2 * pi + y / 10), 0]) * "
+        "grayColor(frame / 4 + 0.5) end")
+    path = tmp_path / "an.mmxa"
+    export_artifact(f, str(path), 48, 32, params={"k": 2.0},
+                    anim_frames=4)
+    art = load_artifact(str(path))
+    img = np.random.RandomState(6).rand(32, 48, 4).astype(np.float32)
+    got = art.render_animation(img, params={"k": 3.0})
+    want = np.asarray(f.render_animation(img, num_frames=4, width=48,
+                                         height=32, params={"k": 3.0}))
+    assert got.shape == (4, 32, 48, 4)
+    np.testing.assert_array_equal(got, want)
+    # u8 input normalizes; periodic flag honored (different t spacing)
+    u8 = (img * 255).round().astype(np.uint8)
+    np.testing.assert_array_equal(
+        art.render_animation(u8, params={"k": 3.0}),
+        art.render_animation(u8.astype(np.float32) / 255.0,
+                             params={"k": 3.0}))
+    # periodic defaults True; a non-periodic export uses t=frame/(N-1)
+    per = tmp_path / "an_per.mmxa"
+    export_artifact(f, str(per), 48, 32, params={"k": 2.0}, anim_frames=4,
+                    options=mm.RenderOptions(periodic=False))
+    gp = load_artifact(str(per)).render_animation(img, params={"k": 3.0})
+    wp = np.asarray(f.render_animation(
+        img, num_frames=4, width=48, height=32, params={"k": 3.0},
+        options=mm.RenderOptions(periodic=False)))
+    np.testing.assert_array_equal(gp, wp)
+    assert not np.array_equal(gp, got)
+    # an artifact without the animation program refuses
+    export_artifact(f, str(tmp_path / "na.mmxa"), 48, 32,
+                    params={"k": 2.0})
+    with pytest.raises(ValueError, match="no animation program"):
+        load_artifact(str(tmp_path / "na.mmxa")).render_animation(
+            img, params={"k": 3.0})

@@ -529,3 +529,43 @@ def test_artifact_without_batch_programs_singletons(tmp_path_factory):
         assert outs[0].shape == (H, W, 4)
     finally:
         svc.shutdown()
+
+
+def test_artifact_animate_http(tmp_path_factory):
+    """/animate with {"artifact": name} runs the exported whole-sweep
+    program and returns a GIF (or raw frames)."""
+    from mathmap_tpu.generators.artifact import export_artifact
+
+    d = tmp_path_factory.mktemp("arts_anim")
+    f = mm.compile("filter g () grayColor(t) end")
+    export_artifact(f, str(d / "g.mmxa"), W, H, anim_frames=3)
+    svc = RenderService(max_batch=8, window_ms=30.0)
+    try:
+        svc.load_artifacts(str(d))
+        from http.server import ThreadingHTTPServer
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+        th = threading.Thread(target=httpd.serve_forever, daemon=True)
+        th.start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            code, body = _post(base, "/animate", {
+                "artifact": "g", "format": "raw"})
+            assert code == 200, body
+            arr = np.frombuffer(base64.b64decode(body["data"]),
+                                np.dtype(body["dtype"])
+                                ).reshape(body["shape"])
+            assert arr.shape == (3, H, W, 4)
+            # t sweeps 0 -> 2/3 (periodic default): frames brighten
+            assert arr[0, 0, 0, 0] < arr[2, 0, 0, 0]
+            code, data, hdr = _post_bytes(base, "/animate", {
+                "artifact": "g", "binary": True})
+            assert code == 200 and hdr["Content-Type"] == "image/gif"
+            assert data[:6] in (b"GIF87a", b"GIF89a")
+            # an artifact without the animation program -> 400
+            code, body = _post(base, "/render", {"artifact": "g"})
+            assert code == 200, body  # single-frame program still there
+        finally:
+            httpd.shutdown()
+    finally:
+        svc.shutdown()
