@@ -10,7 +10,9 @@ complementary to bench.py's device-side numbers.
 Run on TPU from the repo cwd:   python - < benchmarks/serve_load.py
 On CPU:                          MMTPU_PLATFORM=cpu python benchmarks/serve_load.py
 Options via env: LOAD_SIZE=512x512 LOAD_CLIENTS=16 LOAD_REQS=8
-                 LOAD_FILTER=twirl LOAD_FORMAT=raw|png
+                 LOAD_FILTER=twirl LOAD_FORMAT=raw|png LOAD_BINARY=1
+                 (binary: direct image/png / octet-stream responses —
+                 no base64/JSON on the response path)
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ def main():
     n_reqs = int(os.environ.get("LOAD_REQS", "8"))
     filt_name = os.environ.get("LOAD_FILTER", "twirl")
     fmt = os.environ.get("LOAD_FORMAT", "raw")
+    binary = os.environ.get("LOAD_BINARY", "0") == "1"
 
     from mathmap_tpu.serve import RenderService, serve
 
@@ -97,11 +100,19 @@ def main():
         for k in range(n_reqs):
             t1 = time.perf_counter()
             try:
-                post("/render", {
-                    "filter": filt_name, "width": w, "height": h,
-                    "t": 0.01 * (ci * n_reqs + k),
-                    "params": {"angle": 1.0 + 0.1 * ci},
-                    "inputs": [img_b64], "format": fmt})
+                body = {"filter": filt_name, "width": w, "height": h,
+                        "t": 0.01 * (ci * n_reqs + k),
+                        "params": {"angle": 1.0 + 0.1 * ci},
+                        "inputs": [img_b64], "format": fmt}
+                if binary:
+                    body["binary"] = True
+                    req = urllib.request.Request(
+                        base + "/render", json.dumps(body).encode(),
+                        headers={"Content-Type": "application/json"})
+                    with urllib.request.urlopen(req, timeout=900) as r:
+                        r.read()  # raw bytes — no JSON/base64 decode
+                else:
+                    post("/render", body)
             except Exception as e:  # noqa: BLE001
                 with lock:
                     errors.append(str(e))
@@ -123,6 +134,7 @@ def main():
     stats = svc.snapshot()
     out = {
         "filter": filt_name, "size": f"{w}x{h}", "format": fmt,
+        "binary": binary,
         "clients": n_clients, "requests_ok": n_ok, "errors": len(errors),
         "wall_s": round(wall, 2),
         "req_per_s": round(n_ok / wall, 1),

@@ -10,6 +10,12 @@ Usage:
         --size 512x512 --frames 1 --interpolation bilinear \
         --edge-x color --edge-y color --supersample \
         --param name=value --interpret --profile DIR --verbose
+
+AOT artifacts (generators/artifact.py):
+    python -m mathmap_tpu twirl --export-artifact tw.mmxa \
+        --size 512x512 --param angle=3          # compile + serialize
+    python -m mathmap_tpu tw.mmxa in.png out.png --param angle=5
+                                                # render, no compiler
 """
 
 from __future__ import annotations
@@ -109,6 +115,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "directory")
     p.add_argument("--batch-size", type=int, default=16,
                    help="images per device dispatch in --input-dir mode")
+    p.add_argument("--export-artifact", default=None, metavar="FILE.mmxa",
+                   help="compile + serialize the filter as an AOT artifact "
+                        "at --size geometry instead of rendering (--param "
+                        "names become the artifact's runtime inputs; "
+                        "--frames N also ships the N-frame animation "
+                        "program). Render one with: mathmap_tpu FILE.mmxa "
+                        "in.png out.png")
+    p.add_argument("--artifact-batch-sizes", default="", metavar="N[,N...]",
+                   help="with --export-artifact: also ship the batched "
+                        "render_batch programs at these sizes")
     p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
     p.add_argument("--stats", action="store_true", help="print one JSON line of render statistics")
     p.add_argument("--verbose", "-v", action="store_true", help="print per-phase timing and render stats")
@@ -267,6 +283,54 @@ def _run_batch_dir(args, filt, out_dir, width, height, opts, params, log):
     return done
 
 
+def _run_artifact(args, input_paths, out_path, verbose, log) -> int:
+    """Render from a precompiled .mmxa (no parser/tracer/compile): single
+    frame by default; --frames matching the exported animation program
+    runs the whole-sweep dispatch (GIF out or a frame sequence)."""
+    from .generators.artifact import load_artifact
+
+    t0 = time.perf_counter()
+    try:
+        art = load_artifact(args.expression)
+    except ValueError as exc:
+        print(exc, file=sys.stderr)
+        return 1
+    m = art.manifest
+    log(f"loaded {args.expression}: filter {m['filter']!r} "
+        f"{m['width']}x{m['height']}, params {sorted(m['params'])}, "
+        f"load {time.perf_counter() - t0:.3f}s")
+    inputs = [read_image(p) for p in input_paths]
+    params = _parse_params(args.param)
+    try:
+        t1 = time.perf_counter()
+        if args.frames > 1:
+            if m.get("anim_frames") != args.frames:
+                raise SystemExit(
+                    f"artifact has {'no' if not m.get('anim_frames') else m['anim_frames']}-frame "
+                    f"animation program; re-export with --frames "
+                    f"{args.frames} (got --frames {args.frames})")
+            frames = art.render_animation(*inputs, params=params)
+            if out_path.lower().endswith(".gif"):
+                from .imgio.images import write_animation
+
+                write_animation(out_path, frames, fps=args.fps)
+            else:
+                for i, fr in enumerate(frames):
+                    write_image(_frame_path(out_path, i, len(frames)), fr)
+            n = len(frames)
+        else:
+            out = art.render(*inputs, params=params, t=args.t)
+            write_image(out_path, out)
+            n = 1
+        dt = time.perf_counter() - t1
+        log(f"render: {dt:.3f}s  {n} frame(s)  "
+            f"{n * m['width'] * m['height'] / max(dt, 1e-9) / 1e6:.2f} Mpix/s")
+    except ValueError as exc:
+        print(exc, file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     # MMTPU_PLATFORM=cpu forces the JAX backend (the axon sitecustomize
     # pre-imports jax, so JAX_PLATFORMS alone is too late in this image).
@@ -319,9 +383,15 @@ def main(argv=None) -> int:
         raise SystemExit("missing expression (or use --list / --chain)")
     if args.chain is not None and args.expression is not None:
         args.images.insert(0, args.expression)  # expression slot was an image
-    if not args.images:
+    if not args.images and not args.export_artifact:
         raise SystemExit("missing output image path")
-    *input_paths, out_path = args.images
+    if args.export_artifact:
+        input_paths, out_path = args.images, None
+    else:
+        *input_paths, out_path = args.images
+
+    if args.expression and args.expression.endswith(".mmxa"):
+        return _run_artifact(args, input_paths, out_path, verbose, log)
 
     t0 = time.perf_counter()
     try:
@@ -385,6 +455,26 @@ def main(argv=None) -> int:
                             if n.strip()),
     )
     params = _parse_params(args.param)
+
+    if args.export_artifact:
+        from .generators.artifact import export_artifact
+
+        w = width or (inputs[0].shape[-2] if inputs else 512)
+        h = height or (inputs[0].shape[-3] if inputs else 512)
+        bs = tuple(int(x) for x in args.artifact_batch_sizes.split(",")
+                   if x.strip())
+        try:
+            export_artifact(
+                filt, args.export_artifact, int(w), int(h), options=opts,
+                params=params, batch_sizes=bs,
+                anim_frames=args.frames if args.frames > 1 else None)
+        except MMError as exc:
+            print(exc.format(), file=sys.stderr)
+            return 1
+        log(f"exported {args.export_artifact}: {int(w)}x{int(h)}, "
+            f"params {sorted(params)}, batch_sizes {list(bs)}, "
+            f"anim_frames {args.frames if args.frames > 1 else None}")
+        return 0
 
     profile_ctx = None
     if args.profile:

@@ -278,3 +278,39 @@ def test_cli_selftest_runs_clean():
     from mathmap_tpu.cli import main as cli_main
 
     assert cli_main(["--selftest", "--size", "64x64"]) == 0
+
+
+def test_export_and_render_artifact(input_png, tmp_path):
+    """--export-artifact writes a .mmxa; rendering from it (no compiler
+    path) matches the live CLI render bitwise at uint8."""
+    art = tmp_path / "tw.mmxa"
+    proc = run_cli("filters/Distorts/twirl.mm", "--export-artifact",
+                   str(art), "--size", "24x20", "--param", "angle=3")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert art.exists()
+    out_a = tmp_path / "a.png"
+    out_l = tmp_path / "l.png"
+    proc = run_cli(str(art), input_png, str(out_a), "--param", "angle=5")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(out_l),
+                   "--size", "24x20", "--param", "angle=5")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    np.testing.assert_array_equal(mm.read_image(str(out_a)),
+                                  mm.read_image(str(out_l)))
+
+
+def test_artifact_animation_cli(tmp_path):
+    art = tmp_path / "g.mmxa"
+    proc = run_cli("filter g () grayColor(t) end", "--export-artifact",
+                   str(art), "--size", "16x12", "--frames", "3")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    gif = tmp_path / "g.gif"
+    proc = run_cli(str(art), str(gif), "--frames", "3")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    from PIL import Image
+
+    assert Image.open(str(gif)).n_frames == 3
+    # a frame-count mismatch is a clear error, not a wrong render
+    proc = run_cli(str(art), str(tmp_path / "x.gif"), "--frames", "5")
+    assert proc.returncode != 0
+    assert "re-export" in proc.stderr
