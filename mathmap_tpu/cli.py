@@ -292,7 +292,7 @@ def _run_artifact(args, input_paths, out_path, verbose, log) -> int:
     t0 = time.perf_counter()
     try:
         art = load_artifact(args.expression)
-    except ValueError as exc:
+    except (ValueError, OSError) as exc:
         print(exc, file=sys.stderr)
         return 1
     m = art.manifest
@@ -391,6 +391,10 @@ def main(argv=None) -> int:
         *input_paths, out_path = args.images
 
     if args.expression and args.expression.endswith(".mmxa"):
+        if args.export_artifact:
+            raise SystemExit(
+                "cannot --export-artifact from a .mmxa (artifacts carry "
+                "no filter source); export from the .mm source instead")
         return _run_artifact(args, input_paths, out_path, verbose, log)
 
     t0 = time.perf_counter()

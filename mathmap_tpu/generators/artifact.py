@@ -124,6 +124,8 @@ def export_artifact(filt, path: str, width: int, height: int,
     anim_blob = None
     if anim_frames is not None:
         fn = int(anim_frames)
+        if fn < 1:
+            raise ValueError(f"anim_frames must be >= 1, got {anim_frames}")
         # the frame count (and num_frames internal) is part of the traced
         # program — the animation renderer is built with num_frames=F,
         # exactly like api.render_animation's live path
@@ -152,7 +154,7 @@ def export_artifact(filt, path: str, width: int, height: int,
         # its trailing runtime argument
         "has_grids": grids_blob is not None,
         "batch_sizes": [int(n) for n in batch_sizes],
-        "anim_frames": int(anim_frames) if anim_frames else None,
+        "anim_frames": int(anim_frames) if anim_frames is not None else None,
         "periodic": bool(opts.periodic),
     }
     blob = exp.serialize()
@@ -330,8 +332,12 @@ class LoadedArtifact:
         ins = []
         for a in input_stacks:
             arr = np.asarray(a)
+            # np.asarray form: no copy when the stack is already float32
+            # (the serving layer pre-normalizes — a 16x512² f32 stack is
+            # 64 MB; astype would memcpy it again)
             arr = (arr.astype(np.float32) / 255.0
-                   if arr.dtype == np.uint8 else arr.astype(np.float32))
+                   if arr.dtype == np.uint8
+                   else np.asarray(arr, dtype=np.float32))
             if arr.shape != (n, m["height"], m["width"], 4):
                 raise ValueError(
                     f"input stacks must be ({n}, {m['height']}, "

@@ -128,6 +128,10 @@ class _Job:
     #: through the artifact's exported batch programs when it has them
     artifact: Any = None
     frame: float = 0.0
+    #: unique-sig jobs (animations, batchless artifacts) dispatch the
+    #: moment the dispatcher sees them — a batching window would add
+    #: latency with zero chance of a companion
+    solo: bool = False
 
 
 class RenderService:
@@ -145,6 +149,7 @@ class RenderService:
 
         self.db = db if db is not None else default_db()
         self.artifacts: dict = {}    # name -> LoadedArtifact (.mmxa)
+        self._artifact_paths: dict = {}  # name -> abspath it was loaded from
         self.max_batch = int(max_batch)
         self.window_ms = float(window_ms)
         #: the dtype every job renders at. 'uint8' (default): results are
@@ -218,10 +223,22 @@ class RenderService:
         names = []
         for f in files:
             art = load_artifact(f)
+            src = os.path.abspath(f)
             name = art.manifest.get("filter") or os.path.basename(f)
-            if name in self.artifacts:
+            if (name in self.artifacts
+                    and self._artifact_paths.get(name) != src):
                 name = os.path.splitext(os.path.basename(f))[0]
+            if (name in self.artifacts
+                    and self._artifact_paths.get(name) != src):
+                # two DIFFERENT files claiming the same name — refusing is
+                # the only honest option (silent overwrite would reroute
+                # clients to a different program); same-path reloads above
+                # replace in place
+                raise ValueError(
+                    f"artifact name {name!r} already serves "
+                    f"{self._artifact_paths[name]}; rename {f} to load it")
             self.artifacts[name] = art
+            self._artifact_paths[name] = src
             names.append(name)
         return names
 
@@ -237,12 +254,18 @@ class RenderService:
             raise ValueError(
                 f"unknown artifact {name!r}; loaded: "
                 f"{sorted(self.artifacts)}")
+        # validate against the manifest BEFORE enqueueing: jobs that group
+        # into one exported-batch dispatch must never be able to poison
+        # their companions (a bad stack shape or param LUT inside
+        # _dispatch_artifact would fail EVERY coalesced request)
+        self._check_artifact_request(art, inputs, params)
         sig = (("art", id(art)) if art.batch_sizes
                else ("art", id(art), object()))
         job = _Job(sig=sig, filt=None, inputs=list(inputs), t=float(t),
                    params=params or {}, width=art.manifest["width"],
                    height=art.manifest["height"], options=RenderOptions(),
-                   artifact=art, frame=float(frame))
+                   artifact=art, frame=float(frame),
+                   solo=not art.batch_sizes)
         self._q.put(job)
         if not job.done.wait(timeout):
             raise TimeoutError("render timed out")
@@ -250,21 +273,52 @@ class RenderService:
             raise job.error
         return job.result
 
+    @staticmethod
+    def _check_artifact_request(art, inputs, params):
+        """Raise the artifact's own ValueErrors for bad inputs/params
+        WITHOUT dispatching (shape checks + _build_uv validation)."""
+        m = art.manifest
+        if len(inputs) != m["n_inputs"]:
+            raise ValueError(
+                f"artifact expects {m['n_inputs']} input image(s), got "
+                f"{len(inputs)}")
+        for a in inputs:
+            if np.asarray(a).shape != (m["height"], m["width"], 4):
+                raise ValueError(
+                    f"artifact inputs must be ({m['height']}, "
+                    f"{m['width']}, 4); got {np.asarray(a).shape}")
+        art._build_uv(params or {})
+
     def animate_artifact(self, name: str, inputs,
                          params: dict | None = None,
+                         num_frames: int | None = None,
                          timeout: float | None = 600.0) -> np.ndarray:
         """Run a loaded artifact's exported animation program (one
-        whole-sweep dispatch; F fixed at export). Never grouped."""
+        whole-sweep dispatch; F fixed at export — a conflicting
+        `num_frames` request is an error, not a silent reinterpretation).
+        Never grouped."""
         art = self.artifacts.get(name)
         if art is None:
             raise ValueError(
                 f"unknown artifact {name!r}; loaded: "
                 f"{sorted(self.artifacts)}")
+        exported = art.manifest.get("anim_frames")
+        if num_frames is not None and num_frames != exported:
+            raise ValueError(
+                f"artifact animation has "
+                f"{exported or 'no'} frames (fixed at export); requested "
+                f"num_frames={num_frames} — re-export with anim_frames="
+                f"{num_frames} or drop the field")
+        if not exported:
+            raise ValueError(
+                "artifact has no animation program; export with "
+                "anim_frames=F to enable render_animation")
+        self._check_artifact_request(art, inputs, params)
         job = _Job(sig=("art-anim", id(art), object()), filt=None,
                    inputs=list(inputs), t=0.0, params=params or {},
                    width=art.manifest["width"],
                    height=art.manifest["height"], options=RenderOptions(),
-                   artifact=art,
+                   artifact=art, solo=True,
                    num_frames=int(art.manifest.get("anim_frames") or 0))
         self._q.put(job)
         if not job.done.wait(timeout):
@@ -334,7 +388,8 @@ class RenderService:
                object() if (animated or num_frames is not None) else None)
         job = _Job(sig=sig, filt=filt, inputs=list(inputs), t=float(t),
                    params=params, width=width, height=height,
-                   options=options, num_frames=num_frames)
+                   options=options, num_frames=num_frames,
+                   solo=animated or num_frames is not None)
         self._q.put(job)
         return job
 
@@ -382,6 +437,14 @@ class RenderService:
                     pending.setdefault(j.sig, []).append(j)
             except queue.Empty:
                 pass
+            if not pending:
+                continue
+            # unique-sig jobs gain nothing from the gathering window —
+            # dispatch them immediately, oldest first
+            solos = sorted((s for s, g in pending.items() if g[0].solo),
+                           key=lambda s: pending[s][0].enqueued)
+            for s in solos:
+                self._dispatch(pending.pop(s))
             if not pending:
                 continue
             sig, group = min(pending.items(),
@@ -610,10 +673,13 @@ def make_handler(service: RenderService):
                 if self.path == "/animate":
                     inputs = [_decode_input(b) for b in req.get("inputs", [])]
                     if "artifact" in req:
-                        # exported whole-sweep program: F fixed at export
+                        # exported whole-sweep program: F fixed at export;
+                        # a conflicting num_frames request is a 400
+                        nf = req.get("num_frames")
                         frames = service.animate_artifact(
                             req["artifact"], inputs,
-                            params=req.get("params"))
+                            params=req.get("params"),
+                            num_frames=None if nf is None else int(nf))
                     else:
                         w = int(req.get("width") or
                                 (inputs[0].shape[-2] if inputs else 256))

@@ -314,3 +314,16 @@ def test_artifact_animation_cli(tmp_path):
     proc = run_cli(str(art), str(tmp_path / "x.gif"), "--frames", "5")
     assert proc.returncode != 0
     assert "re-export" in proc.stderr
+
+
+def test_artifact_cli_error_paths(tmp_path):
+    """Missing .mmxa and export-from-artifact produce clean one-line
+    errors, not tracebacks (review r3)."""
+    proc = run_cli(str(tmp_path / "typo.mmxa"), "out.png")
+    assert proc.returncode == 1
+    assert "Traceback" not in proc.stderr
+    proc = run_cli(str(tmp_path / "typo.mmxa"), "--export-artifact",
+                   str(tmp_path / "new.mmxa"))
+    assert proc.returncode != 0
+    assert "Traceback" not in proc.stderr
+    assert "cannot --export-artifact" in proc.stderr

@@ -562,10 +562,93 @@ def test_artifact_animate_http(tmp_path_factory):
                 "artifact": "g", "binary": True})
             assert code == 200 and hdr["Content-Type"] == "image/gif"
             assert data[:6] in (b"GIF87a", b"GIF89a")
-            # an artifact without the animation program -> 400
+            # conflicting num_frames -> 400 (F is fixed at export)
+            code, body = _post(base, "/animate", {
+                "artifact": "g", "num_frames": 8})
+            assert code == 400 and "re-export" in body["error"]
+            code, body = _post(base, "/animate", {
+                "artifact": "g", "num_frames": 3, "format": "raw"})
+            assert code == 200, body  # matching num_frames is fine
+            # the single-frame program still serves /render
             code, body = _post(base, "/render", {"artifact": "g"})
-            assert code == 200, body  # single-frame program still there
+            assert code == 200, body
         finally:
             httpd.shutdown()
     finally:
         svc.shutdown()
+
+
+def test_artifact_bad_request_cannot_poison_batch(tmp_path_factory):
+    """Requests are validated against the manifest BEFORE enqueueing:
+    a malformed request (wrong shape / missing inputs / bad params)
+    raises its own 400 and never joins — or fails — a batch group."""
+    from mathmap_tpu.generators.artifact import export_artifact
+
+    d = tmp_path_factory.mktemp("arts_poison")
+    f = mm.compile(
+        "filter sc (image in, float gain: 0-2 (1)) in(xy) * gain end")
+    export_artifact(f, str(d / "sc.mmxa"), W, H, params={"gain": 1.0},
+                    batch_sizes=(2,))
+    svc = RenderService(max_batch=8, window_ms=40.0)
+    try:
+        svc.load_artifacts(str(d))
+        good = [None]
+        bad_errors = []
+
+        def good_client():
+            good[0] = svc.render_artifact(
+                "sc", [_img(0)], params={"gain": 1.0})
+
+        def bad_client(inputs, params):
+            try:
+                svc.render_artifact("sc", inputs, params=params)
+            except ValueError as e:
+                bad_errors.append(str(e))
+
+        ths = [threading.Thread(target=good_client),
+               threading.Thread(target=bad_client,
+                                args=([np.zeros((4, 4, 4), np.float32)],
+                                      {"gain": 1.0})),
+               threading.Thread(target=bad_client, args=([], {"gain": 1.0})),
+               threading.Thread(target=bad_client,
+                                args=([_img(1)], {"nope": 2.0}))]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join(120)
+        assert len(bad_errors) == 3, bad_errors
+        assert good[0] is not None and good[0].shape == (H, W, 4)
+        # the malformed requests never became jobs
+        assert svc.snapshot()["jobs"] == 1
+    finally:
+        svc.shutdown()
+
+
+def test_artifact_name_collision_and_reload(tmp_path_factory):
+    """Reloading the same file replaces in place; a DIFFERENT file
+    claiming a taken name (and stem) raises instead of silently
+    rerouting clients."""
+    from mathmap_tpu.generators.artifact import export_artifact
+
+    d1 = tmp_path_factory.mktemp("arts_c1")
+    d2 = tmp_path_factory.mktemp("arts_c2")
+    f = mm.compile("filter g () grayColor(x / W + 0.5) end")
+    export_artifact(f, str(d1 / "g.mmxa"), W, H)
+    export_artifact(f, str(d2 / "g.mmxa"), W, H)
+    svc = RenderService(max_batch=4, window_ms=10.0)
+    try:
+        assert svc.load_artifacts(str(d1)) == ["g"]
+        assert svc.load_artifacts(str(d1)) == ["g"]  # same-path reload ok
+        with pytest.raises(ValueError, match="already serves"):
+            svc.load_artifacts(str(d2))
+    finally:
+        svc.shutdown()
+
+
+def test_export_anim_frames_zero_rejected(tmp_path_factory):
+    from mathmap_tpu.generators.artifact import export_artifact
+
+    f = mm.compile("filter g () grayColor(t) end")
+    d = tmp_path_factory.mktemp("arts_zero")
+    with pytest.raises(ValueError, match="anim_frames must be >= 1"):
+        export_artifact(f, str(d / "z.mmxa"), W, H, anim_frames=0)
