@@ -202,6 +202,37 @@ def main():
               f"{e}", flush=True)
         results.append(("tiled-1dev/animated-frame", False))
 
+    # --- AOT artifact (export -> load -> render, incl. the batched
+    # program): must be BIT-identical to the live renderer on hardware
+    # (generators/artifact.py's headline claim) ---
+    try:
+        import tempfile
+
+        from mathmap_tpu.generators.artifact import (export_artifact,
+                                                     load_artifact)
+
+        src = ("filter tw (image in, float angle: -10-10 (3)) "
+               "in(toXY(ra:[r, a + angle * (1 - r / R) ^ 2])) end")
+        f = mm.compile(src)
+        p = tempfile.mktemp(suffix=".mmxa")
+        export_artifact(f, p, SIZE, SIZE, params={"angle": 3.0},
+                        batch_sizes=(2,))
+        art = load_artifact(p)
+        got = art.render(img, params={"angle": 2.5}, t=0.1)
+        want = np.asarray(f.render(img, width=SIZE, height=SIZE, t=0.1,
+                                   params={"angle": 2.5}))
+        check("artifact/single", got, want, "exact")
+        stack = np.stack([img, img[::-1]])
+        plist = [{"angle": 1.0}, {"angle": 4.0}]
+        gb = art.render_batch(stack, params=plist, ts=[0.0, 0.3])
+        wb = np.asarray(f.render_batch(stack, ts=np.asarray([0.0, 0.3]),
+                                       width=SIZE, height=SIZE,
+                                       params=plist))
+        check("artifact/batch-2", gb, wb, "exact")
+    except Exception as e:
+        print(f"artifact: EXCEPTION {type(e).__name__}: {e}", flush=True)
+        results.append(("artifact", False))
+
     n_fail = sum(1 for _, ok in results if not ok)
     print(f"== {len(results)} configs, {n_fail} failures ==", flush=True)
     return 1 if n_fail else 0
