@@ -84,21 +84,67 @@ def attach_best_recorded(d):
         d["best_recorded"] = best
 
 
+# numeric fields merged per-field (non-zero best wins); vs_baseline and
+# c_baseline_* travel WITH value (they are that run's ratio, not a
+# standalone best)
+_MERGE_MAX_FIELDS = ("sustained_ripple_mpix", "suite_batched_mpix",
+                     "loop_unroll_mpix", "pond_8k_mpix", "suite_f32_mpix")
+
+
+def merge_record(best: dict, d: dict) -> dict:
+    """Merge a new full-suite run into the stored best, per field.
+
+    Round-3 regression this replaces: a whole-record overwrite let a run
+    with a marginally higher headline but ZERO secondaries (budget
+    exhausted) erase every previously-recorded secondary (observed live:
+    507.73/all-zeros clobbered 503.45 with pond-8K 814.6 etc.). Policy:
+    - headline `value` takes the max; vs_baseline/c_baseline_mpix/
+      c_threads/relay_health_ms/health_gate follow whichever run won it
+      (they describe that measurement's conditions);
+    - every secondary in _MERGE_MAX_FIELDS takes the per-field non-zero
+      max — a skipped (0.0) phase can never erase a measured one.
+    """
+    if not best:
+        rec = dict(d)
+        rec["date"] = time.strftime("%Y-%m-%d")
+        return rec
+    if d.get("value", 0.0) > best.get("value", 0.0):
+        rec = dict(d)
+        rec["date"] = time.strftime("%Y-%m-%d")
+        rec["prev_value"] = best.get("value", 0.0)
+    else:
+        rec = dict(best)
+    for k in _MERGE_MAX_FIELDS:
+        prev, new = best.get(k, 0.0) or 0.0, d.get(k, 0.0) or 0.0
+        rec[k] = max(prev, new)
+    # bookkeeping fields describing skips apply to the merged record only
+    # if nothing was merged in from history
+    if any((best.get(k, 0.0) or 0.0) > 0.0 for k in _MERGE_MAX_FIELDS):
+        rec["skipped_phases"] = [
+            s for s in rec.get("skipped_phases", []) if rec.get(
+                {"loop_unroll": "loop_unroll_mpix",
+                 "pond_8k": "pond_8k_mpix",
+                 "sustained_ripple": "sustained_ripple_mpix",
+                 "suite_f32": "suite_f32_mpix",
+                 "suite_batched": "suite_batched_mpix"}.get(
+                     s.replace("(quick)", ""), ""), 0.0) == 0.0]
+        rec["budget_exhausted"] = bool(rec["skipped_phases"])
+    return rec
+
+
 def save_record(d):
-    """Persist a successful full-suite run if it beats the stored best."""
+    """Persist a full-suite run, merging per-field bests (never letting a
+    0.0/skipped field overwrite a previously measured one)."""
     try:
         try:
             with open(_records_path()) as f:
                 store = json.load(f)
         except Exception:
             store = {}
-        if d.get("value", 0.0) > store.get("best", {}).get("value", 0.0):
-            rec = dict(d)
-            rec["date"] = time.strftime("%Y-%m-%d")
-            store["best"] = rec
-            with open(_records_path(), "w") as f:
-                json.dump(store, f, indent=2)
-                f.write("\n")
+        store["best"] = merge_record(store.get("best") or {}, d)
+        with open(_records_path(), "w") as f:
+            json.dump(store, f, indent=2)
+            f.write("\n")
     except Exception as e:  # never let bookkeeping break the JSON contract
         sys.stderr.write(f"# records.json update failed: {e}\n")
 
@@ -211,15 +257,18 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
 
     # Health-gated measurement (VERDICT r2 item 7): when the relay probe
     # reads degraded (>~3x healthy), the suite numbers reflect the shared
-    # tunnel, not the code — retry up to 3 attempts, keep each filter's
-    # best, and record the healthiest window seen so the driver-recorded
-    # number stops underselling healthy-relay capability by 15-40%.
+    # tunnel, not the code. Protocol (VERDICT r3 item 2): ONE suite attempt
+    # for the headline, then EVERY secondary exactly once, and only THEN
+    # spend leftover budget on suite retries — a degraded window may cost
+    # the headline 10-15% but can no longer zero the secondaries (observed
+    # r3: retries at a 13-14 ms plateau starved all six secondary phases).
     HEALTHY_MS = 6.0
     renderers = [_build(path, w, h, opts)[1] for path in suite]
     best_dt = [float("inf")] * len(suite)
     health_ms = float("inf")
-    h_prev = None
-    for attempt in range(3):
+
+    def suite_attempt():
+        nonlocal health_ms
         h0 = relay_health()
         health_ms = min(health_ms, h0)
         partial["relay_health_ms"] = round(health_ms, 1)
@@ -232,37 +281,14 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
             partial["value"] = round(
                 float(np.mean([w * h / dt / 1e6 for dt in done])), 2)
             partial["suite_measured"] = f"{len(done)}/{len(suite)}"
-        if h0 <= HEALTHY_MS:
-            break
-        # retries may spend at most half the budget: the secondaries
-        # (sustained/batched/loop-unroll) are part of the recorded JSON and
-        # a run that burns the whole budget re-measuring a degraded suite
-        # records them as 0.0 (observed: a 108-ms relay spike on attempt 1
-        # consumed the budget and skipped every secondary)
-        if time.perf_counter() - t_start > args.budget_s * 0.5:
-            print("# retry budget exhausted — keeping best suite window",
-                  file=sys.stderr)
-            break
-        # STABLE degradation (two probes within 25%) means the relay is
-        # sitting at a plateau, not spiking — another attempt re-measures
-        # the same window and only starves the secondaries (observed:
-        # a 13-14 ms plateau ate the budget and zeroed every secondary)
-        if h_prev is not None and abs(h0 - h_prev) < 0.25 * h_prev:
-            print(f"# relay stable-degraded ({h_prev:.1f} -> {h0:.1f} ms) — "
-                  "retry would re-measure the same window; moving on",
-                  file=sys.stderr)
-            break
-        h_prev = h0
-        print(f"# relay degraded ({h0:.1f} ms) on attempt {attempt + 1} — "
-              f"{'retrying' if attempt < 2 else 'giving up'}", file=sys.stderr)
+        return h0
 
-    tpu_mpix = []
-    for path, dt in zip(suite, best_dt):
-        mpix = w * h / dt / 1e6
-        tpu_mpix.append(mpix)
-        print(f"# {path}: {dt * 1e3:.2f} ms/frame  {mpix:.1f} Mpix/s", file=sys.stderr)
+    h_prev = suite_attempt()
 
-    value = float(np.mean(tpu_mpix))
+    def suite_value():
+        return float(np.mean([w * h / dt / 1e6 for dt in best_dt]))
+
+    value = suite_value()
 
     # Measured C per-pixel baseline (the honest vs_baseline denominator),
     # EARLY and CPU-only: a crash in any TPU secondary must not cost the
@@ -340,10 +366,13 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     if over():
         skipped.append("sustained_ripple")
     else:
-        filt, renderer = _build("filters/Distorts/ripple.mm", 1920, 1080, opts)
+        # 1080p in production runs; scales down with --size so protocol
+        # tests can run the full phase set on CPU at tiny sizes
+        sw, sh = min(1920, w), min(1080, h)
+        filt, renderer = _build("filters/Distorts/ripple.mm", sw, sh, opts)
         n_sweep = 24 if not args.quick else 6
         ts = np.arange(n_sweep, dtype=np.float32) / n_sweep
-        sweep_in = [jax.device_put(jnp.asarray(img[:1080, :1920]))]
+        sweep_in = [jax.device_put(jnp.asarray(img[:sh, :sw]))]
         jax.block_until_ready(sweep_in)
         out = renderer.render_all_frames(sweep_in, {}, ts)
         _ = float(jnp.sum(out))  # warmup+compile, fenced
@@ -422,6 +451,36 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         dt = time_tpu(renderer, [], iters)
         print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  "
               f"{w * h / dt / 1e6:.1f} Mpix/s", file=sys.stderr)
+
+    # Leftover budget -> suite retries (headline hunting), now that every
+    # secondary holds a measured value. Same gating as before: stop on a
+    # healthy window, a stable-degraded plateau, or budget.
+    for attempt in range(1, 3):
+        if h_prev <= HEALTHY_MS:
+            break
+        if time.perf_counter() - t_start > args.budget_s * 0.75:
+            print("# retry budget exhausted — keeping best suite window",
+                  file=sys.stderr)
+            break
+        h0 = relay_health()
+        # STABLE degradation (two probes within 25%) means the relay is
+        # sitting at a plateau, not spiking — another attempt re-measures
+        # the same window (observed: a 13-14 ms plateau ate the budget)
+        if abs(h0 - h_prev) < 0.25 * h_prev:
+            print(f"# relay stable-degraded ({h_prev:.1f} -> {h0:.1f} ms) — "
+                  "retry would re-measure the same window; stopping",
+                  file=sys.stderr)
+            break
+        print(f"# relay moved ({h_prev:.1f} -> {h0:.1f} ms) — suite retry "
+              f"{attempt + 1}", file=sys.stderr)
+        h_prev = suite_attempt()
+        value = suite_value()
+        if cpu_mpix:
+            partial["vs_baseline"] = round(value / cpu_mpix, 1)
+
+    for path, dt in zip(suite, best_dt):
+        print(f"# {path}: {dt * 1e3:.2f} ms/frame  {w * h / dt / 1e6:.1f} "
+              f"Mpix/s", file=sys.stderr)
 
     # gate derives from the FINAL best window (incl. this post-suite probe)
     # so the recorded health_ms and health_gate can never contradict
