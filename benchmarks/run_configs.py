@@ -117,7 +117,8 @@ def main():
                       mm.RenderOptions(), it)
     report("1_pointwise_invert_512", nb * w * h / best / 1e6,
            {"batch": nb, "ms_per_batch": round(best * 1e3, 2),
-            "ms_per_frame_unbatched": round(dt1 * 1e3, 2)})
+            "ms_per_frame_unbatched": round(dt1 * 1e3, 2),
+            "mpix_per_s_per_frame": round(w * h / dt1 / 1e6, 2)})
 
     # 2. polar distortions 1080p — per-frame fenced (headline, comparable
     # across rounds) plus a batched detail: a 1080p frame is 2 Mpix
@@ -146,15 +147,38 @@ def main():
             "batch": nb2,
             "mpix_per_s_batched": round(w * h / mean_b / 1e6, 2)})
 
-    # 3. two-input compositing, edge variants
+    # 3. two-input compositing, edge variants — per-frame plus a batched
+    # pair (VERDICT r3 item 6: every config reports both; 1080p per-frame
+    # is dispatch-floor-bound under a degraded relay)
     variants = {}
+    variants_b = {}
+    blend_path = os.path.join(root, "Combine", "blend.mm")
+    stack_a = jax.device_put(
+        np.stack([_img(h, w, seed=10 + i) for i in range(nb2)]))
+    stack_b = jax.device_put(
+        np.stack([_img(h, w, seed=40 + i) for i in range(nb2)]))
+    ts3 = np.zeros(nb2, np.float32)
     for ex in ("color", "wrap", "reflect"):
-        dt = time_filter(os.path.join(root, "Combine", "blend.mm"),
-                         [_img(h, w, 1), _img(h, w, 2)], w, h,
-                         mm.RenderOptions(edge_x=ex, edge_y=ex), it)
+        o3 = mm.RenderOptions(edge_x=ex, edge_y=ex)
+        dt = time_filter(blend_path, [_img(h, w, 1), _img(h, w, 2)], w, h,
+                         o3, it)
         variants[ex] = round(dt * 1e3, 2)
+        r3 = mm.compile_file(blend_path)._renderer(w, h, o3, 1)
+        out = r3.render_batch([stack_a, stack_b], {}, ts3)
+        _ = float(jnp.sum(out))
+        bestb = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            out = r3.render_batch([stack_a, stack_b], {}, ts3 + 0.001)
+            _ = float(jnp.sum(out))
+            bestb = min(bestb, time.perf_counter() - t0)
+        variants_b[ex] = round(bestb / nb2 * 1e3, 2)
     mean_dt = sum(variants.values()) / len(variants) / 1e3
-    report("3_compositing_1080p", w * h / mean_dt / 1e6, {"ms_per_frame": variants})
+    mean_b = sum(variants_b.values()) / len(variants_b) / 1e3
+    report("3_compositing_1080p", w * h / mean_dt / 1e6,
+           {"ms_per_frame": variants, "ms_per_frame_batched": variants_b,
+            "batch": nb2,
+            "mpix_per_s_batched": round(w * h / mean_b / 1e6, 2)})
 
     # 4. animated ripple, 120 frames, 4x AA
     import jax
@@ -172,18 +196,40 @@ def main():
     out = renderer.render_all_frames(ins, {}, ts + 0.001)
     _ = float(jnp.sum(out))
     dt = time.perf_counter() - t0
+    # per-frame pair: one fenced supersampled frame (this config's
+    # headline is inherently the batched sweep)
+    dt_pf = fenced_time(lambda i: renderer(ins, {}, t=0.37 + 0.001 * i), it)
     report("4_animated_ripple_120f_4xAA", frames * w * h / dt / 1e6,
-           {"frames": frames, "s_total": round(dt, 2)})
+           {"frames": frames, "s_total": round(dt, 2),
+            "ms_per_frame_unbatched": round(dt_pf * 1e3, 2),
+            "mpix_per_s_per_frame": round(w * h / dt_pf / 1e6, 2)})
 
-    # 5. generative 4K
+    # 5. generative 4K — per-frame plus an 8-frame t-sweep pair
     w4, h4 = 3840, 2160
     gen = {}
+    gen_b = {}
+    n5 = 3 if args.quick else 8
+    ts5 = (np.arange(n5, dtype=np.float32) + 0.37) / n5
     for name in ("mandelbrot", "moire"):
-        dt = time_filter(os.path.join(root, "Render", f"{name}.mm"), [], w4, h4,
-                         mm.RenderOptions(), it)
+        path5 = os.path.join(root, "Render", f"{name}.mm")
+        dt = time_filter(path5, [], w4, h4, mm.RenderOptions(), it)
         gen[name] = round(dt * 1e3, 2)
+        r5 = mm.compile_file(path5)._renderer(w4, h4, mm.RenderOptions(), 1)
+        out = r5.render_all_frames([], {}, ts5)
+        _ = float(jnp.sum(out))
+        bestb = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            out = r5.render_all_frames([], {}, ts5 + 0.001)
+            _ = float(jnp.sum(out))
+            bestb = min(bestb, time.perf_counter() - t0)
+        gen_b[name] = round(bestb / n5 * 1e3, 2)
     mean_dt = sum(gen.values()) / len(gen) / 1e3
-    report("5_generative_4k", w4 * h4 / mean_dt / 1e6, {"ms_per_frame": gen})
+    mean_b = sum(gen_b.values()) / len(gen_b) / 1e3
+    report("5_generative_4k", w4 * h4 / mean_dt / 1e6,
+           {"ms_per_frame": gen, "ms_per_frame_batched": gen_b,
+            "sweep": n5,
+            "mpix_per_s_batched": round(w4 * h4 / mean_b / 1e6, 2)})
 
     print(json.dumps({"summary": {r["config"]: r["mpix_per_s"] for r in results}}))
 
