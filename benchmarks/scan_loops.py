@@ -29,12 +29,13 @@ import mathmap_tpu as mm  # noqa: E402
 from mathmap_tpu.runtime import tracer  # noqa: E402
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="64x32")
-    args = ap.parse_args(argv)
-    w, h = (int(v) for v in args.size.lower().split("x"))
-
+def scan(w: int = 64, h: int = 32):
+    """Trace every library filter containing a loop; return
+    (rows, errors) where rows = [(relpath, [(engine, n), ...],
+    [fold-miss builtin names])]. Used by the CLI report below and pinned
+    by tests/test_loop_engines.py (VERDICT r3 item 9: a library filter
+    with a foldable bound that misses the static unroll must FAIL a
+    test, not wait for a human to re-run the scan)."""
     root = pathlib.Path(__file__).resolve().parent.parent / "filters"
     img = np.random.RandomState(0).rand(h, w, 4).astype(np.float32)
     opts = mm.RenderOptions()
@@ -64,6 +65,15 @@ def main(argv=None):
         if tracer.TRACE_LOOP_PATHS:
             rows.append((rel, list(tracer.TRACE_LOOP_PATHS),
                          sorted(tracer.TRACE_FOLD_MISSES)))
+    return rows, errors
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="64x32")
+    args = ap.parse_args(argv)
+    w, h = (int(v) for v in args.size.lower().split("x"))
+    rows, errors = scan(w, h)
 
     by_engine = collections.Counter()
     print(f"{'filter':40s} {'loops (engine, n)':38s} fold-misses")
