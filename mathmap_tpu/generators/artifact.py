@@ -371,8 +371,29 @@ class LoadedArtifact:
         return np.asarray(out)[:n]
 
 
+def _check_platform(platforms, current: str, path: str) -> None:
+    """jax.export programs are platform-pinned at lowering time; calling
+    a TPU-lowered module on CPU dies deep inside XLA with an opaque
+    error. Fail at LOAD time instead, with re-export guidance."""
+    plats = tuple(p.lower() for p in platforms)
+    if plats and current.lower() not in plats:
+        raise ValueError(
+            f"{path}: artifact was exported for platform(s) "
+            f"{list(plats)} but this process runs on "
+            f"{current.lower()!r}. jax.export programs are "
+            f"platform-pinned — re-export the artifact on this "
+            f"platform (mathmap-tpu --export-artifact ... or "
+            f"export_artifact(...)), or serve it on "
+            f"{'/'.join(plats)}.")
+
+
 def load_artifact(path: str) -> LoadedArtifact:
-    """Load a .mmxa written by export_artifact (jax + numpy only)."""
+    """Load a .mmxa written by export_artifact (jax + numpy only).
+
+    Raises ValueError if the artifact was exported for a different
+    platform than this process's jax backend (platform pinning is a
+    property of jax.export lowering, not of this file format)."""
+    import jax
     from jax import export as jexport
 
     with open(path, "rb") as f:
@@ -390,6 +411,8 @@ def load_artifact(path: str) -> LoadedArtifact:
             manifest = json.loads(raw)
         except json.JSONDecodeError as e:
             raise ValueError(f"{path}: corrupt artifact manifest") from e
+        _check_platform(manifest.get("platforms", ()),
+                        jax.default_backend(), path)
         grids_exp = None
         if manifest.get("has_grids"):
             head = f.read(8)

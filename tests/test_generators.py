@@ -179,6 +179,47 @@ def test_artifact_truncated_files_raise_valueerror(tmp_path):
             load_artifact(str(bad))
 
 
+def test_artifact_platform_pin(tmp_path):
+    """A .mmxa loaded on a platform it wasn't exported for must fail at
+    LOAD time with re-export guidance (jax.export programs are
+    platform-pinned; the raw failure is an opaque XLA error at call
+    time). Simulated by rewriting the manifest's platforms field —
+    tests run on CPU, so a 'tpu'-pinned manifest is foreign here."""
+    import json
+    import struct
+
+    from mathmap_tpu.generators.artifact import (_MAGIC, _check_platform,
+                                                 export_artifact,
+                                                 load_artifact)
+
+    # unit: the check itself
+    _check_platform(("cpu",), "cpu", "x")          # match: no raise
+    _check_platform((), "tpu", "x")                # legacy empty: no raise
+    _check_platform(("TPU",), "tpu", "x")          # case-insensitive
+    with pytest.raises(ValueError, match="re-export"):
+        _check_platform(("tpu",), "cpu", "x")
+
+    # integration: tamper a real artifact's manifest to claim tpu-only
+    f = _art_filter()
+    path = tmp_path / "tw.mmxa"
+    export_artifact(f, str(path), 48, 32,
+                    params={"angle": 3.0, "tint": [1, 1, 1, 1]})
+    art = load_artifact(str(path))           # cpu-exported loads on cpu
+    assert art.platforms == ("cpu",)
+    whole = path.read_bytes()
+    (mlen,) = struct.unpack("<I", whole[len(_MAGIC):len(_MAGIC) + 4])
+    body = len(_MAGIC) + 4 + mlen
+    manifest = json.loads(whole[len(_MAGIC) + 4:body])
+    assert manifest["platforms"] == ["cpu"]
+    manifest["platforms"] = ["tpu"]
+    raw = json.dumps(manifest).encode()
+    pinned = tmp_path / "tpu_pinned.mmxa"
+    pinned.write_bytes(_MAGIC + struct.pack("<I", len(raw)) + raw
+                       + whole[body:])
+    with pytest.raises(ValueError, match="platform.*re-export|re-export"):
+        load_artifact(str(pinned))
+
+
 def test_artifact_base_layout_grids_baked(tmp_path):
     """sampler='pallas' exports ship a second grids module (run once at
     load); runtime-arg grids keep bit-parity with the live renderer
