@@ -88,7 +88,8 @@ def attach_best_recorded(d):
 # c_baseline_* travel WITH value (they are that run's ratio, not a
 # standalone best)
 _MERGE_MAX_FIELDS = ("sustained_ripple_mpix", "suite_batched_mpix",
-                     "loop_unroll_mpix", "pond_8k_mpix", "suite_f32_mpix")
+                     "loop_unroll_mpix", "pond_8k_mpix", "suite_f32_mpix",
+                     "suite_f32_u8_mpix")
 
 
 def merge_record(best: dict, d: dict) -> dict:
@@ -126,6 +127,7 @@ def merge_record(best: dict, d: dict) -> dict:
                  "pond_8k": "pond_8k_mpix",
                  "sustained_ripple": "sustained_ripple_mpix",
                  "suite_f32": "suite_f32_mpix",
+                 "suite_f32_u8": "suite_f32_u8_mpix",
                  "suite_batched": "suite_batched_mpix"}.get(
                      s.replace("(quick)", ""), ""), 0.0) == 0.0]
         rec["budget_exhausted"] = bool(rec["skipped_phases"])
@@ -413,6 +415,32 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
             suite_f32 = float(np.mean(f32_mpix))
             partial["suite_f32_mpix"] = round(suite_f32, 1)
 
+    # strict-precision suite on UINT8 inputs — the reference's actual
+    # input format (8-bit drawables): u8-sourced images ride the EXACT-u8
+    # kernel path (integer bf16 pads — third split-float pass skipped,
+    # window DMA halved; sample_kernel.exact_u8_eligible).
+    suite_f32_u8 = 0.0
+    if args.quick or over():
+        skipped.append("suite_f32_u8(quick)" if args.quick
+                       else "suite_f32_u8")
+    else:
+        img_u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        opts_f32 = mm.RenderOptions(interpolation="bilinear",
+                                    pallas_precision="f32")
+        u8_mpix = []
+        for path in suite:
+            if over():
+                skipped.append("suite_f32_u8")
+                break
+            _, rf = _build(path, w, h, opts_f32)
+            dt = time_tpu(rf, [img_u8], max(8, iters // 2))
+            u8_mpix.append(w * h / dt / 1e6)
+            print(f"# {path} f32/u8-in: {dt * 1e3:.2f} ms/frame  "
+                  f"{u8_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
+        if len(u8_mpix) == len(suite):
+            suite_f32_u8 = float(np.mean(u8_mpix))
+            partial["suite_f32_u8_mpix"] = round(suite_f32_u8, 1)
+
     # Secondary metric: the same suite as 8-frame t-sweeps in ONE device
     # program each (render_all_frames) — the chip rate with the relay's
     # per-dispatch cost amortized to ~nothing. The headline stays the
@@ -510,6 +538,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         "loop_unroll_mpix": round(loop_mpix, 1),
         "pond_8k_mpix": round(pond8k_mpix, 1),
         "suite_f32_mpix": round(suite_f32, 1),
+        "suite_f32_u8_mpix": round(suite_f32_u8, 1),
         # skipped_phases: 0-valued secondaries were SKIPPED (budget or
         # --quick), not measured-as-zero; budget_exhausted reflects the
         # wall budget only

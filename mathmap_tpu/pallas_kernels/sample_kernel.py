@@ -143,6 +143,45 @@ def image_dtype(opts):
     return _dtype_for(getattr(opts, "pallas_precision", "bf16"))
 
 
+def exact_u8_eligible(opts, u8_src: bool, edge_x: str, edge_y: str) -> bool:
+    """Can this image use the EXACT-u8 kernel path? u8 values 0-255 are
+    exactly representable in bf16 (8-bit mantissa), so a u8-sourced padded
+    image stored as INTEGER-valued bf16 (instead of lossy bf16(v/255))
+    makes the window operand exact: the f32 split-float's third
+    contraction (lo(win)@hi(w)) is identically zero and is skipped
+    statically, and the pad stores bf16 instead of f32 (half the window
+    DMA). The kernel scales its output by 1/255 — one f32 VPU multiply,
+    fewer roundings than today's u8->f32/255->bf16 chain, so the bf16-mode
+    envelope TIGHTENS too. Only the 'color' edge behavior can inject
+    non-u8 apron content: eligible only when its (static) edge_color sits
+    exactly on the u8 grid (c*255 integral), else the pad falls back to
+    the plain float path. (Reference workload note: the upstream GIMP
+    plugin samples 8-bit drawables — u8-sourced inputs ARE its input
+    semantics [unverified — mount empty].)"""
+    if not u8_src:
+        return False
+    for behavior in (edge_x, edge_y):
+        if behavior not in ("wrap", "reflect", "clamp"):
+            color = getattr(opts, "edge_color", (0.0, 0.0, 0.0, 0.0))
+            if any(abs(float(c) * 255.0 - round(float(c) * 255.0)) > 1e-9
+                   for c in color):
+                return False
+    return True
+
+
+def image_pad_plan(opts, u8_src: bool, edge_x: str, edge_y: str):
+    """(storage dtype, exact_u8 flag) for one image's padded copy — the
+    single decision point shared by the renderer's prepad builder and
+    sample_image_pallas (a mismatch would silently reject every cached
+    prepad and repay the ~3 ms/4K pad build per frame)."""
+    import jax.numpy as jnp
+
+    exact = exact_u8_eligible(opts, u8_src, edge_x, edge_y)
+    if exact:
+        return jnp.bfloat16, True
+    return image_dtype(opts), False
+
+
 class _Plan:
     """Per-tier planning result (window origins, per-tile fit, launchers)."""
 
@@ -203,11 +242,20 @@ def _apron(jnp, img, axis: int, n: int, behavior: str, edge_color, pad_l: int, p
 
 
 def _pad_xmajor(jnp, pixels, edge_x: str, edge_y: str, edge_color,
-                hp: int, wp: int, dtype=None):
+                hp: int, wp: int, dtype=None, exact_u8: bool = False):
     """(H, W, 4) -> x-major multi-copy (Wp, N_COPIES*Hp*4) with behavior-
     encoded aprons. Copy c holds padded rows [8c, 8c+Hp); within copy c:
-    out[s, c*Hp*4 + r*4 + ch] = padded[8c + r, s, ch]."""
+    out[s, c*Hp*4 + r*4 + ch] = padded[8c + r, s, ch].
+
+    exact_u8: store INTEGER pixel values 0-255 (exact in bf16 — see
+    exact_u8_eligible); `pixels` are still the /255 floats every caller
+    holds — round(v*255) recovers the u8 value exactly (|v*255 - u| <
+    3e-5 for all 256 values after the two f32 roundings). The kernel
+    divides its output by 255 (exact_src=True)."""
     h, w, _ = pixels.shape
+    if exact_u8:
+        pixels = jnp.round(pixels * jnp.asarray(255.0, dtype=pixels.dtype))
+        edge_color = tuple(round(float(c) * 255.0) for c in edge_color)
     img = _apron(jnp, pixels, 1, w, edge_x, edge_color, PAD_L, wp - w - PAD_L)
     # 8*(N_COPIES-1) junk tail rows: copy c's tail is never addressed (the
     # planner clips oy to hp - win_h, all within copy c's real rows)
@@ -254,7 +302,8 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                  hp: int, precision: str = "bf16",
                  indirect: bool = False,
                  subw: int | None = None, has_carry: bool = False,
-                 subchunk: bool = False, positional: bool = False):
+                 subchunk: bool = False, positional: bool = False,
+                 exact_src: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -484,11 +533,17 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                         oy_mat4 = oy_mat4 + jnp.where(r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
 
                 # MXU: (win_w, win_h*4) x (win_w, chunk) -> (win_h*4, chunk)
-                tmp = mm(dn, win, ox_mat)
+                # exact_src: win holds exact-in-bf16 integers (0-255) —
+                # lo(win) is identically zero, so the split-float's third
+                # pass is skipped and the /255 lands on the output below
+                tmp = mm(dn, win, ox_mat, split_a=not exact_src)
                 prod = tmp * oy_mat4
                 # stage B: channel-class reduce (tree + tiny sel matmul on
                 # tall shapes; plain sel matmul on the fast class)
-                o_ref[cn, :, :] = chan_reduce(prod, win_h * 4)
+                out4 = chan_reduce(prod, win_h * 4)
+                if exact_src:
+                    out4 = out4 * jnp.float32(1.0 / 255.0)
+                o_ref[cn, :, :] = out4
 
         def body_subchunk(oy, ox):
             sub = subw
@@ -553,9 +608,11 @@ def _make_kernel(interpolation: str, win_h: int, win_w: int, gw: int,
                         oy_mat4 = oy_mat4 + jnp.where(
                             r_of_row == ly + (tap_lo + tap), wy[tap], 0.0)
                     ox_mat = ox_mat * mask
-                tmp = mm(dn, wsub, ox_mat)
+                tmp = mm(dn, wsub, ox_mat, split_a=not exact_src)
                 prod = tmp * oy_mat4
                 out4 = out4 + chan_reduce(prod, sub * 4)
+            if exact_src:
+                out4 = out4 * jnp.float32(1.0 / 255.0)
             o_ref[0, :, :] = out4
 
         compute()
@@ -567,7 +624,7 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
                        win_h, win_w, gw, hp, precision, interpret,
                        grid, grid_bound=None, tile_idx=None,
                        subw=None, coff=None, carry=None, subchunk=False,
-                       positional=False):
+                       positional=False, exact_src=False):
     """Low-level launch over base-layout coordinates px_b/py_b
     (n_base, 1, BASE_PIX): every tier's tile is `gw` CONSECUTIVE base
     blocks, so one shared flatten serves all tiers and a tile's block is
@@ -602,7 +659,7 @@ def _call_kernel_tiles(img_xm, px_b, py_b, oy, ox, *, interpolation,
     kernel = _make_kernel(interpolation, win_h, win_w, gw, hp, precision,
                           indirect=indirect, subw=subw,
                           has_carry=carry is not None, subchunk=subchunk,
-                          positional=positional)
+                          positional=positional, exact_src=exact_src)
     sub = (coff,) if subw else ()
     if indirect:
         scalars = (tile_idx, oy, ox) + sub
@@ -740,7 +797,11 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
 
     interpret = jax.default_backend() != "tpu"
     precision = getattr(opts, "pallas_precision", "bf16")
-    img_dtype = _dtype_for(precision)  # same string drives mm()'s mode
+    # exact-u8 path: u8-sourced images store INTEGER bf16 pads (exact) —
+    # the kernel scales by 1/255 and, in f32 mode, skips the third
+    # split-float pass AND halves the window DMA (see exact_u8_eligible)
+    img_dtype, exact_src = image_pad_plan(
+        opts, getattr(img, "u8_src", False), edge_x, edge_y)
 
     # ---- padded multi-copy x-major image ----
     # Renderer-precomputed pad (runtime/render.py caches it across frames
@@ -763,13 +824,15 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # The entry holds a reference to the source array so its id() cannot be
     # reused by a different array while the entry lives (ADVICE r1 low).
     if prepad is None:
-        key = (id(img.pixels), edge_x, edge_y, hp, wp, str(img_dtype))
+        key = (id(img.pixels), edge_x, edge_y, hp, wp, str(img_dtype),
+               exact_src)
         entry = cache.get(key)
         if entry is None or entry[0] is not img.pixels:
             entry = (
                 img.pixels,
                 _pad_xmajor(jnp, img.pixels, edge_x, edge_y,
-                            opts.edge_color, hp, wp, dtype=img_dtype),
+                            opts.edge_color, hp, wp, dtype=img_dtype,
+                            exact_u8=exact_src),
             )
             cache[key] = entry
         img_xm = entry[1]
@@ -936,6 +999,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                 interpolation=interpolation, win_h=win_h_c, win_w=win_w_c,
                 gw=gw, hp=hp, precision=precision, interpret=interpret,
                 grid=(nby, ntx), subw=subw, coff=coff, subchunk=subchunk,
+                exact_src=exact_src,
             )
             return finish(out)
 
@@ -968,7 +1032,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                     win_w=win_w_c, gw=gw, hp=hp, precision=precision,
                     interpret=interpret, grid=(1, n_tiles),
                     grid_bound=count, tile_idx=idx, subw=subw, coff=coff,
-                    carry=carry, subchunk=subchunk,
+                    carry=carry, subchunk=subchunk, exact_src=exact_src,
                 )
             cap = _SMEM_PREFETCH_BUDGET // ((3 + smem_rows) * 4)
             cap = max(128, (cap // 128) * 128)
@@ -994,7 +1058,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
                         interpret=interpret, grid=(1, cap),
                         grid_bound=cnt_k, tile_idx=idx_k, subw=subw,
                         coff=coff_k, carry=c, subchunk=subchunk,
-                        positional=True,
+                        positional=True, exact_src=exact_src,
                     )
 
                 carry = jax.lax.cond(cnt_k > 0, launch, lambda c: c, carry)
@@ -1016,7 +1080,7 @@ def sample_image_pallas(ev, img, x, y, xla_fallback, *, interpolation=None,
     # bilinear: fast 587, mid 417, rot 320, xrot 150 Mpix/s; gather ~20).
     # A tier whose window covers the whole padded image truncates the chain
     # (single unconditional pallas program — the LUT/small-image case).
-    itm = 2 if precision == "bf16" else 4
+    itm = jnp.dtype(img_dtype).itemsize  # 2 for bf16/exact-u8, 4 for f32
     per_tile_mode = getattr(opts, "pallas_per_tile", "auto")
     per_tile_req = (per_tile_mode == "on"
                     or (per_tile_mode != "off" and nby * nbx >= 1024))

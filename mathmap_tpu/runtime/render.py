@@ -452,18 +452,21 @@ class JitRenderer:
             from ..pallas_kernels import sample_kernel as SK
 
             pads = []
-            for a in float_inputs(jnp, input_arrays):
+            for orig, a in zip(input_arrays, float_inputs(jnp, input_arrays)):
                 h, w = int(a.shape[-3]), int(a.shape[-2])
                 # the kernel's OWN formula (a private copy here would,
                 # if either side changed, make the kernel silently reject
                 # every cached prepad and repay the pad build per frame)
                 hp, wp = SK.padded_dims(h, w)
-                dt = SK.image_dtype(opts)
+                # same decision point as sample_image_pallas: u8 inputs
+                # get exact integer-bf16 pads when the edges allow it
+                dt, exact = SK.image_pad_plan(
+                    opts, orig.dtype == np.uint8, opts.edge_x, opts.edge_y)
 
-                def pad_one(fr):
+                def pad_one(fr, dt=dt, exact=exact):
                     return SK._pad_xmajor(
                         jnp, fr, opts.edge_x, opts.edge_y, opts.edge_color,
-                        hp, wp, dtype=dt)
+                        hp, wp, dtype=dt, exact_u8=exact)
 
                 if a.ndim == 4:  # animated input: one prepad per frame
                     # budget guard: a prepad is ~4.3x the frame bytes (4
@@ -512,7 +515,9 @@ class JitRenderer:
             inputs = []
             for i, a in enumerate(float_inputs(jnp, input_arrays)):
                 pre = prepads[i] if prepads else None
-                inputs.append(InputImage(pixels=a, name=f"in{i}", prepad=pre))
+                inputs.append(InputImage(
+                    pixels=a, name=f"in{i}", prepad=pre,
+                    u8_src=input_arrays[i].dtype == np.uint8))
             ctx = RenderContext(
                 be=jnp, width=width, height=height, opts=opts,
                 inputs=inputs,

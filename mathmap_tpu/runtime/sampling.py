@@ -175,7 +175,8 @@ def sample_image(ev, img, x, y, frame=None):
             if pre is not None:
                 pre = pre[img.frame_index(be, fsel)]
             img = InputImage(pixels=img.frame_pixels(be, fsel),
-                             name=img.name, prepad=pre)
+                             name=img.name, prepad=pre,
+                             u8_src=getattr(img, "u8_src", False))
         return sample_image_pallas(
             ev, img, x, y,
             xla_fallback=lambda: _sample_xla(ev, img, x, y),

@@ -104,6 +104,10 @@ class InputImage(ImageBase):
     #: drawable prepared in the tile cache similarly). For animated inputs:
     #: a (T, ...) stack of per-frame prepads.
     prepad: Any = None
+    #: the caller's array was uint8 (pixels here are its /255 floats):
+    #: enables the sampler's EXACT-u8 kernel path (integer bf16 pads —
+    #: sample_kernel.exact_u8_eligible) when the edge behaviors allow it.
+    u8_src: bool = False
 
     @property
     def num_frames(self) -> int:

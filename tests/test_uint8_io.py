@@ -183,3 +183,119 @@ def test_to_uint8_passthrough_and_read_animation_u8(tmp_path):
     Image.fromarray(raw).save(p)
     stack = read_animation(str(p), as_uint8=True)
     assert stack.dtype == np.uint8 and stack.shape == (1, H, W, 4)
+
+
+# ---------------------------------------------------------------------------
+# exact-u8 sampler path (sample_kernel.exact_u8_eligible): u8-sourced
+# images store INTEGER bf16 pads — exact in bf16, so f32-mode split-float
+# drops its third contraction and the pad halves its DMA; the kernel
+# scales output by 1/255. VERDICT r4 item 7.
+# ---------------------------------------------------------------------------
+
+def test_exact_u8_eligibility_rules():
+    from mathmap_tpu.pallas_kernels.sample_kernel import (exact_u8_eligible,
+                                                          image_pad_plan)
+    import jax.numpy as jnp
+
+    opts = mm.RenderOptions()
+    assert exact_u8_eligible(opts, True, "wrap", "reflect")
+    assert exact_u8_eligible(opts, True, "clamp", "wrap")
+    assert not exact_u8_eligible(opts, False, "wrap", "wrap")
+    # default edge_color (0,0,0,0) sits on the u8 grid -> eligible
+    assert exact_u8_eligible(opts, True, "color", "color")
+    # off-grid color -> NOT eligible (the apron would quantize)
+    opts_c = mm.RenderOptions(edge_color=(0.1234, 0.0, 0.0, 1.0))
+    assert not exact_u8_eligible(opts_c, True, "color", "wrap")
+    # on-grid non-zero color (128/255) -> eligible
+    opts_g = mm.RenderOptions(edge_color=(128.0 / 255.0, 0.0, 0.0, 1.0))
+    assert exact_u8_eligible(opts_g, True, "color", "color")
+    # pad plan: exact -> bf16 even in f32 precision mode
+    opts_f32 = mm.RenderOptions(pallas_precision="f32")
+    dt, exact = image_pad_plan(opts_f32, True, "wrap", "wrap")
+    assert exact and dt == jnp.bfloat16
+    dt, exact = image_pad_plan(opts_f32, False, "wrap", "wrap")
+    assert not exact and dt == jnp.float32
+
+
+def test_exact_u8_round_recovers_all_values():
+    """round(f32(u/255)*255) == u for every u8 value — the property the
+    exact pad build (_pad_xmajor exact_u8) relies on."""
+    u = np.arange(256, dtype=np.uint8)
+    v = u.astype(np.float32) / np.float32(255.0)
+    np.testing.assert_array_equal(np.round(v * np.float32(255.0)),
+                                  u.astype(np.float32))
+
+
+@pytest.mark.parametrize("prec", ["f32", "bf16"])
+@pytest.mark.parametrize("interp", ["nearest", "bilinear", "bicubic"])
+def test_exact_u8_pallas_matches_oracle(prec, interp):
+    """u8 input through the forced-Pallas sampler (exact path) stays
+    inside the precision envelope vs the oracle — every interpolation,
+    wrap/reflect edges."""
+    f = mm.compile_source(
+        "filter tw (image in) in(xy + [sin(y/3)*4, cos(x/5)*4]) end")
+    img = _img_u8(7, 64, 96)
+    opts = mm.RenderOptions(interpolation=interp, edge_x="wrap",
+                            edge_y="reflect", sampler="pallas",
+                            pallas_precision=prec, pallas_per_tile="on")
+    out = np.asarray(f.render(img, options=opts))
+    ora = np.asarray(f.render(img, options=opts, interpret=True))
+    lim = 2e-4 if prec == "f32" else 2e-2
+    assert np.abs(out - ora).max() < lim
+
+
+def test_exact_u8_color_edge_matches_oracle():
+    """'color' edges with an on-grid edge_color ride the exact path and
+    still match the oracle (the apron scales with the image)."""
+    f = mm.compile_source("filter z (image in) in(xy*1.4 - [8, 8]) end")
+    img = _img_u8(11, 48, 64)
+    opts = mm.RenderOptions(edge_x="color", edge_y="color",
+                            edge_color=(0.0, 128.0 / 255.0, 1.0, 1.0),
+                            sampler="pallas", pallas_precision="f32")
+    out = np.asarray(f.render(img, options=opts))
+    ora = np.asarray(f.render(img, options=opts, interpret=True))
+    assert np.abs(out - ora).max() < 2e-4
+
+
+def test_exact_u8_offgrid_color_falls_back_and_matches():
+    """An OFF-grid edge_color disables the exact path (plain f32 pad) —
+    output still matches the oracle, apron color unquantized."""
+    f = mm.compile_source("filter z (image in) in(xy*1.4 - [8, 8]) end")
+    img = _img_u8(11, 48, 64)
+    opts = mm.RenderOptions(edge_x="color", edge_y="color",
+                            edge_color=(0.1234, 0.0, 0.5, 1.0),
+                            sampler="pallas", pallas_precision="f32")
+    out = np.asarray(f.render(img, options=opts))
+    ora = np.asarray(f.render(img, options=opts, interpret=True))
+    assert np.abs(out - ora).max() < 2e-4
+
+
+def test_exact_u8_prepad_accepted_by_kernel():
+    """The renderer's precomputed prepad for a u8 DEVICE input is built
+    with the same exact-u8 plan the kernel expects — a plan mismatch
+    would silently rebuild the pad in-trace (and a WRONG match would
+    mis-scale by 255x, far outside any envelope)."""
+    import jax.numpy as jnp
+
+    f = mm.compile_source(
+        "filter tw (image in) in(xy + [sin(y/3)*4, cos(x/5)*4]) end")
+    img = _img_u8(5, 64, 96)
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    dev = jnp.asarray(img)  # device-resident u8 -> prepad cache path
+    out = np.asarray(f.render(dev, options=opts))
+    ora = np.asarray(f.render(img, options=opts, interpret=True))
+    assert np.abs(out - ora).max() < 2e-4
+
+
+def test_exact_u8_image_userval_param():
+    """u8 image PARAMS (uservals) carry u8_src and sample exactly too."""
+    src = ("filter m (image in, image other)\n"
+           "  other(xy + [sin(y/4)*3, 0])\nend")
+    f = mm.compile_source(src)
+    base = _img_u8(2, 48, 64)
+    other = _img_u8(9, 48, 64)
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+    out = np.asarray(f.render(base, params={"other": other}, options=opts))
+    ora = np.asarray(f.render(base, params={"other": other}, options=opts,
+                              interpret=True))
+    assert np.abs(out - ora).max() < 2e-4
