@@ -35,8 +35,12 @@ VARIANTS = [
     ("w128x128",  128,  128),   # current steep rung
     ("w96x64",    96,   64),    # candidate: 50-83 deg
     ("w128x64",   128,  64),    # candidate: 83-90 deg
-    ("w64x64",    64,   64),    # scaling floor for the band
-    ("w48x64",    48,   64),    # 16x32-tile model (win_h*4=192 lanes)
+    ("w64x64",    64,   64),    # scaling floor; also the 16x32-tile model
+    # (48, 64) REJECTED by the real TPU Mosaic compiler: "Slice shape
+    # along dimension 1 must be aligned to tiling (128), but is 192" —
+    # win_h*4 must be a multiple of 128, i.e. win_h mult of 32. Local
+    # .lower() ACCEPTED it (lowering is laxer than the chip compiler —
+    # trust only remote compiles for window-shape validity).
 ]
 
 H_IMG = W_IMG = 512
@@ -121,10 +125,19 @@ def main():
 
         fns[name] = (jax.jit(f), d)
 
-    # warm/compile serially (remote compiles are 1-3 min each)
-    for name, (f, d) in fns.items():
+    # warm/compile serially (remote compiles are 1-3 min each); a variant
+    # that fails TPU compile is dropped, not fatal (the chip compiler is
+    # stricter than local lowering — see the (48, 64) note above)
+    for name in list(fns):
+        f, d = fns[name]
         t0 = time.perf_counter()
-        float(f(img_xm, d["px"], d["py"], d["oy"], d["ox"], 0.0))
+        try:
+            float(f(img_xm, d["px"], d["py"], d["oy"], d["ox"], 0.0))
+        except Exception as e:
+            print(f"# COMPILE FAIL {name}: {str(e).splitlines()[0][:140]}",
+                  file=sys.stderr, flush=True)
+            del fns[name]
+            continue
         print(f"# compiled+warm {name}: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
 
