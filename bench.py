@@ -265,7 +265,9 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     # the headline 10-15% but can no longer zero the secondaries (observed
     # r3: retries at a 13-14 ms plateau starved all six secondary phases).
     HEALTHY_MS = 6.0
-    renderers = [_build(path, w, h, opts)[1] for path in suite]
+    built = [_build(path, w, h, opts) for path in suite]
+    filters = [b[0] for b in built]
+    renderers = [b[1] for b in built]
     best_dt = [float("inf")] * len(suite)
     health_ms = float("inf")
 
@@ -441,31 +443,48 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
             suite_f32_u8 = float(np.mean(u8_mpix))
             partial["suite_f32_u8_mpix"] = round(suite_f32_u8, 1)
 
-    # Secondary metric: the same suite as 8-frame t-sweeps in ONE device
-    # program each (render_all_frames) — the chip rate with the relay's
-    # per-dispatch cost amortized to ~nothing. The headline stays the
-    # per-frame number (comparable across rounds); this one tracks the
-    # code when the shared relay degrades (3-5x degraded all of round 3).
+    # Secondary metric: the same suite as 8-frame batches in ONE device
+    # program each — the chip rate with the relay's per-dispatch cost
+    # amortized to ~nothing. The per-frame PARAM VALUE varies across the
+    # batch (render_batch per-job params — the product's animated-
+    # parameter workload): the suite filters ignore t, so a plain t-sweep
+    # of them lets XLA compute ONE frame and replicate it across the
+    # unrolled chunk (observed: 1356-1440 "Mpix/s" — a legitimate program
+    # optimization, but NOT 8 frames of rendering work; that reading was
+    # scrubbed from records.json). The headline stays the per-frame
+    # number (comparable across rounds).
     dev_img = jax.device_put(img)
     jax.block_until_ready(dev_img)
     n_sw = 8 if not args.quick else 3
     ts_sw = (np.arange(n_sw, dtype=np.float32) + 0.37) / n_sw
+    batch_param = {  # first slider of each suite filter, varied per job
+        "filters/Distorts/fisheye.mm": ("strength", 2.0, 0.03),
+        "filters/Distorts/twirl.mm": ("angle", 3.0, 0.05),
+        "filters/Distorts/pond.mm": ("phase", 0.0, 0.07),
+    }
     suite_sust = []
-    for path, renderer in zip(suite, renderers):
+    for path, filt in zip(suite, filters):
         if over():
             skipped.append("suite_batched")
             break
-        out = renderer.render_all_frames([dev_img], {}, ts_sw)
-        _ = float(jnp.sum(out))
+        pname, base, step = batch_param[path]
+        params = [{pname: base + step * i} for i in range(n_sw)]
+        stack = jnp.broadcast_to(dev_img, (n_sw,) + dev_img.shape)
+
+        def batch(toff, params=params, stack=stack, filt=filt):
+            return filt.render_batch(stack, ts=ts_sw + toff, params=params,
+                                     width=w, height=h, options=opts)
+
+        _ = float(jnp.sum(batch(0.0)))
         best = float("inf")
-        for _ in range(3):
+        for k in range(3):
             start = time.perf_counter()
-            out = renderer.render_all_frames([dev_img], {}, ts_sw + 0.001)
-            _ = float(jnp.sum(out))
+            _ = float(jnp.sum(batch(0.001 * (k + 1))))
             best = min(best, (time.perf_counter() - start) / n_sw)
         suite_sust.append(w * h / best / 1e6)
-        print(f"# {path} sustained x{n_sw}: {best * 1e3:.2f} ms/frame  "
-              f"{suite_sust[-1]:.1f} Mpix/s", file=sys.stderr)
+        print(f"# {path} batched x{n_sw} (param-varying): "
+              f"{best * 1e3:.2f} ms/frame  {suite_sust[-1]:.1f} Mpix/s",
+              file=sys.stderr)
     suite_batched = float(np.mean(suite_sust)) if suite_sust else 0.0
     if suite_sust:
         partial["suite_batched_mpix"] = round(suite_batched, 1)

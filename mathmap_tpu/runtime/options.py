@@ -122,6 +122,14 @@ class RenderOptions:
     #: (~0.5 Mpix); 'on': whenever the tier chain exists (tests); 'off':
     #: whole-frame chain.
     pallas_per_tile: str = "auto"
+    #: frame-sweep unroll factor for render_all_frames / render_batch:
+    #: the in-program frame loop scans over chunks of this many
+    #: Python-unrolled frames (lax.map serializes iterations; unrolling
+    #: lets XLA overlap across frames — +18% measured on t-varying
+    #: multi-tier 4K sweeps). 'auto' picks by frame size (see
+    #: runtime/render sweep_unroll_for); an int forces it; 1 = flat
+    #: lax.map. MMTPU_SWEEP_UNROLL overrides at trace time.
+    sweep_unroll: object = "auto"
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3
     #: max) — matching the reference's uint8 output packing; 'f32' uses
@@ -153,6 +161,10 @@ class RenderOptions:
         object.__setattr__(self, "edge_color", ec)
         if self.sampler not in ("auto", "pallas", "gather"):
             raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
+        if self.sweep_unroll != "auto" and (
+                not isinstance(self.sweep_unroll, int)
+                or self.sweep_unroll < 1):
+            raise ValueError("sweep_unroll must be 'auto' or an int >= 1")
         for tier in self.pallas_tiers:
             if len(tier) != 5:
                 raise ValueError(

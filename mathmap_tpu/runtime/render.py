@@ -255,6 +255,21 @@ def float_inputs(be, arrays):
             if a.dtype == np.uint8 else a for a in arrays]
 
 
+def sweep_unroll_for(opts, width: int, height: int) -> int:
+    """Resolve RenderOptions.sweep_unroll for a (width, height) sweep.
+
+    'auto': unroll 8 for frames >= 4 Mpix — the +18% overlap win was
+    measured on multi-tier 4K sweeps (probe_sweep2); at 1080p the
+    unrolled path measured ~35% SLOWER on the ripple sweep (r4 bench
+    sustained 433-453 vs 638 flat, cross-window — gated until a
+    same-window A/B says otherwise), so small frames keep the flat
+    lax.map. An int forces that factor."""
+    u = getattr(opts, "sweep_unroll", "auto")
+    if u == "auto":
+        return 8 if width * height >= 4_000_000 else 1
+    return max(1, int(u))
+
+
 def render_frame(ctx: RenderContext, fdef: A.FilterDef, uservals: dict):
     """Render one frame -> (H, W, 4) float32 array in [0,1] (uint8 when
     opts.output_dtype='uint8' — packed here so every renderer (jit,
@@ -546,7 +561,8 @@ class JitRenderer:
         self._grids_jit = jax.jit(compute_grids)
 
         def _unrolled_map(one, xs):
-            """lax.map with the body UNROLLED in chunks of SWEEP_UNROLL.
+            """lax.map with the body UNROLLED in chunks of the sweep
+            unroll factor (RenderOptions.sweep_unroll).
 
             lax.map serializes its iterations; Python-unrolling lets XLA's
             scheduler overlap across frames (measured on the real chip,
@@ -557,13 +573,17 @@ class JitRenderer:
             unroll8 number was CSE-inflated, its honest rows agree).
             Sweeps not divisible by the chunk pad by REPEATING the last
             element (≤7 wasted frame renders, dropped from the result);
-            short sweeps unroll whole with no scan. MMTPU_SWEEP_UNROLL=1
-            restores the flat map."""
+            short sweeps unroll whole with no scan. MMTPU_SWEEP_UNROLL
+            overrides at trace time; sweep_unroll=1 is the flat map."""
             import os
 
             import jax.tree_util as jtu
 
-            u = max(1, int(os.environ.get("MMTPU_SWEEP_UNROLL", "8")))
+            env = os.environ.get("MMTPU_SWEEP_UNROLL")
+            if env is not None:
+                u = max(1, int(env))
+            else:
+                u = sweep_unroll_for(opts, width, height)
             n = int(jtu.tree_leaves(xs)[0].shape[0])
             if u <= 1:
                 return jax.lax.map(one, xs)

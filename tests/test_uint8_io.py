@@ -299,3 +299,32 @@ def test_exact_u8_image_userval_param():
     ora = np.asarray(f.render(base, params={"other": other}, options=opts,
                               interpret=True))
     assert np.abs(out - ora).max() < 2e-4
+
+
+def test_sweep_unroll_option():
+    """RenderOptions.sweep_unroll: validation, auto gating by frame size,
+    and bitwise parity of every unroll factor with per-frame renders
+    (the chunk pad path included: 7 frames at unroll 3/8)."""
+    from mathmap_tpu.runtime.render import sweep_unroll_for
+
+    o = mm.RenderOptions()
+    assert sweep_unroll_for(o, 3840, 2160) == 8   # 4K sweeps unroll
+    assert sweep_unroll_for(o, 1920, 1080) == 1   # small frames: flat map
+    assert sweep_unroll_for(mm.RenderOptions(sweep_unroll=4), 8, 8) == 4
+    with pytest.raises(ValueError, match="sweep_unroll"):
+        mm.RenderOptions(sweep_unroll=0)
+    with pytest.raises(ValueError, match="sweep_unroll"):
+        mm.RenderOptions(sweep_unroll="always")
+
+    f = mm.compile_source(
+        "filter r (image in, float amp: 0-10 (2))\n"
+        "  in(xy + [sin(y/6 + t*6)*amp, 0])\nend")
+    img = _img_f32(0, 40, 64)
+    for u in ("auto", 1, 3, 8):
+        opts = mm.RenderOptions(sweep_unroll=u)
+        anim = np.asarray(f.render_animation(img, num_frames=7,
+                                             options=opts))
+        per = np.stack([np.asarray(f.render(img, t=i / 7, frame=i,
+                                            options=opts))
+                        for i in range(7)])
+        np.testing.assert_array_equal(anim, per)
