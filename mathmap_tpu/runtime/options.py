@@ -124,11 +124,11 @@ class RenderOptions:
     pallas_per_tile: str = "auto"
     #: frame-sweep unroll factor for render_all_frames / render_batch:
     #: the in-program frame loop scans over chunks of this many
-    #: Python-unrolled frames (lax.map serializes iterations; unrolling
-    #: lets XLA overlap across frames — +18% measured on t-varying
-    #: multi-tier 4K sweeps). 'auto' picks by frame size (see
-    #: runtime/render sweep_unroll_for); an int forces it; 1 = flat
-    #: lax.map. MMTPU_SWEEP_UNROLL overrides at trace time.
+    #: Python-unrolled frames. 'auto' = 1 (flat lax.map) — the product
+    #: path's same-window A/B had the flat map winning at both 1080p and
+    #: 4K (see runtime/render.sweep_unroll_for for the numbers and why a
+    #: probe formulation measured the opposite); kept as an option for
+    #: experimentation. MMTPU_SWEEP_UNROLL overrides at trace time.
     sweep_unroll: object = "auto"
     #: MXU precision for the Pallas sampler's weight contractions. 'bf16'
     #: is MXU-native on v5e and accurate to ~1.5 8-bit LSBs (measured 6e-3

@@ -258,15 +258,19 @@ def float_inputs(be, arrays):
 def sweep_unroll_for(opts, width: int, height: int) -> int:
     """Resolve RenderOptions.sweep_unroll for a (width, height) sweep.
 
-    'auto': unroll 8 for frames >= 4 Mpix — the +18% overlap win was
-    measured on multi-tier 4K sweeps (probe_sweep2); at 1080p the
-    unrolled path measured ~35% SLOWER on the ripple sweep (r4 bench
-    sustained 433-453 vs 638 flat, cross-window — gated until a
-    same-window A/B says otherwise), so small frames keep the flat
-    lax.map. An int forces that factor."""
+    'auto' = 1 (flat lax.map): the definitive same-window in-process A/B
+    of the PRODUCT path (stack-materialized output, prepads computed
+    in-jit) has the flat map winning at BOTH measured shapes — ripple
+    1080p ×24: 3.32 vs 3.77 ms/frame; t-dependent twirl 4K ×8: 19.76 vs
+    21.05 (unroll=1 vs 8, r4). probe_sweep2's +18%-for-unrolling result
+    was specific to ITS formulation (per-frame sum fencing with NO
+    (F,H,W,4) stack materialization, prepads/grids passed as args) and
+    does not transfer to the product path, which must return the actual
+    frames. The option + MMTPU_SWEEP_UNROLL stay for experimentation;
+    an int forces that chunk factor."""
     u = getattr(opts, "sweep_unroll", "auto")
     if u == "auto":
-        return 8 if width * height >= 4_000_000 else 1
+        return 1
     return max(1, int(u))
 
 

@@ -308,8 +308,10 @@ def test_sweep_unroll_option():
     from mathmap_tpu.runtime.render import sweep_unroll_for
 
     o = mm.RenderOptions()
-    assert sweep_unroll_for(o, 3840, 2160) == 8   # 4K sweeps unroll
-    assert sweep_unroll_for(o, 1920, 1080) == 1   # small frames: flat map
+    # auto = flat map everywhere: the product-path A/B had lax.map
+    # winning at both 1080p and 4K (see render.sweep_unroll_for)
+    assert sweep_unroll_for(o, 3840, 2160) == 1
+    assert sweep_unroll_for(o, 1920, 1080) == 1
     assert sweep_unroll_for(mm.RenderOptions(sweep_unroll=4), 8, 8) == 4
     with pytest.raises(ValueError, match="sweep_unroll"):
         mm.RenderOptions(sweep_unroll=0)
