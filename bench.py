@@ -199,6 +199,13 @@ def main(argv=None):
                                "measurement — environment failure, not "
                                "a code rate; see BASELINE.md for "
                                "in-session records")
+        # persist whatever WAS measured: the merge protocol never lets a
+        # 0.0/missing field erase a recorded one, and a watchdog-emitted
+        # partial can carry real measurements (observed r4: a hard-timeout
+        # partial held sustained 524.7 + suite_f32_u8 399.9 that would
+        # otherwise have been lost to the round record)
+        if not args.quick and partial.get("value", 0.0) > 0.0:
+            save_record(partial)
         attach_best_recorded(partial)
         print(json.dumps(partial), flush=True)
 
