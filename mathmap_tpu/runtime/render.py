@@ -414,7 +414,12 @@ def _userval_pytree(ctx, fdef: A.FilterDef, params: dict):
                 kinds[p.name] = "lut:" + p.kind
                 arrays[p.name] = payload.lut
             else:
-                kinds[p.name] = "image"
+                # ':u8' marks a u8-SOURCED image param (pixels here are
+                # its /255 floats): the static kind must carry it so the
+                # jit-side rebuild re-enables the sampler's exact-u8 path
+                # (the pixels array alone can't — it is float either way)
+                u8 = getattr(payload, "u8_src", False)
+                kinds[p.name] = "image:u8" if u8 else "image"
                 arrays[p.name] = payload.pixels
         else:
             kinds[p.name] = "tuple:" + tv.tag
@@ -442,8 +447,9 @@ def _rebuild_uservals(be, arrays: dict, kinds: tuple):
             out[name] = curve_value(Curve(lut=payload))
         elif kind == "lut:gradient":
             out[name] = gradient_value(Gradient(lut=payload))
-        elif kind == "image":
-            out[name] = image_value(InputImage(pixels=payload, name=name))
+        elif kind in ("image", "image:u8"):
+            out[name] = image_value(InputImage(
+                pixels=payload, name=name, u8_src=kind == "image:u8"))
     return out
 
 

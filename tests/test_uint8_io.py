@@ -288,13 +288,29 @@ def test_exact_u8_prepad_accepted_by_kernel():
 
 
 def test_exact_u8_image_userval_param():
-    """u8 image PARAMS (uservals) carry u8_src and sample exactly too."""
+    """u8 image PARAMS (uservals) carry u8_src and sample exactly too —
+    including across the jit boundary: the static kinds spec must mark
+    the param 'image:u8' so the in-trace InputImage rebuild re-enables
+    the exact path (the pixels array alone is float either way)."""
+    from mathmap_tpu.runtime.render import RenderContext, _userval_pytree
+
     src = ("filter m (image in, image other)\n"
            "  other(xy + [sin(y/4)*3, 0])\nend")
     f = mm.compile_source(src)
     base = _img_u8(2, 48, 64)
     other = _img_u8(9, 48, 64)
     opts = mm.RenderOptions(sampler="pallas", pallas_precision="f32")
+
+    import jax.numpy as jnp
+
+    ctx = RenderContext(be=jnp, width=64, height=48, opts=opts,
+                        inputs=[], filters=f.filters, is_jax=True)
+    _, kinds = _userval_pytree(ctx, f.fdef, {"other": other})
+    assert dict(kinds)["other"] == "image:u8"
+    _, kinds_f = _userval_pytree(
+        ctx, f.fdef, {"other": other.astype(np.float32) / 255.0})
+    assert dict(kinds_f)["other"] == "image"
+
     out = np.asarray(f.render(base, params={"other": other}, options=opts))
     ora = np.asarray(f.render(base, params={"other": other}, options=opts,
                               interpret=True))
