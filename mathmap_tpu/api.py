@@ -244,13 +244,11 @@ class Filter:
         from .parallel.shard import ShardedRenderer
 
         options = options or RenderOptions()
-        from .runtime.render import float_inputs
-
         ins = [self._conv_input(a) for a in inputs]
-        # the shard_map tile code takes float inputs only — resolve any u8
-        # passthrough up front with the same /255 rule as the in-trace
-        # normalization (replication ships the full image anyway)
-        ins = float_inputs(np, ins)
+        # u8 inputs pass through AS u8: they replicate at 4x fewer bytes,
+        # normalize /255 in-trace inside each tile, and keep the sampler's
+        # exact-u8 path engaged (parallel/shard.py tile code — same rules
+        # as the single-chip render.run())
         width, height = self._resolve_size(ins, width, height)
         if mesh is None:
             mesh = make_mesh()

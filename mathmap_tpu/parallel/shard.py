@@ -68,10 +68,17 @@ def render_frame_sharded(mesh, program_filters, fdef, width, height, opts,
     def tile_render(*ins):
         row_off = jax.lax.axis_index(ROW_AXIS) * tile_h
         col_off = jax.lax.axis_index(COL_AXIS) * tile_w
+        # u8 inputs replicate as u8 (4x fewer bytes) and normalize /255
+        # in-trace; u8_src keeps the sampler's exact-u8 path engaged so
+        # sharded output stays consistent with unsharded (render.run())
+        from ..runtime.render import float_inputs
+
+        fins = float_inputs(jnp, list(ins))
         ctx = RenderContext(
             be=jnp, width=width, height=height, opts=opts,
-            inputs=[InputImage(pixels=a, name=f"in{i}")
-                    for i, a in enumerate(ins)],
+            inputs=[InputImage(pixels=fa, name=f"in{i}",
+                               u8_src=ins[i].dtype == jnp.uint8)
+                    for i, fa in enumerate(fins)],
             filters=program_filters, t=t, frame=frame,
             num_frames=num_frames, is_jax=True,
             **_tile_layout_kwargs(program_filters, fdef, opts,
@@ -144,10 +151,15 @@ class ShardedRenderer:
                     f0 = jax.lax.axis_index(FRAME_AXIS) * frames_per_dev
 
                     def one(i, t):
+                        from ..runtime.render import float_inputs
+
+                        fins = float_inputs(jnp, list(ins))
                         ctx = RenderContext(
                             be=jnp, width=width, height=height, opts=opts,
-                            inputs=[InputImage(pixels=a, name=f"in{k}")
-                                    for k, a in enumerate(ins)],
+                            inputs=[InputImage(
+                                pixels=fa, name=f"in{k}",
+                                u8_src=ins[k].dtype == jnp.uint8)
+                                    for k, fa in enumerate(fins)],
                             filters=program_filters, t=t,
                             frame=(f0 + i).astype(jnp.float32),
                             num_frames=num_frames, is_jax=True,
@@ -174,11 +186,20 @@ class ShardedRenderer:
 
     def __call__(self, input_arrays, t=0.0, ts=None, frame=0.0):
         jnp = self.jnp
-        ins = [
-            a if isinstance(a, jnp.ndarray)
-            else jnp.asarray(np.asarray(a, dtype=np.float32))
-            for a in input_arrays
-        ]
+
+        def stage(a):
+            # preserve uint8 (4x smaller replication; /255 happens
+            # IN-TRACE in the tile code, which also keeps the sampler's
+            # exact-u8 path engaged) — a blanket f32 cast here would ship
+            # RAW 0-255 floats into the tiles (runtime/render._stage rule)
+            if isinstance(a, jnp.ndarray):
+                return a
+            a = np.asarray(a)
+            if a.dtype != np.uint8:
+                a = np.asarray(a, dtype=np.float32)
+            return jnp.asarray(a)
+
+        ins = [stage(a) for a in input_arrays]
         if self.num_frames == 1:
             return self._jitted(ins, jnp.float32(t), jnp.float32(frame))
         return self._jitted(ins, jnp.asarray(ts, dtype=jnp.float32))

@@ -346,3 +346,17 @@ def test_sweep_unroll_option():
                                             options=opts))
                         for i in range(7)])
         np.testing.assert_array_equal(anim, per)
+
+
+def test_sharded_u8_input_matches_unsharded_bitwise():
+    """u8 INPUTS through render_sharded take the same in-trace /255 +
+    exact-u8 sampler path as unsharded renders — output must match
+    BITWISE (before this, the sharded path pre-converted u8 on the host
+    and lost exact-u8 eligibility, diverging at the pad level)."""
+    img = _img_u8(21, 32, 48)
+    f = mm.compile_source(_WARP)
+    for prec in ("bf16", "f32"):
+        opts = mm.RenderOptions(sampler="pallas", pallas_precision=prec)
+        sh = np.asarray(f.render_sharded(img, options=opts))
+        un = np.asarray(f.render(img, options=opts))
+        np.testing.assert_array_equal(sh, un)
