@@ -190,7 +190,11 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
         imgs = []
         for k, inp_local in enumerate(inp_locals):
             # u8 blocks ship 4x fewer bytes host->device; float_inputs is
-            # the single source of the in-trace /255 normalization rule
+            # the single source of the in-trace /255 normalization rule.
+            # u8_src keeps the sampler's exact-u8 path engaged on the
+            # tiled ext blocks (painted color halos stay eligible exactly
+            # when the apron 'color' is — same on-u8-grid edge_color rule)
+            u8_src = inp_local.dtype == jnp.uint8
             (inp_local,) = float_inputs(jnp, [inp_local])
             # animated (T, tile_h, W, 4) blocks exchange/paint their frame
             # row/col axes (every frame shares the device's row range)
@@ -208,7 +212,7 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                     ext = _paint_edge_halo(ext, col_idx, nx, halo_x, 1,
                                            opts.edge_x)
             imgs.append(TiledInput(
-                pixels=ext, name=f"in{k}",
+                pixels=ext, name=f"in{k}", u8_src=u8_src,
                 global_height=height, global_width=width if nx > 1 else 0,
                 row_base=row_off - halo_y,
                 col_base=(col_off - halo_x) if nx > 1 else 0,

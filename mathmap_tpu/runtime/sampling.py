@@ -294,7 +294,8 @@ def _sample_pallas_tiled(ev, img, x, y):
     apron_y = "color" if opts.edge_y == "color" else "clamp"
     apron_x = (opts.edge_x if not col_sharded
                else ("color" if opts.edge_x == "color" else "clamp"))
-    local = InputImage(pixels=img.pixels, name=img.name)
+    local = InputImage(pixels=img.pixels, name=img.name,
+                       u8_src=getattr(img, "u8_src", False))
     # the fallback/subset closures trace into lax.cond branches, where the
     # gather path's violation hook (a trace-level side channel) would leak
     # tracers out of the cond; the top-level tap-endpoint check above

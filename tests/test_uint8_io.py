@@ -360,3 +360,32 @@ def test_sharded_u8_input_matches_unsharded_bitwise():
         sh = np.asarray(f.render_sharded(img, options=opts))
         un = np.asarray(f.render(img, options=opts))
         np.testing.assert_array_equal(sh, un)
+
+
+def test_tiled_u8_input_exact_path_engages():
+    """u8 INPUTS through render_tiled ride the exact-u8 sampler on the
+    halo-extended blocks too. Bitwise equality with the plain renderer is
+    NOT the bar here (unlike render_sharded): the tiled path re-bases
+    coordinates per block, which moves f32 weight arithmetic by ~1e-5
+    even for FLOAT inputs (measured: 7.4e-6 float, 7.6e-6 u8 — the u8
+    staging adds nothing). The sharp discriminator for the exact path is
+    the bf16 IDENTITY render: integer bf16 pads reproduce u8 input to
+    ~1e-7, while the non-exact bf16(v/255) pad shows its ~2e-3
+    quantization envelope."""
+    img = _img_u8(29, 32, 48)
+    ident = mm.compile_source("filter i (image in) in(xy) end")
+    opts = mm.RenderOptions(sampler="pallas", pallas_precision="bf16")
+    ti = np.asarray(ident.render_tiled(img, width=48, height=32,
+                                       options=opts))
+    assert np.abs(ti - img.astype(np.float32) / 255.0).max() < 1e-6
+    # warp parity vs the plain renderer within the path's envelope,
+    # incl. on-u8-grid 'color' edges (painted halos stay eligible)
+    f = mm.compile_source(_WARP)
+    for prec, atol in (("bf16", 4e-3), ("f32", 1e-4)):
+        for ex, ey in (("wrap", "wrap"), ("color", "color")):
+            o = mm.RenderOptions(sampler="pallas", pallas_precision=prec,
+                                 edge_x=ex, edge_y=ey,
+                                 edge_color=(0.0, 128 / 255.0, 1.0, 1.0))
+            ti = np.asarray(f.render_tiled(img, options=o))
+            un = np.asarray(f.render(img, options=o))
+            np.testing.assert_allclose(ti, un, atol=atol)
