@@ -89,7 +89,7 @@ def attach_best_recorded(d):
 # standalone best)
 _MERGE_MAX_FIELDS = ("sustained_ripple_mpix", "suite_batched_mpix",
                      "loop_unroll_mpix", "pond_8k_mpix", "suite_f32_mpix",
-                     "suite_f32_u8_mpix")
+                     "suite_f32_u8_mpix", "suite_u8io_mpix")
 
 
 def merge_record(best: dict, d: dict) -> dict:
@@ -128,7 +128,8 @@ def merge_record(best: dict, d: dict) -> dict:
                  "sustained_ripple": "sustained_ripple_mpix",
                  "suite_f32": "suite_f32_mpix",
                  "suite_f32_u8": "suite_f32_u8_mpix",
-                 "suite_batched": "suite_batched_mpix"}.get(
+                 "suite_batched": "suite_batched_mpix",
+                 "suite_u8io": "suite_u8io_mpix"}.get(
                      s.replace("(quick)", ""), ""), 0.0) == 0.0]
         rec["budget_exhausted"] = bool(rec["skipped_phases"])
     return rec
@@ -496,6 +497,49 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     if suite_sust:
         partial["suite_batched_mpix"] = round(suite_batched, 1)
 
+    # The product's END-TO-END workload: u8 inputs AND u8 outputs (the
+    # reference is a GIMP plugin — 8-bit drawables both ways [unverified —
+    # mount empty]), same batched-x8 param-varying protocol as above (the
+    # per-job param keeps XLA from collapsing the batch), default bf16
+    # sampler. u8-in rides the exact-u8 kernel path; u8-out packs inside
+    # the device program (runtime/render.pack_uint8) and QUARTERS the
+    # output stack's HBM footprint (probe_sweep measured u8-out sweeps
+    # ~+9% at 4K — (F,H,W,4) f32 stack materialization pressure).
+    suite_u8io_per = []
+    opts_u8 = mm.RenderOptions(interpolation="bilinear",
+                               output_dtype="uint8")
+    img_u8io = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    dev_u8 = jax.device_put(img_u8io)
+    jax.block_until_ready(dev_u8)
+    for path, filt in zip(suite, filters):
+        if over():
+            skipped.append("suite_u8io")
+            break
+        pname, base, step = batch_param[path]
+        params = [{pname: base + step * i} for i in range(n_sw)]
+        stack = jnp.broadcast_to(dev_u8, (n_sw,) + dev_u8.shape)
+
+        def batch_u8(toff, params=params, stack=stack, filt=filt):
+            return filt.render_batch(stack, ts=ts_sw + toff, params=params,
+                                     width=w, height=h, options=opts_u8)
+
+        # fence: f32-accumulated sum of the u8 stack (a plain u8 sum
+        # would overflow; a dropped output could be elided by the relay)
+        _ = float(jnp.sum(batch_u8(0.0), dtype=jnp.float32))
+        best = float("inf")
+        for k in range(3):
+            start = time.perf_counter()
+            _ = float(jnp.sum(batch_u8(0.001 * (k + 1)),
+                              dtype=jnp.float32))
+            best = min(best, (time.perf_counter() - start) / n_sw)
+        suite_u8io_per.append(w * h / best / 1e6)
+        print(f"# {path} u8-in/u8-out batched x{n_sw}: "
+              f"{best * 1e3:.2f} ms/frame  {suite_u8io_per[-1]:.1f} Mpix/s",
+              file=sys.stderr)
+    suite_u8io = float(np.mean(suite_u8io_per)) if suite_u8io_per else 0.0
+    if suite_u8io_per:
+        partial["suite_u8io_mpix"] = round(suite_u8io, 1)
+
     # diagnostics (not part of the headline metric): generative filter
     # (no sampling, no input) isolates raw compute from gather cost
     if over():
@@ -565,6 +609,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         "pond_8k_mpix": round(pond8k_mpix, 1),
         "suite_f32_mpix": round(suite_f32, 1),
         "suite_f32_u8_mpix": round(suite_f32_u8, 1),
+        "suite_u8io_mpix": round(suite_u8io, 1),
         # skipped_phases: 0-valued secondaries were SKIPPED (budget or
         # --quick), not measured-as-zero; budget_exhausted reflects the
         # wall budget only

@@ -101,7 +101,8 @@ def test_degraded_plateau_run_measures_every_secondary(tmp_path, monkeypatch,
     d = json.loads(out)
     assert d["value"] > 0
     for k in ("sustained_ripple_mpix", "suite_batched_mpix",
-              "loop_unroll_mpix", "pond_8k_mpix", "suite_f32_mpix"):
+              "loop_unroll_mpix", "pond_8k_mpix", "suite_f32_mpix",
+              "suite_f32_u8_mpix", "suite_u8io_mpix"):
         assert d[k] > 0, f"secondary {k} was skipped/zero: {d}"
     assert d["skipped_phases"] == []
     assert d["budget_exhausted"] is False
