@@ -461,6 +461,12 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     # optimization, but NOT 8 frames of rendering work; that reading was
     # scrubbed from records.json). The headline stays the per-frame
     # number (comparable across rounds).
+    # Basis (r4): the ONE image is passed SHARED (pad built once before
+    # the job loop — the product param-animation path), renderer-level
+    # with an on-device fence. The r3-era 458.4 used the api wrapper,
+    # whose np.asarray put a ~265 MB output host-pull through the relay
+    # inside the timing — that measured the tunnel, not the chip (the
+    # per-frame suite and sustained phases were always device-fenced).
     dev_img = jax.device_put(img)
     jax.block_until_ready(dev_img)
     n_sw = 8 if not args.quick else 3
@@ -477,11 +483,11 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
             break
         pname, base, step = batch_param[path]
         params = [{pname: base + step * i} for i in range(n_sw)]
-        stack = jnp.broadcast_to(dev_img, (n_sw,) + dev_img.shape)
+        rend = filt._renderer(w, h, opts, 1)
 
-        def batch(toff, params=params, stack=stack, filt=filt):
-            return filt.render_batch(stack, ts=ts_sw + toff, params=params,
-                                     width=w, height=h, options=opts)
+        def batch(toff, params=params, rend=rend):
+            return rend.render_batch([dev_img], params, ts_sw + toff,
+                                     shared_mask=(True,))
 
         _ = float(jnp.sum(batch(0.0)))
         best = float("inf")
@@ -490,7 +496,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
             _ = float(jnp.sum(batch(0.001 * (k + 1))))
             best = min(best, (time.perf_counter() - start) / n_sw)
         suite_sust.append(w * h / best / 1e6)
-        print(f"# {path} batched x{n_sw} (param-varying): "
+        print(f"# {path} batched x{n_sw} (param-varying, shared img): "
               f"{best * 1e3:.2f} ms/frame  {suite_sust[-1]:.1f} Mpix/s",
               file=sys.stderr)
     suite_batched = float(np.mean(suite_sust)) if suite_sust else 0.0
@@ -517,11 +523,11 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
             break
         pname, base, step = batch_param[path]
         params = [{pname: base + step * i} for i in range(n_sw)]
-        stack = jnp.broadcast_to(dev_u8, (n_sw,) + dev_u8.shape)
+        rend_u8 = filt._renderer(w, h, opts_u8, 1)
 
-        def batch_u8(toff, params=params, stack=stack, filt=filt):
-            return filt.render_batch(stack, ts=ts_sw + toff, params=params,
-                                     width=w, height=h, options=opts_u8)
+        def batch_u8(toff, params=params, rend_u8=rend_u8):
+            return rend_u8.render_batch([dev_u8], params, ts_sw + toff,
+                                        shared_mask=(True,))
 
         # fence: f32-accumulated sum of the u8 stack (a plain u8 sum
         # would overflow; a dropped output could be elided by the relay)
@@ -533,7 +539,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
                               dtype=jnp.float32))
             best = min(best, (time.perf_counter() - start) / n_sw)
         suite_u8io_per.append(w * h / best / 1e6)
-        print(f"# {path} u8-in/u8-out batched x{n_sw}: "
+        print(f"# {path} u8-in/u8-out batched x{n_sw} (shared img): "
               f"{best * 1e3:.2f} ms/frame  {suite_u8io_per[-1]:.1f} Mpix/s",
               file=sys.stderr)
     suite_u8io = float(np.mean(suite_u8io_per)) if suite_u8io_per else 0.0

@@ -37,7 +37,7 @@ if not _os.environ.get("MMTPU_NO_COMPILE_CACHE"):
         pass
 
 from . import ops as _ops  # noqa: F401  — populate the builtin registry
-from .api import Filter, compile_file, compile_source
+from .api import Filter, compile_file, compile_source, shared
 from .expression_db import ExpressionDB, default_db
 from .imgio.images import read_image, to_float_rgba, to_uint8, write_image
 from .runtime.options import RenderOptions
@@ -50,6 +50,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Filter",
+    "shared",
     "ExpressionDB",
     "default_db",
     "compile",

@@ -39,6 +39,28 @@ def _passthrough_rgba(a, ndim: int) -> bool:
             and a.dtype in (np.float32, np.uint8))
 
 
+class Shared:
+    """Marker wrapping ONE input every job of a render_batch samples
+    (see `shared`)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+def shared(value):
+    """Mark a render_batch input as SHARED across the batch: one
+    (H, W, C) image — or (T, H, W, 4) animated stack — with NO job axis,
+    that every job samples. This is the param-animation workload (N
+    param/t values over one image); without the marker the caller must
+    broadcast the image into an (N, H, W, 4) stack, and each job then
+    repays the ~3 ms/4K padded-sampler-image build inside the job loop.
+    Shared inputs build that pad ONCE, before the loop — the same hoist
+    render_all_frames gets for its t-sweeps."""
+    return Shared(value)
+
+
 class Filter:
     """A compiled MathMap filter (plus the filter environment of its file)."""
 
@@ -208,9 +230,21 @@ class Filter:
                     "single frame in a list (or use render())")
             return np.stack([to_float_rgba(f) for f in arr])
 
-        ins = [conv(b) for b in batched_inputs]
-        n = ins[0].shape[0] if ins else (len(ts) if ts is not None else 1)
-        for a in ins:
+        mask = tuple(isinstance(b, Shared) for b in batched_inputs)
+        # shared entries convert with render()'s single-input rules (a
+        # 4-D shared array is an ANIMATED stack, not a job batch)
+        ins = [self._conv_input(b.value) if m else conv(b)
+               for b, m in zip(batched_inputs, mask)]
+        per_job = [a for a, m in zip(ins, mask) if not m]
+        if per_job:
+            n = per_job[0].shape[0]
+        elif ts is not None:
+            n = len(ts)
+        elif isinstance(params, (list, tuple)):
+            n = len(params)
+        else:
+            n = 1
+        for a in per_job:
             if a.ndim != 4 or a.shape[0] != n:
                 raise ValueError(
                     "render_batch inputs must share a leading batch axis")
@@ -227,7 +261,8 @@ class Filter:
         if frames is not None and len(frames) != n:
             raise ValueError(
                 f"render_batch: {len(frames)} frames for a batch of {n} jobs")
-        return np.asarray(renderer.render_batch(ins, params, ts, frames))
+        return np.asarray(renderer.render_batch(ins, params, ts, frames,
+                                                shared_mask=mask))
 
     def render_sharded(self, *inputs, mesh=None, num_frames: int = 1,
                        width: int | None = None, height: int | None = None,

@@ -117,10 +117,19 @@ def export_artifact(filt, path: str, width: int, height: int,
             lambda a: jax.ShapeDtypeStruct((bn,) + tuple(np.shape(a)),
                                            np.asarray(a).dtype), uv_arrays)
         vec = jax.ShapeDtypeStruct((bn,), jnp.float32)
+
         # the same program Filter.render_batch runs (per-job param values
-        # ride a lax.map; grids amortize in-trace across the batch)
-        batch_blobs.append(jax.export.export(renderer._jitted_jobs_pp)(
-            ins_b, uv_b, kinds, vec, vec).serialize())
+        # ride a lax.map; grids amortize in-trace across the batch). The
+        # shared-input mask is baked all-False: artifact batch calls take
+        # per-job input stacks (the serving layer's shape), so the
+        # exported calling convention stays (ins, uv, ts, frames)
+        def fnb(ins, uv, kinds, ts, frames):
+            return renderer._jitted_jobs_pp(
+                [], ins, uv, kinds, (False,) * n_img, ts, frames)
+
+        batch_blobs.append(
+            jax.export.export(jax.jit(fnb, static_argnums=(2,)))(
+                ins_b, uv_b, kinds, vec, vec).serialize())
     anim_blob = None
     if anim_frames is not None:
         fn = int(anim_frames)

@@ -453,6 +453,24 @@ def _rebuild_uservals(be, arrays: dict, kinds: tuple):
     return out
 
 
+def _merge_shared(mask, shared, per_job, shared_pads):
+    """Re-interleave SHARED inputs (one array for every job) with this
+    job's sliced inputs, in original position order, pairing each shared
+    input with its loop-hoisted prepad (per-job inputs pad in-trace)."""
+    ins, pads = [], []
+    si = bi = 0
+    for m in mask:
+        if m:
+            ins.append(shared[si])
+            pads.append(shared_pads[si] if shared_pads else None)
+            si += 1
+        else:
+            ins.append(per_job[bi])
+            pads.append(None)
+            bi += 1
+    return ins, (pads if any(p is not None for p in pads) else None)
+
+
 class JitRenderer:
     """Compile-once renderer for a (filter, W, H, options) configuration —
     the analog of the reference's compiled-filter cache (cgen.c)."""
@@ -639,41 +657,55 @@ class JitRenderer:
 
         self._jitted_frames = jax.jit(run_frames, static_argnums=(2,))
 
-        def run_jobs(batched_inputs, userval_arrays, kinds, ts, frames):
+        def run_jobs(shared_ins, batched_ins, userval_arrays, kinds, mask,
+                     ts, frames):
             # N independent jobs (each its own input image(s) + t) in ONE
             # device program: the relay's ~10-50 ms dispatch floor swallows
             # small frames dispatched one-by-one (BASELINE config 1: a 512²
             # frame is 0.26 Mpix — VERDICT r2 weak #2), so the batch path
             # amortizes it over N frames exactly like render_all_frames
-            # does for t-sweeps. Inputs carry a leading batch axis; the
-            # chunk-unrolled map slices per job (no per-job retrace).
+            # does for t-sweeps. Batched inputs carry a leading job axis;
+            # the chunk-unrolled map slices per job (no per-job retrace).
+            # `mask` (static) marks SHARED inputs — one image every job
+            # samples (the param-animation workload): those pad ONCE here,
+            # before the job loop, instead of repaying the ~3 ms/4K pad
+            # build inside every map iteration.
+            prepads_sh = (compute_prepads(shared_ins)
+                          if shared_ins and self._prepads_on() else None)
             grids = compute_grids() if base_layout is not None else None
 
             def one(args):
                 frame, t, ins_i = args
-                return run(ins_i, userval_arrays, kinds, t, frame,
-                           None, grids)
+                ins, pads = _merge_shared(mask, shared_ins, ins_i,
+                                          prepads_sh)
+                return run(ins, userval_arrays, kinds, t, frame,
+                           pads, grids)
 
             return _unrolled_map(
-                one, (frames, ts, [a for a in batched_inputs]))
+                one, (frames, ts, [a for a in batched_ins]))
 
-        self._jitted_jobs = jax.jit(run_jobs, static_argnums=(2,))
+        self._jitted_jobs = jax.jit(run_jobs, static_argnums=(3, 4))
 
-        def run_jobs_pp(batched_inputs, batched_uv, kinds, ts, frames):
+        def run_jobs_pp(shared_ins, batched_ins, batched_uv, kinds, mask,
+                        ts, frames):
             # per-job PARAMS variant: every userval leaf carries a leading
             # N axis and rides the same unrolled map (the serving layer
             # batches same-filter requests whose param VALUES differ — the
             # kinds spec must still match, so one trace covers the batch)
+            prepads_sh = (compute_prepads(shared_ins)
+                          if shared_ins and self._prepads_on() else None)
             grids = compute_grids() if base_layout is not None else None
 
             def one(args):
                 frame, t, uv_i, ins_i = args
-                return run(ins_i, uv_i, kinds, t, frame, None, grids)
+                ins, pads = _merge_shared(mask, shared_ins, ins_i,
+                                          prepads_sh)
+                return run(ins, uv_i, kinds, t, frame, pads, grids)
 
             return _unrolled_map(
-                one, (frames, ts, batched_uv, [a for a in batched_inputs]))
+                one, (frames, ts, batched_uv, [a for a in batched_ins]))
 
-        self._jitted_jobs_pp = jax.jit(run_jobs_pp, static_argnums=(2,))
+        self._jitted_jobs_pp = jax.jit(run_jobs_pp, static_argnums=(3, 4))
 
     def _stage(self, arrays):
         """Host arrays -> device, preserving uint8 (the in-trace /255
@@ -737,7 +769,8 @@ class JitRenderer:
                             self._prepads(input_arrays, ins),
                             self._grids)
 
-    def render_batch(self, batched_inputs, params: dict, ts, frames=None):
+    def render_batch(self, batched_inputs, params: dict, ts, frames=None,
+                     shared_mask=None):
         """Render N independent jobs in one device call -> (N, H, W, 4).
 
         Each element of `batched_inputs` is an (N, H, W, 4) stack; job i
@@ -748,13 +781,27 @@ class JitRenderer:
         match across jobs, so static_params values may not vary). This is
         the product path's answer to the dispatch floor on small frames (a
         fenced 512² render pays ~10-50 ms of relay round-trip for ~0.5 ms
-        of device work)."""
+        of device work).
+
+        `shared_mask[i]` marks input i as SHARED: ONE (H, W, 4) image (or
+        (T, H, W, 4) animated stack) with no job axis that every job
+        samples — the param-animation workload. Shared inputs build their
+        padded sampler image once, before the job loop, instead of
+        repaying the ~3 ms/4K pad build per job (api.shared wraps this)."""
         jnp = self.jnp
         ctx = RenderContext(
             be=jnp, width=self.width, height=self.height, opts=self.opts,
             inputs=[], filters=self.filters, is_jax=True,
         )
         ins = self._stage(batched_inputs)
+        mask = tuple(bool(m) for m in
+                     (shared_mask or (False,) * len(ins)))
+        if len(mask) != len(ins):
+            raise ValueError(
+                f"render_batch: shared_mask length {len(mask)} != "
+                f"{len(ins)} inputs")
+        shared = [a for a, m in zip(ins, mask) if m]
+        per_job = [a for a, m in zip(ins, mask) if not m]
         ts = jnp.asarray(ts, dtype=jnp.float32)
         if frames is None:
             frames = jnp.arange(ts.shape[0], dtype=jnp.float32)
@@ -778,9 +825,11 @@ class JitRenderer:
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                 *[a for a, _ in per]) if per[0][0] else {}
-            return self._jitted_jobs_pp(ins, stacked, kinds, ts, frames)
+            return self._jitted_jobs_pp(shared, per_job, stacked, kinds,
+                                        mask, ts, frames)
         arrays, kinds = _userval_pytree(ctx, self.fdef, params)
-        return self._jitted_jobs(ins, arrays, kinds, ts, frames)
+        return self._jitted_jobs(shared, per_job, arrays, kinds, mask,
+                                 ts, frames)
 
     def render_all_frames(self, input_arrays, params: dict, ts, frame0: float = 0.0):
         """Render every frame of a t-sweep in one device call -> (F,H,W,4)."""
