@@ -666,8 +666,19 @@ class PreviewState:
 
         from .imgio.images import read_animation
 
-        stack = read_animation(_io.BytesIO(png_bytes))
+        # u8 decode + one device_put at upload time: every slider
+        # interaction re-renders this same drawable, and a host array
+        # would re-upload AND re-pad per render (JitRenderer's prepad
+        # cache keys device-resident inputs by identity). u8 ships 4×
+        # fewer bytes and rides the sampler's exact-u8 path.
+        stack = read_animation(_io.BytesIO(png_bytes), as_uint8=True)
         new_input = stack if stack.shape[0] > 1 else stack[0]
+        try:
+            import jax
+
+            new_input = jax.device_put(new_input)
+        except Exception:
+            pass  # no backend (pure-host tests): host array works as before
         with self.lock:
             self.input_image = new_input
             self._filter_cache.clear()  # cached jits keyed old input sizes
