@@ -125,6 +125,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--artifact-batch-sizes", default="", metavar="N[,N...]",
                    help="with --export-artifact: also ship the batched "
                         "render_batch programs at these sizes")
+    p.add_argument("--param-sweep", default=None, metavar="NAME=LO:HI",
+                   help="animate a numeric param over --frames steps "
+                        "(t stays --t; the `frame` internal is the step "
+                        "index) in ONE device program: the input image is "
+                        "passed SHARED, so its padded sampler image builds "
+                        "once for the whole sweep. Output: GIF or a frame "
+                        "sequence, like --frames")
     p.add_argument("--profile", default=None, metavar="DIR", help="write a jax.profiler trace to DIR")
     p.add_argument("--stats", action="store_true", help="print one JSON line of render statistics")
     p.add_argument("--verbose", "-v", action="store_true", help="print per-phase timing and render stats")
@@ -204,6 +211,56 @@ def _render_sweep(args, filt, inputs, width, height, opts, params):
     return np.asarray(filt.render_animation(
         *inputs, num_frames=args.frames, width=width, height=height,
         options=opts, params=params))
+
+
+def _parse_param_sweep(spec, filt, n):
+    """NAME=LO:HI -> (name, [n values LO..HI]). int params round each
+    step; non-numeric params are rejected (a sweep needs an axis)."""
+    name, _, rng = spec.partition("=")
+    lo_s, _, hi_s = rng.partition(":")
+    if not (name and lo_s and hi_s):
+        raise SystemExit(f"--param-sweep expects NAME=LO:HI, got {spec!r}")
+    try:
+        lo, hi = float(lo_s), float(hi_s)
+    except ValueError:
+        raise SystemExit(f"--param-sweep expects numeric LO:HI, got {spec!r}")
+    kinds = {p.name: p.kind for p in filt.params}
+    if name not in kinds:
+        raise SystemExit(f"--param-sweep: filter has no param {name!r} "
+                         f"(has: {', '.join(sorted(kinds)) or 'none'})")
+    if kinds[name] not in ("float", "int"):
+        raise SystemExit(f"--param-sweep: param {name!r} is "
+                         f"{kinds[name]!r}; only float/int params sweep")
+    if n < 2:
+        raise SystemExit("--param-sweep needs --frames >= 2 (the number "
+                         "of sweep steps)")
+    vals = [lo + (hi - lo) * i / (n - 1) for i in range(n)]
+    if kinds[name] == "int":
+        vals = [int(round(v)) for v in vals]
+    return name, vals
+
+
+def _run_param_sweep(args, filt, inputs, width, height, opts, params):
+    """--param-sweep: N jobs over ONE shared input in one render_batch
+    program (the parameter-animation workload; the reference only animates
+    t — its users keyframed sliders by re-invoking the plugin
+    [unverified — mount empty])."""
+    import numpy as np
+
+    from .api import shared
+
+    name, vals = _parse_param_sweep(args.param_sweep, filt, args.frames)
+    if args.interpret or args.fallback or args.sharded or args.tiled:
+        raise SystemExit("--param-sweep runs the one-program batch path; "
+                         "it does not combine with --interpret/--fallback/"
+                         "--sharded/--tiled")
+    n = args.frames
+    return np.asarray(filt.render_batch(
+        *[shared(a) for a in inputs],
+        ts=np.full(n, args.t, np.float32),
+        frames=np.arange(n, dtype=np.float32),
+        width=width, height=height, options=opts,
+        params=[{**params, name: v} for v in vals]))
 
 
 def _frame_path(path: str, frame: int, num_frames: int) -> str:
@@ -492,6 +549,18 @@ def main(argv=None) -> int:
         if args.input_dir is not None:
             frames_done = _run_batch_dir(args, filt, out_path, width, height,
                                          opts, params, log)
+        elif args.param_sweep is not None:
+            frames = _run_param_sweep(args, filt, inputs, width, height,
+                                      opts, params)
+            if out_path.lower().endswith(".gif"):
+                from .imgio.images import write_animation
+
+                write_animation(out_path, frames, fps=args.fps)
+            else:
+                for i in range(args.frames):
+                    write_image(_frame_path(out_path, i, args.frames),
+                                frames[i])
+            frames_done = args.frames
         elif args.frames <= 1 and args.tiled and not (args.interpret
                                                       or args.fallback):
             out = filt.render_tiled(

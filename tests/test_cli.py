@@ -327,3 +327,56 @@ def test_artifact_cli_error_paths(tmp_path):
     assert proc.returncode != 0
     assert "Traceback" not in proc.stderr
     assert "cannot --export-artifact" in proc.stderr
+
+
+def test_param_sweep_gif(input_png, tmp_path):
+    """--param-sweep NAME=LO:HI renders --frames steps of a slider
+    animation over ONE shared input in one device program."""
+    gif = tmp_path / "sweep.gif"
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(gif),
+                   "--param-sweep", "angle=1:5", "--frames", "4")
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    from mathmap_tpu.imgio.images import read_animation
+
+    frames = read_animation(str(gif), as_uint8=True)
+    assert frames.shape[0] == 4
+
+
+def test_param_sweep_sequence_matches_per_frame(input_png, tmp_path):
+    """PNG-sequence form: step i equals a lone render at the swept value
+    (t fixed at --t, frame internal = step index), byte-for-byte."""
+    seq = tmp_path / "s.png"
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(seq),
+                   "--param-sweep", "angle=1:5", "--frames", "3")
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    img = mm.read_image(input_png)
+    from mathmap_tpu.imgio.images import to_uint8
+
+    for i, v in enumerate((1.0, 3.0, 5.0)):
+        got = (mm.read_image(str(tmp_path / f"s_{i:04d}.png")) * 255.0
+               + 0.5).astype(np.uint8)
+        want = to_uint8(np.asarray(f.render(img, t=0.0, frame=float(i),
+                                            params={"angle": v})))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_param_sweep_errors(input_png, tmp_path):
+    out = tmp_path / "o.png"
+    # unknown param
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(out),
+                   "--param-sweep", "nosuch=0:1", "--frames", "3")
+    assert proc.returncode != 0 and "no param" in proc.stderr
+    # malformed spec
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(out),
+                   "--param-sweep", "angle=3", "--frames", "3")
+    assert proc.returncode != 0 and "NAME=LO:HI" in proc.stderr
+    # needs steps
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(out),
+                   "--param-sweep", "angle=1:5")
+    assert proc.returncode != 0 and "--frames" in proc.stderr
+    # no mixing with per-frame flag paths
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(out),
+                   "--param-sweep", "angle=1:5", "--frames", "3",
+                   "--interpret")
+    assert proc.returncode != 0 and "does not combine" in proc.stderr
