@@ -243,6 +243,10 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     rng = np.random.RandomState(42)
     img = rng.rand(h, w, 4).astype(np.float32)
     img[..., 3] = 1.0
+    # ONE u8 quantization (imgio.to_uint8's round-to-nearest rule) shared
+    # by the suite_f32_u8 and suite_u8io phases — two inline copies could
+    # silently diverge from each other and from the product packing
+    img_u8 = mm.to_uint8(img)
 
     suite = [
         "filters/Distorts/fisheye.mm",
@@ -434,7 +438,6 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         skipped.append("suite_f32_u8(quick)" if args.quick
                        else "suite_f32_u8")
     else:
-        img_u8 = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         opts_f32 = mm.RenderOptions(interpolation="bilinear",
                                     pallas_precision="f32")
         u8_mpix = []
@@ -514,8 +517,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     suite_u8io_per = []
     opts_u8 = mm.RenderOptions(interpolation="bilinear",
                                output_dtype="uint8")
-    img_u8io = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    dev_u8 = jax.device_put(img_u8io)
+    dev_u8 = jax.device_put(img_u8)
     jax.block_until_ready(dev_u8)
     for path, filt in zip(suite, filters):
         if over():

@@ -236,7 +236,11 @@ def _parse_param_sweep(spec, filt, n):
                          "of sweep steps)")
     vals = [lo + (hi - lo) * i / (n - 1) for i in range(n)]
     if kinds[name] == "int":
-        vals = [int(round(v)) for v in vals]
+        # half-UP, not round()'s half-to-even: banker's rounding makes a
+        # linear slider sweep cluster at .5 midpoints (0,2,2,4,4...)
+        import math
+
+        vals = [int(math.floor(v + 0.5)) for v in vals]
     return name, vals
 
 
@@ -250,10 +254,11 @@ def _run_param_sweep(args, filt, inputs, width, height, opts, params):
     from .api import shared
 
     name, vals = _parse_param_sweep(args.param_sweep, filt, args.frames)
-    if args.interpret or args.fallback or args.sharded or args.tiled:
+    if (args.interpret or args.fallback or args.sharded or args.tiled
+            or args.input_dir is not None or args.batch):
         raise SystemExit("--param-sweep runs the one-program batch path; "
                          "it does not combine with --interpret/--fallback/"
-                         "--sharded/--tiled")
+                         "--sharded/--tiled/--input-dir/--batch")
     n = args.frames
     return np.asarray(filt.render_batch(
         *[shared(a) for a in inputs],
@@ -546,10 +551,9 @@ def main(argv=None) -> int:
 
     try:
         t1 = time.perf_counter()
-        if args.input_dir is not None:
-            frames_done = _run_batch_dir(args, filt, out_path, width, height,
-                                         opts, params, log)
-        elif args.param_sweep is not None:
+        if args.param_sweep is not None:
+            # dispatched FIRST so its flag-combination guard fires even
+            # with --input-dir (which would otherwise silently win)
             frames = _run_param_sweep(args, filt, inputs, width, height,
                                       opts, params)
             if out_path.lower().endswith(".gif"):
@@ -561,6 +565,9 @@ def main(argv=None) -> int:
                     write_image(_frame_path(out_path, i, args.frames),
                                 frames[i])
             frames_done = args.frames
+        elif args.input_dir is not None:
+            frames_done = _run_batch_dir(args, filt, out_path, width, height,
+                                         opts, params, log)
         elif args.frames <= 1 and args.tiled and not (args.interpret
                                                       or args.fallback):
             out = filt.render_tiled(

@@ -149,11 +149,16 @@ class ShardedRenderer:
                     row_off = jax.lax.axis_index(ROW_AXIS) * tile_h
                     col_off = jax.lax.axis_index(COL_AXIS) * tile_w
                     f0 = jax.lax.axis_index(FRAME_AXIS) * frames_per_dev
+                    # /255 of the full replicated inputs HOISTED out of the
+                    # frame loop: inside `one` it sat in the lax.map body,
+                    # and XLA's loop-invariant motion declines to hoist
+                    # size-inflating ops — every frame repaid a full-image
+                    # u8->f32 convert (review r4 finding)
+                    from ..runtime.render import float_inputs
+
+                    fins = float_inputs(jnp, list(ins))
 
                     def one(i, t):
-                        from ..runtime.render import float_inputs
-
-                        fins = float_inputs(jnp, list(ins))
                         ctx = RenderContext(
                             be=jnp, width=width, height=height, opts=opts,
                             inputs=[InputImage(
@@ -186,20 +191,11 @@ class ShardedRenderer:
 
     def __call__(self, input_arrays, t=0.0, ts=None, frame=0.0):
         jnp = self.jnp
+        from ..runtime.render import stage_inputs
 
-        def stage(a):
-            # preserve uint8 (4x smaller replication; /255 happens
-            # IN-TRACE in the tile code, which also keeps the sampler's
-            # exact-u8 path engaged) — a blanket f32 cast here would ship
-            # RAW 0-255 floats into the tiles (runtime/render._stage rule)
-            if isinstance(a, jnp.ndarray):
-                return a
-            a = np.asarray(a)
-            if a.dtype != np.uint8:
-                a = np.asarray(a, dtype=np.float32)
-            return jnp.asarray(a)
-
-        ins = [stage(a) for a in input_arrays]
+        # uint8 preserved: 4x smaller replication, /255 in-trace in the
+        # tile code, exact-u8 sampler path — the ONE staging rule
+        ins = stage_inputs(jnp, input_arrays)
         if self.num_frames == 1:
             return self._jitted(ins, jnp.float32(t), jnp.float32(frame))
         return self._jitted(ins, jnp.asarray(ts, dtype=jnp.float32))

@@ -666,25 +666,38 @@ class PreviewState:
 
         from .imgio.images import read_animation
 
-        # u8 decode + one device_put at upload time: every slider
-        # interaction re-renders this same drawable, and a host array
-        # would re-upload AND re-pad per render (JitRenderer's prepad
-        # cache keys device-resident inputs by identity). u8 ships 4×
-        # fewer bytes and rides the sampler's exact-u8 path.
+        # u8 decode (4× smaller upload, exact-u8 sampler path); the
+        # device_put happens lazily at first RENDER (_staged_input), NOT
+        # here — /upload was pure host work, and a dark relay (CLAUDE.md:
+        # hour+ outages) must hang a render request, never the upload
+        # dialog (review r4 finding).
         stack = read_animation(_io.BytesIO(png_bytes), as_uint8=True)
         new_input = stack if stack.shape[0] > 1 else stack[0]
-        try:
-            import jax
-
-            new_input = jax.device_put(new_input)
-        except Exception:
-            pass  # no backend (pure-host tests): host array works as before
         with self.lock:
             self.input_image = new_input
             self._filter_cache.clear()  # cached jits keyed old input sizes
         # report THIS upload's geometry (a concurrent upload may already
         # have replaced self.input_image by the time we return)
         return new_input.shape[-2], new_input.shape[-3]
+
+    def _staged_input(self):
+        """The drawable as a device array, staged ONCE (lazily, at first
+        render — never in the upload handler): every slider interaction
+        re-renders this same image, and a host array would re-upload AND
+        re-pad per render (JitRenderer's prepad cache keys device-resident
+        inputs by identity). Call under self.lock."""
+        import numpy as _np
+
+        img = self.input_image
+        if not isinstance(img, _np.ndarray):
+            return img  # already staged (or absent)
+        try:
+            import jax
+
+            self.input_image = jax.device_put(img)
+        except Exception:
+            return img  # no backend (pure-host tests): render as before
+        return self.input_image
 
     def animate(self, source: str, params: dict, num_frames: int):
         """One-program t-sweep (render_animation) -> list of (H,W,4)."""
@@ -694,7 +707,7 @@ class PreviewState:
             # (blend, masks, composed graphs with (input 1)) binds it to
             # every image param — like applying a two-input GIMP filter to
             # one layer (review r3: extra image params failed to bind)
-            inputs = [self.input_image] * len(filt.image_params)
+            inputs = [self._staged_input()] * len(filt.image_params)
             w = h = self.size
             if inputs:
                 h, w = inputs[0].shape[-3], inputs[0].shape[-2]
@@ -783,7 +796,7 @@ class PreviewState:
             # (blend, masks, composed graphs with (input 1)) binds it to
             # every image param — like applying a two-input GIMP filter to
             # one layer (review r3: extra image params failed to bind)
-            inputs = [self.input_image] * len(filt.image_params)
+            inputs = [self._staged_input()] * len(filt.image_params)
             h = self.size
             w = self.size
             if inputs:

@@ -453,6 +453,26 @@ def _rebuild_uservals(be, arrays: dict, kinds: tuple):
     return out
 
 
+def stage_inputs(jnp, arrays):
+    """Host arrays -> device, preserving uint8 (the in-trace /255
+    conversion means a u8 upload ships 4× fewer bytes AND keeps the
+    sampler's exact-u8 path engaged); device arrays pass through untouched
+    (np.asarray on them would round-trip host<->device every call). The
+    ONE staging rule — shared by JitRenderer._stage and ShardedRenderer
+    (a diverged copy in the sharded path once shipped raw 0-255 floats
+    into the tiles; review r4 finding)."""
+    out = []
+    for a in arrays:
+        if isinstance(a, jnp.ndarray):
+            out.append(a)
+            continue
+        a = np.asarray(a)
+        if a.dtype != np.uint8:
+            a = np.asarray(a, dtype=np.float32)
+        out.append(jnp.asarray(a))
+    return out
+
+
 def _merge_shared(mask, shared, per_job, shared_pads):
     """Re-interleave SHARED inputs (one array for every job) with this
     job's sliced inputs, in original position order, pairing each shared
@@ -708,21 +728,7 @@ class JitRenderer:
         self._jitted_jobs_pp = jax.jit(run_jobs_pp, static_argnums=(3, 4))
 
     def _stage(self, arrays):
-        """Host arrays -> device, preserving uint8 (the in-trace /255
-        conversion in `run` means a u8 upload ships 4× fewer bytes);
-        device arrays pass through untouched — a np.asarray on them would
-        round-trip the whole image host<->device on every frame."""
-        jnp = self.jnp
-        out = []
-        for a in arrays:
-            if isinstance(a, jnp.ndarray):
-                out.append(a)
-                continue
-            a = np.asarray(a)
-            if a.dtype != np.uint8:
-                a = np.asarray(a, dtype=np.float32)
-            out.append(jnp.asarray(a))
-        return out
+        return stage_inputs(self.jnp, arrays)
 
     def _prepads_on(self) -> bool:
         from .sampling import pallas_policy
@@ -794,8 +800,10 @@ class JitRenderer:
             inputs=[], filters=self.filters, is_jax=True,
         )
         ins = self._stage(batched_inputs)
-        mask = tuple(bool(m) for m in
-                     (shared_mask or (False,) * len(ins)))
+        # `is None` (not truthiness): an empty sequence must still hit the
+        # length check, and a numpy bool array would raise on bool()
+        mask = ((False,) * len(ins) if shared_mask is None
+                else tuple(bool(m) for m in shared_mask))
         if len(mask) != len(ins):
             raise ValueError(
                 f"render_batch: shared_mask length {len(mask)} != "

@@ -380,3 +380,21 @@ def test_param_sweep_errors(input_png, tmp_path):
                    "--param-sweep", "angle=1:5", "--frames", "3",
                    "--interpret")
     assert proc.returncode != 0 and "does not combine" in proc.stderr
+
+
+def test_param_sweep_batch_conflict(input_png, tmp_path):
+    out = tmp_path / "o.png"
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(out),
+                   "--param-sweep", "angle=1:5", "--frames", "3", "--batch")
+    assert proc.returncode != 0 and "does not combine" in proc.stderr
+
+
+def test_param_sweep_int_rounding_half_up():
+    """int sweeps round half-UP: banker's rounding clusters a linear
+    slider at .5 midpoints (0,2,2,4,4)."""
+    from mathmap_tpu.cli import _parse_param_sweep
+
+    f = mm.compile_source(
+        "filter g (int k: 0-5 (0)) grayColor(k/5) end")
+    _, vals = _parse_param_sweep("k=0:5", f, 11)
+    assert vals == [0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
