@@ -51,6 +51,9 @@ select, button { background: #2a2a33; color: #ddd; border: 1px solid #555; }
   <div style="margin:6px 0">
     <button onclick="animate()">Animate</button>
     frames: <input id="nframes" value="24" size="3">
+    <button onclick="sweep()">Sweep</button>
+    <input id="sweepspec" placeholder="param=lo:hi" size="11"
+           title="animate a slider: e.g. angle=0:6 over the frame count">
     <button id="playbtn" onclick="togglePlay()" style="display:none">&#9654;</button>
     <input type="range" id="scrub" min="0" max="23" value="0" style="display:none"
            oninput="showFrame(parseInt(this.value))">
@@ -294,6 +297,30 @@ async function animate() {
   document.getElementById('playbtn').style.display = 'inline-block';
   document.getElementById('stats').textContent =
     n + ' frames in ' + (performance.now() - t0).toFixed(0) + ' ms';
+  showFrame(0);
+}
+async function sweep() {
+  const spec = document.getElementById('sweepspec').value;
+  const m = spec.match(/^\s*(\w+)\s*=\s*(-?[\d.]+)\s*:\s*(-?[\d.]+)\s*$/);
+  if (!m) { document.getElementById('error').textContent = 'sweep expects param=lo:hi (e.g. angle=0:6)'; return; }
+  const n = Math.min(120, Math.max(2, parseInt(document.getElementById('nframes').value) || 24));
+  const body = JSON.stringify({source: document.getElementById('src').value,
+                               params: paramState, param: m[1],
+                               lo: parseFloat(m[2]), hi: parseFloat(m[3]), frames: n,
+                               t: parseFloat(document.getElementById('t').value)});
+  document.getElementById('stats').textContent = 'sweeping ' + m[1] + ' over ' + n + ' steps...';
+  const t0 = performance.now();
+  const res = await fetch('/sweep', {method: 'POST', body: body});
+  const data = await res.json();
+  if (data.error) { document.getElementById('error').textContent = data.error; return; }
+  document.getElementById('error').textContent = '';
+  frames = data.frames;
+  const scrub = document.getElementById('scrub');
+  scrub.max = frames.length - 1;
+  scrub.style.display = 'inline-block';
+  document.getElementById('playbtn').style.display = 'inline-block';
+  document.getElementById('stats').textContent =
+    n + ' sweep frames in ' + (performance.now() - t0).toFixed(0) + ' ms';
   showFrame(0);
 }
 function hex2rgb(h) {
@@ -716,6 +743,44 @@ class PreviewState:
                 params=params,
             )
 
+    def sweep(self, source: str, name: str, lo: float, hi: float,
+              num_frames: int, t: float, params: dict):
+        """Slider animation: N param steps over the ONE uploaded drawable
+        in one device program (render_batch + shared input — the GUI twin
+        of the CLI --param-sweep; the reference's GIMP dialog animates
+        only t [unverified — mount empty])."""
+        import math
+
+        import numpy as np
+
+        from .api import shared
+
+        with self.lock:
+            filt = self._compile(source)
+            kinds = {p.name: p.kind for p in filt.params}
+            if name not in kinds:
+                raise ValueError(
+                    f"sweep param {name!r}: filter has no such param "
+                    f"(has: {', '.join(sorted(kinds)) or 'none'})")
+            if kinds[name] not in ("float", "int"):
+                raise ValueError(f"sweep param {name!r} is {kinds[name]!r};"
+                                 " only float/int params sweep")
+            vals = [lo + (hi - lo) * i / (num_frames - 1)
+                    for i in range(num_frames)]
+            if kinds[name] == "int":
+                vals = [int(math.floor(v + 0.5)) for v in vals]
+            inputs = [shared(self._staged_input())] * len(filt.image_params)
+            w = h = self.size
+            if filt.image_params:
+                img = self.input_image
+                h, w = img.shape[-3], img.shape[-2]
+            out = filt.render_batch(
+                *inputs, ts=np.full(num_frames, t, np.float32),
+                frames=np.arange(num_frames, dtype=np.float32),
+                width=w, height=h,
+                params=[{**params, name: v} for v in vals])
+            return [np.asarray(out[i]) for i in range(num_frames)]
+
     def build_graph(self, req: dict):
         """Node-editor JSON -> DesignerGraph (the GTK composer-canvas
         analog: nodes/edges in the browser, compile-to-one-source here)."""
@@ -898,10 +963,25 @@ def _make_handler(state: PreviewState):
                     self._send(200, json.dumps({
                         "frames": [self._png_b64(f) for f in frames],
                     }))
+                elif self.path == "/sweep":
+                    n = max(2, min(120, int(req.get("frames", 24))))
+                    frames = state.sweep(
+                        req["source"], str(req["param"]),
+                        float(req["lo"]), float(req["hi"]), n,
+                        float(req.get("t", 0.0)), req.get("params", {}),
+                    )
+                    self._send(200, json.dumps({
+                        "frames": [self._png_b64(f) for f in frames],
+                    }))
                 else:
                     self._send(404, "not found", "text/plain")
             except Exception as exc:  # surface errors in the page
-                msg = exc.format() if hasattr(exc, "format") else traceback.format_exc()
+                if hasattr(exc, "format"):
+                    msg = exc.format()  # MMError: source span + caret
+                elif isinstance(exc, (ValueError, KeyError)):
+                    msg = str(exc)  # validation: one readable line
+                else:
+                    msg = traceback.format_exc()
                 self._send(200, json.dumps({"error": str(msg)}))
 
     return Handler

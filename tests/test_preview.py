@@ -209,3 +209,29 @@ def test_bad_json_returns_error_response(server):
     except urllib.error.HTTPError as e:
         body = e.read()
     assert "error" in json.loads(body)
+
+
+def test_sweep_endpoint(server):
+    """/sweep: N param steps over the one drawable in one device program
+    (GUI twin of CLI --param-sweep); distinct param values must produce
+    distinct frames, and bad specs come back as readable errors."""
+    import base64
+
+    src = ("filter tw (image in, float angle: 0-10 (3))\n"
+           "  in(toXY(ra:[r, a + angle * (1 - r / R)]))\nend")
+    out = _post(server + "/sweep", {
+        "source": src, "param": "angle", "lo": 0.0, "hi": 6.0, "frames": 3})
+    assert "error" not in out, out.get("error")
+    assert len(out["frames"]) == 3
+    f0 = base64.b64decode(out["frames"][0])
+    f2 = base64.b64decode(out["frames"][2])
+    assert f0 != f2  # the swept param changed the render
+    # unknown param: one readable line, no traceback
+    out = _post(server + "/sweep", {
+        "source": src, "param": "nosuch", "lo": 0.0, "hi": 1.0, "frames": 2})
+    assert "no such param" in out["error"] and "Traceback" not in out["error"]
+    # non-numeric param kind
+    src2 = "filter g (image in, color c) in(xy) * c end"
+    out = _post(server + "/sweep", {
+        "source": src2, "param": "c", "lo": 0.0, "hi": 1.0, "frames": 2})
+    assert "only float/int" in out["error"]
