@@ -163,7 +163,11 @@ def exact_u8_eligible(opts, u8_src: bool, edge_x: str, edge_y: str) -> bool:
     for behavior in (edge_x, edge_y):
         if behavior not in ("wrap", "reflect", "clamp"):
             color = getattr(opts, "edge_color", (0.0, 0.0, 0.0, 0.0))
+            # on the u8 grid AND inside it: integers >255 stop being
+            # exact in bf16 (8-bit mantissa — e.g. 511 rounds to 512, a
+            # 1-LSB apron error for an out-of-gamut edge color)
             if any(abs(float(c) * 255.0 - round(float(c) * 255.0)) > 1e-9
+                   or not 0.0 <= float(c) <= 1.0
                    for c in color):
                 return False
     return True

@@ -209,6 +209,13 @@ def test_exact_u8_eligibility_rules():
     # on-grid non-zero color (128/255) -> eligible
     opts_g = mm.RenderOptions(edge_color=(128.0 / 255.0, 0.0, 0.0, 1.0))
     assert exact_u8_eligible(opts_g, True, "color", "color")
+    # OUT-OF-GAMUT on-grid color -> NOT eligible: 511 is on the *255 grid
+    # but not exact in bf16 (8-bit mantissa; 511 would round to 512,
+    # a 1-LSB apron error)
+    opts_o = mm.RenderOptions(edge_color=(511.0 / 255.0, 0.0, 0.0, 1.0))
+    assert not exact_u8_eligible(opts_o, True, "color", "wrap")
+    opts_n = mm.RenderOptions(edge_color=(-1.0 / 255.0, 0.0, 0.0, 1.0))
+    assert not exact_u8_eligible(opts_n, True, "color", "wrap")
     # pad plan: exact -> bf16 even in f32 precision mode
     opts_f32 = mm.RenderOptions(pallas_precision="f32")
     dt, exact = image_pad_plan(opts_f32, True, "wrap", "wrap")
