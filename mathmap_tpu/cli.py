@@ -91,6 +91,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "frames (auto: >=1024 base blocks, ~0.5 Mpix)")
     p.add_argument("--pallas-while", choices=("auto", "on", "off"), default="auto",
                    help="in-VMEM while-loop engine (fractals)")
+    p.add_argument("--region", default=None, metavar="X,Y,WxH",
+                   help="render only the (X, Y, WxH) sub-rectangle of the "
+                        "canvas (GIMP-selection semantics: x/y/W/H/R and "
+                        "input sampling keep the FULL canvas; the output "
+                        "image is WxH)")
     p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")
     p.add_argument("--interpret", action="store_true", help="use the NumPy oracle interpreter")
     p.add_argument("--fallback", action="store_true",
@@ -406,6 +411,22 @@ def main(argv=None) -> int:
     if args.tiled and args.sharded:
         raise SystemExit("--tiled (input-sharded) and --sharded "
                          "(output-sharded) are mutually exclusive")
+    region = None
+    if args.region is not None:
+        if args.sharded or args.tiled:
+            raise SystemExit("--region renders single-chip; it cannot be "
+                             "combined with --sharded/--tiled")
+        try:
+            parts = args.region.split(",")
+            if len(parts) != 3 or "x" not in parts[2].lower():
+                raise ValueError
+            rx, ry = int(parts[0]), int(parts[1])
+            rw, rh = (int(v) for v in parts[2].lower().split("x"))
+            region = (rx, ry, rw, rh)
+        except ValueError:
+            raise SystemExit(
+                f"--region wants X,Y,WxH (e.g. 100,50,640x480); "
+                f"got {args.region!r}")
     verbose = args.verbose
 
     def log(msg):
@@ -519,8 +540,19 @@ def main(argv=None) -> int:
         pallas_while=args.pallas_while,
         static_params=tuple(n.strip() for n in args.static_params.split(",")
                             if n.strip()),
+        region=region,
     )
     params = _parse_params(args.param)
+
+    if region is not None:
+        # one-line bounds error here (the renderer raises the same check
+        # as a ValueError deep in a traceback)
+        cw = width or (inputs[0].shape[-2] if inputs else 512)
+        ch = height or (inputs[0].shape[-3] if inputs else 512)
+        if region[0] + region[2] > cw or region[1] + region[3] > ch:
+            print(f"--region {args.region} exceeds the {cw}x{ch} canvas",
+                  file=sys.stderr)
+            return 1
 
     if args.export_artifact:
         from .generators.artifact import export_artifact

@@ -257,6 +257,10 @@ class TiledRenderer:
 
         self.jnp = jnp
         self.check = check
+        if getattr(opts, "region", None) is not None:
+            raise ValueError(
+                "options.region is not supported by render_tiled; "
+                "use render() for region (selection) renders")
         if opts.supersample > 1 and opts.supersample_scheme == "corners":
             # the corner grid extends each device's tile by one row/col of
             # EVALUATION positions whose samples would need their own halo

@@ -116,6 +116,13 @@ class ShardedRenderer:
 
         self.mesh = mesh
         self.jnp = jnp
+        if getattr(opts, "region", None) is not None:
+            # a region render IS a tile of the canvas — composing it with
+            # mesh tiling would need region-aware shard geometry; render
+            # the region single-chip (JitRenderer) instead
+            raise ValueError(
+                "options.region is not supported by render_sharded; "
+                "use render() for region (selection) renders")
         nf = axis_size(mesh, FRAME_AXIS)
 
         # uservals resolved at construction (sharded renders are batch jobs;

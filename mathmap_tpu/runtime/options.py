@@ -49,6 +49,14 @@ class RenderOptions:
     #: ~15-40 MB/s). Applies to every renderer (jit, oracle, sharded,
     #: tiled) — they all pack in runtime.render.render_frame.
     output_dtype: str = "float32"
+    #: render only the (x, y, w, h) sub-rectangle of the canvas — the
+    #: GIMP-selection semantics of the reference plugin (`mathmap.c` applies
+    #: the filter to the drawable's selection bounds while x/y/W/H/R keep
+    #: the FULL drawable's coordinate system [unverified — mount empty]).
+    #: x is the left column, y the TOP row (image row order), both 0-based;
+    #: the output array is (h, w, 4). Inputs stay full-canvas (a warp may
+    #: sample source pixels far outside the region). None = full canvas.
+    region: tuple | None = None
     #: safety cap on per-pixel `while` trip counts (the reference's compile/
     #: render resource limits, SURVEY §2.1 compiler row).
     max_loop_iters: int = 10000
@@ -159,6 +167,17 @@ class RenderOptions:
             raise ValueError(
                 f"edge_color needs 3 or 4 components, got {len(ec)}")
         object.__setattr__(self, "edge_color", ec)
+        if self.region is not None:
+            reg = tuple(int(v) for v in self.region)
+            if len(reg) != 4:
+                raise ValueError("region must be (x, y, w, h)")
+            if reg[2] < 1 or reg[3] < 1:
+                raise ValueError("region w/h must be >= 1")
+            if reg[0] < 0 or reg[1] < 0:
+                raise ValueError("region x/y must be >= 0")
+            # x+w <= width is checked where the canvas size is known
+            # (JitRenderer / render_oracle)
+            object.__setattr__(self, "region", reg)
         if self.sampler not in ("auto", "pallas", "gather"):
             raise ValueError("sampler must be 'auto', 'pallas' or 'gather'")
         if self.sweep_unroll != "auto" and (

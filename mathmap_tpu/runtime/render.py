@@ -90,6 +90,40 @@ def coordinate_grids(ctx: RenderContext, dx: float = 0.0, dy: float = 0.0):
     return x, y
 
 
+def resolve_region(opts, width: int, height: int):
+    """Validate opts.region against the canvas -> (x, y, w, h) or None.
+
+    The GIMP-selection semantics (reference `mathmap.c` renders the
+    drawable's selection bounds with full-drawable coordinates
+    [unverified — mount empty]): only the sub-rectangle is evaluated, but
+    x/y/W/H/R and input sampling use the FULL canvas."""
+    reg = getattr(opts, "region", None)
+    if reg is None:
+        return None
+    x, y, w, h = reg
+    if x + w > width or y + h > height:
+        raise ValueError(
+            f"region {reg} exceeds the {width}x{height} canvas")
+    return reg
+
+
+def region_ctx_fields(region, base_layout):
+    """RenderContext overrides that evaluate only the region's grid.
+
+    Two mechanisms on purpose (mirroring the sharded renderers): the
+    base-block-layout path describes the region as a local tile at global
+    origin (tile_row0, tile_col0) — the same fields shard_map tiles use —
+    while the (H, W) path uses grid_shape + row/col offsets. Either way
+    world coordinates stay GLOBAL, so the region render is the full
+    render's crop."""
+    if region is None:
+        return {}
+    x, y, w, h = region
+    if base_layout is not None:
+        return dict(local_height=h, local_width=w, tile_row0=y, tile_col0=x)
+    return dict(grid_shape=(h, w), row_offset=y, col_offset=x)
+
+
 def base_layout_for(width: int, height: int):
     """(nby, nbx) covering the frame with (8, 64) base blocks, padded so
     block columns fill the 256-px planning LCM (matches the sampler's
@@ -555,7 +589,12 @@ class JitRenderer:
         # sampler's native tile layout so its I/O needs no transposes.
         import os
 
-        base_layout = (base_layout_for(width, height)
+        # region renders (GIMP-selection semantics): the evaluated grid —
+        # and therefore the base-block layout — covers only the region;
+        # width/height (and input prepads) stay full-canvas
+        region = resolve_region(opts, width, height)
+        rw, rh = (region[2], region[3]) if region else (width, height)
+        base_layout = (base_layout_for(rw, rh)
                        if base_layout_enabled(program_filters, fdef, opts)
                        else None)
         ss = 1
@@ -587,6 +626,7 @@ class JitRenderer:
                 filters=program_filters, t=t, frame=frame,
                 num_frames=num_frames, is_jax=True,
                 base_layout=base_layout, grid_xy=grids, ss_stack=ss,
+                **region_ctx_fields(region, base_layout),
             )
             uservals = _rebuild_uservals(jnp, userval_arrays, kinds)
             return render_frame(ctx, fdef, uservals)
@@ -603,6 +643,7 @@ class JitRenderer:
                 be=jnp, width=width, height=height, opts=opts,
                 inputs=[], filters=program_filters, is_jax=True,
                 base_layout=base_layout, ss_stack=ss,
+                **region_ctx_fields(region, base_layout),
             )
             return coordinate_grids(ctx0)
 
@@ -876,6 +917,7 @@ def render_oracle(program_filters: dict, fdef: A.FilterDef, input_arrays, params
                 for i, a in enumerate(input_arrays)],
         filters=program_filters, t=dt(t), frame=dt(frame),
         num_frames=num_frames, is_jax=False, dtype=dt,
+        **region_ctx_fields(resolve_region(opts, width, height), None),
     )
     _validate_static_params(fdef, getattr(opts, "static_params", ()))
     _validate_param_names(fdef, params)

@@ -398,3 +398,30 @@ def test_param_sweep_int_rounding_half_up():
         "filter g (int k: 0-5 (0)) grayColor(k/5) end")
     _, vals = _parse_param_sweep("k=0:5", f, 11)
     assert vals == [0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+
+
+def test_region_render(tmp_path):
+    """--region X,Y,WxH renders the selection crop of the full canvas."""
+    out_r = tmp_path / "reg.png"
+    out_f = tmp_path / "full.png"
+    expr = "filter g () rgbaColor(x/W+0.5, y/H+0.5, 0.3, 1) end"
+    p1 = run_cli(expr, str(out_r), "--size", "128x96",
+                 "--region", "17,9,50x40")
+    p2 = run_cli(expr, str(out_f), "--size", "128x96")
+    assert p1.returncode == 0 and p2.returncode == 0, p1.stderr + p2.stderr
+    reg = mm.read_image(str(out_r))
+    full = mm.read_image(str(out_f))
+    assert reg.shape == (40, 50, 4)
+    assert np.array_equal(reg, full[9:49, 17:67])
+
+
+def test_region_errors(tmp_path):
+    out = tmp_path / "o.png"
+    expr = "filter g () rgbaColor(x,y,0,1) end"
+    p = run_cli(expr, str(out), "--size", "32x32", "--region", "30,0,10x4")
+    assert p.returncode == 1 and "exceeds the 32x32 canvas" in p.stderr
+    p = run_cli(expr, str(out), "--size", "32x32", "--region", "bogus")
+    assert p.returncode != 0 and "X,Y,WxH" in p.stderr
+    p = run_cli(expr, str(out), "--size", "32x32", "--region", "0,0,8x8",
+                "--sharded")
+    assert p.returncode != 0 and "single-chip" in p.stderr
