@@ -83,7 +83,7 @@ from .runtime.options import RenderOptions
 #: and hashable, lists would break the jit-cache key).
 _OPT_KEYS = ("interpolation", "edge_x", "edge_y", "edge_color",
              "supersample", "supersample_scheme", "pallas_precision",
-             "periodic", "seed", "static_params")
+             "periodic", "seed", "static_params", "region")
 
 
 def _opts_from(req: dict) -> RenderOptions:

@@ -652,3 +652,28 @@ def test_export_anim_frames_zero_rejected(tmp_path_factory):
     d = tmp_path_factory.mktemp("arts_zero")
     with pytest.raises(ValueError, match="anim_frames must be >= 1"):
         export_artifact(f, str(d / "z.mmxa"), W, H, anim_frames=0)
+
+
+def test_http_render_region(http_server):
+    """A 'region' option renders the selection crop: region-sized output,
+    equal to the full render's crop (u8: the lone-vs-batched float paths
+    can flip an 8-bit rounding boundary, so <=1 count)."""
+    from PIL import Image
+
+    img = _img(9)
+    base = {"filter": "twirl", "width": W, "height": H, "t": 0.2,
+            "params": {"angle": 3.0}, "inputs": [_png_b64(img)]}
+    code, full = _post(http_server, "/render", base)
+    code_r, reg = _post(http_server, "/render",
+                        {**base, "region": [4, 6, 16, 12]})
+    assert code == 200 and code_r == 200, (full, reg)
+    fa = np.asarray(Image.open(io.BytesIO(base64.b64decode(full["image"]))))
+    ra = np.asarray(Image.open(io.BytesIO(base64.b64decode(reg["image"]))))
+    assert ra.shape == (12, 16, 4)
+    diff = np.abs(ra.astype(np.int16) - fa[6:18, 4:20].astype(np.int16))
+    assert diff.max() <= 1
+
+    # out-of-canvas region is a 400 client error, not a traceback
+    code_e, body = _post(http_server, "/render",
+                         {**base, "region": [W - 2, 0, 8, 8]})
+    assert code_e == 400 and "exceeds" in body["error"]
