@@ -128,3 +128,19 @@ def test_region_rejected_by_sharded_and_tiled(img):
         f.render_sharded(img, options=RenderOptions(region=REG))
     with pytest.raises(ValueError, match="render_tiled"):
         f.render_tiled(img, options=RenderOptions(region=REG))
+
+
+def test_region_artifact_roundtrip(img, tmp_path):
+    """AOT .mmxa artifacts compose with region: the exported program bakes
+    the region grid and renders the crop bit-identically to the live
+    renderer (generators/artifact.py — the cgen/dlopen shipping analog)."""
+    from mathmap_tpu.generators.artifact import export_artifact, load_artifact
+
+    f = mm.compile_source(WARP)
+    o = RenderOptions(region=REG)
+    p = str(tmp_path / "r.mmxa")
+    export_artifact(f, p, 256, 64, options=o)
+    art = load_artifact(p)
+    out = np.asarray(art.render(img))
+    assert out.shape == (41, 130, 4)
+    assert np.array_equal(out, f.render(img, options=o))
