@@ -106,6 +106,28 @@ def main():
           "filter f (image in) in(xy * xy:[3,1]) end", "f32",
           O(pallas_precision="f32"), inputs=(img,))
 
+    # --- region (selection) render: oracle parity at a deliberately
+    # unaligned origin, plus jit-vs-jit bitwise crop equality on-device ---
+    REG = (97, 33, 130, 41)
+    drive("twirl/region", "filters/Distorts/twirl.mm", "bf16",
+          O(region=REG), inputs=(img,), t=0.8)
+    try:
+        t0 = time.time()
+        f = mm.compile_file("filters/Distorts/twirl.mm")
+        full = f.render(img, width=SIZE, height=SIZE, t=0.8)
+        reg = f.render(img, width=SIZE, height=SIZE, t=0.8,
+                       options=O(region=REG))
+        rx, ry, rw, rh = REG
+        same = np.array_equal(np.asarray(reg),
+                              np.asarray(full)[ry:ry+rh, rx:rx+rw])
+        print(f"region/crop-bitwise [{time.time()-t0:.0f}s]: "
+              f"{'OK' if same else 'FAIL'}", flush=True)
+        results.append(("region/crop-bitwise", same))
+    except Exception as e:
+        print(f"region/crop-bitwise: EXCEPTION {type(e).__name__}: {e}",
+              flush=True)
+        results.append(("region/crop-bitwise", False))
+
     # --- LUT application (gradient/curve through the MXU kernel) ---
     drive("gradient_map/LUT", "filters/Colors/gradient_map.mm", "bf16",
           inputs=(img,))
