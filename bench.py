@@ -91,6 +91,26 @@ _MERGE_MAX_FIELDS = ("sustained_ripple_mpix", "suite_batched_mpix",
                      "loop_unroll_mpix", "pond_8k_mpix", "suite_f32_mpix",
                      "suite_f32_u8_mpix", "suite_u8io_mpix")
 
+# Measurement BASIS per merged field (VERDICT r4 item 3): bump a field's tag
+# whenever its measurement protocol changes. merge_record refuses to max()
+# across differing bases — the old value is demoted to the record's `legacy`
+# dict (annotated with its basis) instead of competing with the new one.
+# History this rule exists for: the r3-era suite_batched 458.4 was measured
+# through the api wrapper whose np.asarray pulled ~265 MB of output through
+# the relay INSIDE the timing, and with batch-constant params that let XLA
+# collapse the batch — the r4 protocol (device-fenced, shared-image,
+# param-varying) is a different (honest) measurement and must not lose a
+# per-field max() against the inflated number.
+FIELD_BASIS = {
+    "sustained_ripple_mpix": "r2.device-fenced",
+    "suite_batched_mpix": "r4.device-fenced.shared-img.param-varying",
+    "loop_unroll_mpix": "r2.device-fenced",
+    "pond_8k_mpix": "r2.device-fenced",
+    "suite_f32_mpix": "r3.device-fenced",
+    "suite_f32_u8_mpix": "r4.exact-u8",
+    "suite_u8io_mpix": "r4.device-fenced.shared-img.param-varying",
+}
+
 
 def merge_record(best: dict, d: dict) -> dict:
     """Merge a new full-suite run into the stored best, per field.
@@ -103,11 +123,16 @@ def merge_record(best: dict, d: dict) -> dict:
       c_threads/relay_health_ms/health_gate follow whichever run won it
       (they describe that measurement's conditions);
     - every secondary in _MERGE_MAX_FIELDS takes the per-field non-zero
-      max — a skipped (0.0) phase can never erase a measured one.
+      max WITHIN the same measurement basis (FIELD_BASIS) — a skipped
+      (0.0) phase can never erase a measured one, and a basis change
+      demotes the old-basis value to `legacy` instead of competing
+      (VERDICT r4 item 3: never max() across bases).
     """
     if not best:
         rec = dict(d)
         rec["date"] = time.strftime("%Y-%m-%d")
+        rec["bases"] = {k: FIELD_BASIS[k] for k in _MERGE_MAX_FIELDS
+                        if (d.get(k, 0.0) or 0.0) > 0.0}
         return rec
     if d.get("value", 0.0) > best.get("value", 0.0):
         rec = dict(d)
@@ -115,9 +140,25 @@ def merge_record(best: dict, d: dict) -> dict:
         rec["prev_value"] = best.get("value", 0.0)
     else:
         rec = dict(best)
+    # a stored record predating the bases field is assumed current-basis
+    # ONLY because records.json was hand-audited at the r4->r5 transition
+    # (the one known-tainted field, suite_batched 458.4, was demoted then)
+    stored_bases = dict(best.get("bases") or {})
+    legacy = dict(best.get("legacy") or {})
+    rec_bases = {}
     for k in _MERGE_MAX_FIELDS:
         prev, new = best.get(k, 0.0) or 0.0, d.get(k, 0.0) or 0.0
+        prev_basis = stored_bases.get(k, FIELD_BASIS[k] if prev else None)
+        if prev and prev_basis != FIELD_BASIS[k]:
+            # basis changed: old value can no longer compete — demote it
+            legacy[f"{k}@{prev_basis}"] = prev
+            prev = 0.0
         rec[k] = max(prev, new)
+        if rec[k] > 0.0:
+            rec_bases[k] = FIELD_BASIS[k]
+    rec["bases"] = rec_bases
+    if legacy:
+        rec["legacy"] = legacy
     # bookkeeping fields describing skips apply to the merged record only
     # if nothing was merged in from history
     if any((best.get(k, 0.0) or 0.0) > 0.0 for k in _MERGE_MAX_FIELDS):
@@ -277,6 +318,23 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     # the headline 10-15% but can no longer zero the secondaries (observed
     # r3: retries at a 13-14 ms plateau starved all six secondary phases).
     HEALTHY_MS = 6.0
+
+    # per-phase wall timing (VERDICT r4 item 5): the r4 driver run skipped
+    # three phases on budget — record where the 540 s actually goes so the
+    # phase balance is tuned on data, not guesses. Ships in the JSON as
+    # phase_times_s (diagnostic, never merged).
+    phase_times = {}
+    _phase_t = [time.perf_counter()]
+
+    def mark(name):
+        now = time.perf_counter()
+        phase_times[name] = round(now - _phase_t[0], 1)
+        _phase_t[0] = now
+        partial["phase_times_s"] = phase_times
+        print(f"# phase {name}: {phase_times[name]:.1f}s "
+              f"(elapsed {now - t_start:.0f}/{args.budget_s:.0f}s)",
+              file=sys.stderr)
+
     built = [_build(path, w, h, opts) for path in suite]
     filters = [b[0] for b in built]
     renderers = [b[1] for b in built]
@@ -305,12 +363,40 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         return float(np.mean([w * h / dt / 1e6 for dt in best_dt]))
 
     value = suite_value()
+    mark("suite")
 
     # Measured C per-pixel baseline (the honest vs_baseline denominator),
     # EARLY and CPU-only: a crash in any TPU secondary must not cost the
     # partial JSON its ratio (observed live: an 8K SMEM compile crash
     # emitted vs_baseline 0.0 alongside a valid 497.9 suite value).
+    # LOAD GUARD (VERDICT r4 item 4): this is a 1-core box — any concurrent
+    # host work (pytest, compile workers) slows the C renderer and INFLATES
+    # our ratio (observed twice in r4: 6.91 and 5.94 Mpix/s under load →
+    # bogus 70.5x/84.7x, vs 9.09-12.92 in quiet windows). If the host is
+    # loaded, wait briefly for quiet; if it stays loaded, fall back to the
+    # recorded quiet-window denominator (flagged), or flag the fresh
+    # measurement as polluted and withhold vs_baseline.
     import importlib.util
+
+    def host_load():
+        fake = os.environ.get("MMTPU_BENCH_FAKE_LOAD")
+        if fake is not None:  # test hook (tests/test_bench_protocol.py)
+            return float(fake)
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except Exception:
+            return 0.0
+
+    load = host_load()
+    for _ in range(3):
+        if load <= 0.5 or over():
+            break
+        print(f"# host loaded ({load:.2f}) — waiting for a quiet window "
+              "before the C baseline", file=sys.stderr)
+        time.sleep(8 if "MMTPU_BENCH_FAKE_LOAD" not in os.environ else 0.01)
+        load = host_load()
+    partial["c_load_1min"] = round(load, 2)
 
     spec = importlib.util.spec_from_file_location(
         "c_baseline_runner",
@@ -319,25 +405,52 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     )
     c_runner = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(c_runner)
-    bimg = img[:1080, :1920] if not args.quick else img
-    c_result = c_runner.measure(bimg, iters=2)
-    if c_result is not None:
-        cpu_mpix, c_per, c_threads = c_result
-        print(f"# C baseline: {cpu_mpix:.2f} Mpix/s mean on {c_threads} thread(s) "
-              f"({', '.join(f'{k} {v:.1f}' for k, v in c_per.items())})",
+
+    recorded_c = 0.0
+    try:
+        with open(_records_path()) as f:
+            recorded_c = (json.load(f).get("best") or {}).get(
+                "c_baseline_mpix", 0.0) or 0.0
+    except Exception:
+        pass
+
+    c_polluted = load > 0.5
+    if c_polluted and recorded_c:
+        # prior quiet-window measurement beats a fresh polluted one
+        cpu_mpix, c_threads = recorded_c, 1
+        partial["c_baseline_source"] = "recorded-quiet-window"
+        print(f"# host still loaded ({load:.2f}) — using recorded "
+              f"quiet-window C baseline {recorded_c:.2f} Mpix/s",
               file=sys.stderr)
-    else:  # no C compiler: NumPy oracle stand-in (overstates our ratio)
-        bw, bh = 480, 270
-        filt = __import__("mathmap_tpu").compile_file(suite[0])
-        start = time.perf_counter()
-        filt.render(img[:bh, :bw], width=bw, height=bh, t=0.37, options=opts,
-                    interpret=True)
-        cpu_mpix = bw * bh / (time.perf_counter() - start) / 1e6
-        c_threads = 0
-        print(f"# oracle stand-in baseline: {cpu_mpix:.2f} Mpix/s", file=sys.stderr)
-    if cpu_mpix and value:
+    else:
+        bimg = img[:1080, :1920] if not args.quick else img
+        c_result = c_runner.measure(bimg, iters=2)
+        if c_result is not None:
+            cpu_mpix, c_per, c_threads = c_result
+            print(f"# C baseline: {cpu_mpix:.2f} Mpix/s mean on {c_threads} thread(s) "
+                  f"({', '.join(f'{k} {v:.1f}' for k, v in c_per.items())})",
+                  file=sys.stderr)
+        else:  # no C compiler: NumPy oracle stand-in (overstates our ratio)
+            bw, bh = 480, 270
+            filt = __import__("mathmap_tpu").compile_file(suite[0])
+            start = time.perf_counter()
+            filt.render(img[:bh, :bw], width=bw, height=bh, t=0.37, options=opts,
+                        interpret=True)
+            cpu_mpix = bw * bh / (time.perf_counter() - start) / 1e6
+            c_threads = 0
+            print(f"# oracle stand-in baseline: {cpu_mpix:.2f} Mpix/s", file=sys.stderr)
+        if c_polluted:
+            # fresh measurement under load, nothing recorded to fall back
+            # on: publish the number but refuse the ratio (a slowed C
+            # denominator would overstate us)
+            partial["c_baseline_polluted"] = True
+            print(f"# host loaded ({load:.2f}) and no recorded baseline — "
+                  "C number flagged polluted, vs_baseline withheld",
+                  file=sys.stderr)
+    if cpu_mpix and value and not (c_polluted and not recorded_c):
         partial["vs_baseline"] = round(value / cpu_mpix, 1)
         partial["c_baseline_mpix"] = round(cpu_mpix, 2)
+    mark("c_baseline")
 
     import jax
     import jax.numpy as jnp
@@ -356,23 +469,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         partial["loop_unroll_mpix"] = round(loop_mpix, 1)
         print(f"# lissajous (64-iter static unroll): {dt * 1e3:.2f} ms/frame"
               f"  {loop_mpix:.1f} Mpix/s", file=sys.stderr)
-
-    # 8K secondary: 4x the pixels per dispatch amortizes the per-call relay
-    # tax — the closest single-dispatch measure of the chip's kernel rate
-    # (docs/PERFORMANCE.md roofline: pond 8K ~781 Mpix/s at a 3x-degraded
-    # relay vs 590 at 4K).
-    pond8k_mpix = 0.0
-    if args.quick or over():
-        skipped.append("pond_8k(quick)" if args.quick else "pond_8k")
-    else:
-        w8, h8 = 2 * w, 2 * h  # 2x2-tile whatever --size gave (default: 8K)
-        img8 = np.tile(img, (2, 2, 1))
-        _, r8 = _build("filters/Distorts/pond.mm", w8, h8, opts)
-        dt8 = time_tpu(r8, [img8], 8)
-        pond8k_mpix = w8 * h8 / dt8 / 1e6
-        partial["pond_8k_mpix"] = round(pond8k_mpix, 1)
-        print(f"# pond 8K: {dt8 * 1e3:.2f} ms/frame  {pond8k_mpix:.1f} Mpix/s",
-              file=sys.stderr)
+    mark("loop_unroll")
 
     # Sustained throughput: a 24-frame t-sweep through render_all_frames
     # (ONE device program via lax.map) amortizes the relay's ~10ms/call
@@ -404,55 +501,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         print(f"# sustained (ripple 1080p x{n_sweep} batched): "
               f"{best / n_sweep * 1e3:.2f} ms/frame  {sustained:.1f} Mpix/s",
               file=sys.stderr)
-
-    # strict-precision secondary: the same suite in the split-float 'f32'
-    # sampler mode (<=7e-5 vs the exact gather path — the STRICT reading of
-    # BASELINE's 1-ulp tolerance clause; the bf16 default is ~1.5 LSB of
-    # the reference's uint8 output packing).
-    suite_f32 = 0.0
-    if args.quick or over():
-        skipped.append("suite_f32(quick)" if args.quick else "suite_f32")
-    else:
-        opts_f32 = mm.RenderOptions(interpolation="bilinear",
-                                    pallas_precision="f32")
-        f32_mpix = []
-        for path in suite:
-            if over():
-                skipped.append("suite_f32")
-                break
-            _, rf = _build(path, w, h, opts_f32)
-            dt = time_tpu(rf, [img], max(8, iters // 2))
-            f32_mpix.append(w * h / dt / 1e6)
-            print(f"# {path} f32: {dt * 1e3:.2f} ms/frame  "
-                  f"{f32_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
-        if len(f32_mpix) == len(suite):
-            suite_f32 = float(np.mean(f32_mpix))
-            partial["suite_f32_mpix"] = round(suite_f32, 1)
-
-    # strict-precision suite on UINT8 inputs — the reference's actual
-    # input format (8-bit drawables): u8-sourced images ride the EXACT-u8
-    # kernel path (integer bf16 pads — third split-float pass skipped,
-    # window DMA halved; sample_kernel.exact_u8_eligible).
-    suite_f32_u8 = 0.0
-    if args.quick or over():
-        skipped.append("suite_f32_u8(quick)" if args.quick
-                       else "suite_f32_u8")
-    else:
-        opts_f32 = mm.RenderOptions(interpolation="bilinear",
-                                    pallas_precision="f32")
-        u8_mpix = []
-        for path in suite:
-            if over():
-                skipped.append("suite_f32_u8")
-                break
-            _, rf = _build(path, w, h, opts_f32)
-            dt = time_tpu(rf, [img_u8], max(8, iters // 2))
-            u8_mpix.append(w * h / dt / 1e6)
-            print(f"# {path} f32/u8-in: {dt * 1e3:.2f} ms/frame  "
-                  f"{u8_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
-        if len(u8_mpix) == len(suite):
-            suite_f32_u8 = float(np.mean(u8_mpix))
-            partial["suite_f32_u8_mpix"] = round(suite_f32_u8, 1)
+    mark("sustained_ripple")
 
     # Secondary metric: the same suite as 8-frame batches in ONE device
     # program each — the chip rate with the relay's per-dispatch cost
@@ -502,9 +551,14 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         print(f"# {path} batched x{n_sw} (param-varying, shared img): "
               f"{best * 1e3:.2f} ms/frame  {suite_sust[-1]:.1f} Mpix/s",
               file=sys.stderr)
-    suite_batched = float(np.mean(suite_sust)) if suite_sust else 0.0
-    if suite_sust:
+    # record COMPLETE suite means only (r4 driver JSON recorded fisheye's
+    # lone 434.7 as "the suite" while also listing the phase skipped —
+    # a partial mean mislabeled as the mean; same rule the f32 phases use)
+    suite_batched = (float(np.mean(suite_sust))
+                     if len(suite_sust) == len(suite) else 0.0)
+    if suite_batched:
         partial["suite_batched_mpix"] = round(suite_batched, 1)
+    mark("suite_batched")
 
     # The product's END-TO-END workload: u8 inputs AND u8 outputs (the
     # reference is a GIMP plugin — 8-bit drawables both ways [unverified —
@@ -547,6 +601,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     suite_u8io = float(np.mean(suite_u8io_per)) if suite_u8io_per else 0.0
     if suite_u8io_per:
         partial["suite_u8io_mpix"] = round(suite_u8io, 1)
+    mark("suite_u8io")
 
     # diagnostics (not part of the headline metric): generative filter
     # (no sampling, no input) isolates raw compute from gather cost
@@ -557,6 +612,77 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         dt = time_tpu(renderer, [], iters)
         print(f"# moire (generative): {dt * 1e3:.2f} ms/frame  "
               f"{w * h / dt / 1e6:.1f} Mpix/s", file=sys.stderr)
+    mark("moire")
+
+    # 8K secondary: 4x the pixels per dispatch amortizes the per-call relay
+    # tax — the closest single-dispatch measure of the chip's kernel rate
+    # (docs/PERFORMANCE.md roofline: pond 8K ~781 Mpix/s at a 3x-degraded
+    # relay vs 590 at 4K). Runs AFTER the north-star-critical batched/u8io
+    # phases (r4 phase order starved them; this one is a depth diagnostic).
+    pond8k_mpix = 0.0
+    if args.quick or over():
+        skipped.append("pond_8k(quick)" if args.quick else "pond_8k")
+    else:
+        w8, h8 = 2 * w, 2 * h  # 2x2-tile whatever --size gave (default: 8K)
+        img8 = np.tile(img, (2, 2, 1))
+        _, r8 = _build("filters/Distorts/pond.mm", w8, h8, opts)
+        dt8 = time_tpu(r8, [img8], 8)
+        pond8k_mpix = w8 * h8 / dt8 / 1e6
+        partial["pond_8k_mpix"] = round(pond8k_mpix, 1)
+        print(f"# pond 8K: {dt8 * 1e3:.2f} ms/frame  {pond8k_mpix:.1f} Mpix/s",
+              file=sys.stderr)
+    mark("pond_8k")
+
+    # strict-precision secondary: the same suite in the split-float 'f32'
+    # sampler mode (<=7e-5 vs the exact gather path — the STRICT reading of
+    # BASELINE's 1-ulp tolerance clause; the bf16 default is ~1.5 LSB of
+    # the reference's uint8 output packing).
+    suite_f32 = 0.0
+    if args.quick or over():
+        skipped.append("suite_f32(quick)" if args.quick else "suite_f32")
+    else:
+        opts_f32 = mm.RenderOptions(interpolation="bilinear",
+                                    pallas_precision="f32")
+        f32_mpix = []
+        for path in suite:
+            if over():
+                skipped.append("suite_f32")
+                break
+            _, rf = _build(path, w, h, opts_f32)
+            dt = time_tpu(rf, [img], max(8, iters // 2))
+            f32_mpix.append(w * h / dt / 1e6)
+            print(f"# {path} f32: {dt * 1e3:.2f} ms/frame  "
+                  f"{f32_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
+        if len(f32_mpix) == len(suite):
+            suite_f32 = float(np.mean(f32_mpix))
+            partial["suite_f32_mpix"] = round(suite_f32, 1)
+    mark("suite_f32")
+
+    # strict-precision suite on UINT8 inputs — the reference's actual
+    # input format (8-bit drawables): u8-sourced images ride the EXACT-u8
+    # kernel path (integer bf16 pads — third split-float pass skipped,
+    # window DMA halved; sample_kernel.exact_u8_eligible).
+    suite_f32_u8 = 0.0
+    if args.quick or over():
+        skipped.append("suite_f32_u8(quick)" if args.quick
+                       else "suite_f32_u8")
+    else:
+        opts_f32 = mm.RenderOptions(interpolation="bilinear",
+                                    pallas_precision="f32")
+        u8_mpix = []
+        for path in suite:
+            if over():
+                skipped.append("suite_f32_u8")
+                break
+            _, rf = _build(path, w, h, opts_f32)
+            dt = time_tpu(rf, [img_u8], max(8, iters // 2))
+            u8_mpix.append(w * h / dt / 1e6)
+            print(f"# {path} f32/u8-in: {dt * 1e3:.2f} ms/frame  "
+                  f"{u8_mpix[-1]:.1f} Mpix/s", file=sys.stderr)
+        if len(u8_mpix) == len(suite):
+            suite_f32_u8 = float(np.mean(u8_mpix))
+            partial["suite_f32_u8_mpix"] = round(suite_f32_u8, 1)
+    mark("suite_f32_u8")
 
     # Leftover budget -> suite retries (headline hunting), now that every
     # secondary holds a measured value. Same gating as before: stop on a
@@ -603,12 +729,13 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         if emitted[0]:
             return  # watchdog already spoke
         emitted[0] = True
+    vs_ok = not (c_polluted and not recorded_c)
     final = {
         "metric": ("distortion_suite_quick" if args.quick
                    else "distortion_suite_4k_bilinear"),
         "value": round(value, 2),
         "unit": "Mpix/s/chip",
-        "vs_baseline": round(value / cpu_mpix, 1),
+        "vs_baseline": round(value / cpu_mpix, 1) if vs_ok else 0.0,
         "c_baseline_mpix": round(cpu_mpix, 2),
         "c_threads": c_threads,
         "sustained_ripple_mpix": round(sustained, 1),
@@ -625,7 +752,11 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         "skipped_phases": skipped,
         "relay_health_ms": round(health_ms, 1),
         "health_gate": health_gate,
+        "phase_times_s": phase_times,
     }
+    for k in ("c_baseline_source", "c_baseline_polluted", "c_load_1min"):
+        if k in partial:
+            final[k] = partial[k]
     if not args.quick:
         save_record(final)
     attach_best_recorded(final)

@@ -86,6 +86,95 @@ def test_save_record_roundtrip(tmp_path, monkeypatch):
     assert best["pond_8k_mpix"] == 814.6
 
 
+def test_merge_demotes_old_basis_to_legacy():
+    """VERDICT r4 item 3: a basis (measurement-protocol) change must never
+    max() the old reading against the new one — the r3-era suite_batched
+    458.4 (api-wrapper timing with a ~265MB host pull inside it) would
+    otherwise forever beat the honest r4 device-fenced 422.2."""
+    stored = dict(R3_RECORD, suite_batched_mpix=458.4,
+                  bases={"suite_batched_mpix": "r3.api-fenced.host-pull"})
+    run = dict(ZEROS_RUN, suite_batched_mpix=422.2)
+    merged = bench.merge_record(stored, run)
+    assert merged["suite_batched_mpix"] == 422.2  # honest basis wins
+    assert merged["legacy"][
+        "suite_batched_mpix@r3.api-fenced.host-pull"] == 458.4
+    assert (merged["bases"]["suite_batched_mpix"]
+            == bench.FIELD_BASIS["suite_batched_mpix"])
+
+
+def test_merge_same_basis_still_takes_max():
+    stored = dict(R3_RECORD, suite_batched_mpix=430.0,
+                  bases={"suite_batched_mpix":
+                         bench.FIELD_BASIS["suite_batched_mpix"]})
+    run = dict(ZEROS_RUN, suite_batched_mpix=422.2)
+    merged = bench.merge_record(stored, run)
+    assert merged["suite_batched_mpix"] == 430.0
+    assert "legacy" not in merged
+
+
+def test_merge_preserves_legacy_across_runs():
+    stored = dict(R3_RECORD,
+                  legacy={"suite_batched_mpix@r3.api-fenced": 458.4},
+                  bases={k: bench.FIELD_BASIS[k]
+                         for k in bench._MERGE_MAX_FIELDS
+                         if (R3_RECORD.get(k, 0.0) or 0.0) > 0})
+    merged = bench.merge_record(stored, dict(ZEROS_RUN))
+    assert merged["legacy"]["suite_batched_mpix@r3.api-fenced"] == 458.4
+
+
+def test_merge_stamps_bases_on_first_record():
+    merged = bench.merge_record({}, dict(R3_RECORD))
+    assert (merged["bases"]["pond_8k_mpix"]
+            == bench.FIELD_BASIS["pond_8k_mpix"])
+    assert "suite_batched_mpix" not in merged["bases"]  # zero: unmeasured
+
+
+def test_records_json_carries_no_tainted_best():
+    """The shipped records.json was hand-audited at the r4->r5 transition:
+    every best field must carry a current-basis tag and the known-tainted
+    r3 suite_batched reading must live only in `legacy`."""
+    with open(bench._records_path()) as f:
+        best = json.load(f)["best"]
+    for k in bench._MERGE_MAX_FIELDS:
+        if (best.get(k, 0.0) or 0.0) > 0:
+            assert best["bases"][k] == bench.FIELD_BASIS[k], k
+    assert best["suite_batched_mpix"] != 458.4
+    assert any(k.startswith("suite_batched_mpix@") for k in best["legacy"])
+
+
+@pytest.mark.slow
+def test_loaded_host_withholds_vs_baseline(tmp_path, monkeypatch, capsys):
+    """VERDICT r4 item 4: a loaded 1-core host slows the C renderer and
+    inflates the ratio (observed r4: 6.91/5.94 Mpix/s under pytest → bogus
+    70.5x/84.7x). With no recorded quiet-window denominator, the run must
+    flag pollution and withhold vs_baseline."""
+    monkeypatch.setattr(bench, "_records_path",
+                        lambda: str(tmp_path / "records.json"))
+    monkeypatch.setenv("MMTPU_BENCH_FAKE_LOAD", "2.5")
+    bench.main(["--size", "128x72", "--iters", "2", "--budget-s", "540"])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["value"] > 0
+    assert d["c_baseline_polluted"] is True
+    assert d["vs_baseline"] == 0.0
+    assert d["c_load_1min"] == 2.5
+
+
+@pytest.mark.slow
+def test_loaded_host_falls_back_to_recorded_denominator(tmp_path,
+                                                        monkeypatch, capsys):
+    p = tmp_path / "records.json"
+    monkeypatch.setattr(bench, "_records_path", lambda: str(p))
+    p.write_text(json.dumps({"best": dict(R3_RECORD,
+                                          c_baseline_mpix=11.57)}))
+    monkeypatch.setenv("MMTPU_BENCH_FAKE_LOAD", "2.5")
+    bench.main(["--size", "128x72", "--iters", "2", "--budget-s", "540"])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["value"] > 0
+    assert d["c_baseline_source"] == "recorded-quiet-window"
+    assert d["c_baseline_mpix"] == 11.57
+    assert d["vs_baseline"] == round(d["value"] / 11.57, 1)
+
+
 @pytest.mark.slow
 def test_degraded_plateau_run_measures_every_secondary(tmp_path, monkeypatch,
                                                        capsys):
