@@ -422,11 +422,16 @@ def main(argv=None) -> int:
                 raise ValueError
             rx, ry = int(parts[0]), int(parts[1])
             rw, rh = (int(v) for v in parts[2].lower().split("x"))
+            # validate here, not in RenderOptions.__post_init__: int('-1')
+            # parses fine, and an opts-construction ValueError would be an
+            # uncaught traceback instead of the CLI's one-line errors
+            if rx < 0 or ry < 0 or rw < 1 or rh < 1:
+                raise ValueError
             region = (rx, ry, rw, rh)
         except ValueError:
             raise SystemExit(
-                f"--region wants X,Y,WxH (e.g. 100,50,640x480); "
-                f"got {args.region!r}")
+                f"--region wants X,Y,WxH (X,Y >= 0; W,H >= 1; "
+                f"e.g. 100,50,640x480); got {args.region!r}")
     verbose = args.verbose
 
     def log(msg):
@@ -546,9 +551,10 @@ def main(argv=None) -> int:
 
     if region is not None:
         # one-line bounds error here (the renderer raises the same check
-        # as a ValueError deep in a traceback)
-        cw = width or (inputs[0].shape[-2] if inputs else 512)
-        ch = height or (inputs[0].shape[-3] if inputs else 512)
+        # as a ValueError deep in a traceback); canvas defaulting goes
+        # through the API's own _resolve_size so the two checks can never
+        # disagree if the defaulting rule changes
+        cw, ch = filt._resolve_size(inputs, width, height)
         if region[0] + region[2] > cw or region[1] + region[3] > ch:
             print(f"--region {args.region} exceeds the {cw}x{ch} canvas",
                   file=sys.stderr)

@@ -425,3 +425,12 @@ def test_region_errors(tmp_path):
     p = run_cli(expr, str(out), "--size", "32x32", "--region", "0,0,8x8",
                 "--sharded")
     assert p.returncode != 0 and "single-chip" in p.stderr
+    # negative X/Y and zero W/H are one-line CLI errors, not RenderOptions
+    # tracebacks (ADVICE r4: int('-1') parses, so the parse block must
+    # range-check before opts construction)
+    # NB --region=-1,... (the = form): a bare '-1,...' never reaches the
+    # parse block — argparse rejects it as an unknown flag
+    for bad in ("-1,0,8x8", "0,-3,8x8", "0,0,0x8", "0,0,8x0"):
+        p = run_cli(expr, str(out), "--size", "32x32", f"--region={bad}")
+        assert p.returncode != 0 and "X,Y,WxH" in p.stderr, bad
+        assert "Traceback" not in p.stderr, bad
