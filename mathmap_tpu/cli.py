@@ -95,7 +95,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="render only the (X, Y, WxH) sub-rectangle of the "
                         "canvas (GIMP-selection semantics: x/y/W/H/R and "
                         "input sampling keep the FULL canvas; the output "
-                        "image is WxH)")
+                        "image is WxH). With --tiled the output is the "
+                        "FULL canvas — the selection rendered in place, "
+                        "unselected pixels passed through from the input "
+                        "(the sharded-drawable semantics)")
     p.add_argument("--t", type=float, default=0.0, help="animation time for single-frame renders")
     p.add_argument("--interpret", action="store_true", help="use the NumPy oracle interpreter")
     p.add_argument("--fallback", action="store_true",
@@ -413,9 +416,11 @@ def main(argv=None) -> int:
                          "(output-sharded) are mutually exclusive")
     region = None
     if args.region is not None:
-        if args.sharded or args.tiled:
-            raise SystemExit("--region renders single-chip; it cannot be "
-                             "combined with --sharded/--tiled")
+        if args.sharded:
+            raise SystemExit(
+                "--region cannot be combined with --sharded (an output-"
+                "sharded region IS a tile); use --tiled for the sharded-"
+                "drawable selection semantics, or render single-chip")
         try:
             parts = args.region.split(",")
             if len(parts) != 3 or "x" not in parts[2].lower():

@@ -89,7 +89,7 @@ def auto_halo(program_filters, fdef, width: int, height: int,
 
 def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                        input_array, halo, uservals=None, t=0.0, frame=0.0,
-                       check: bool = True):
+                       check: bool = True, region=None):
     """One frame with the input(s) sharded P(y[, x]) and halo exchange.
 
     input_array: (H, W, 4) with H == output height (the common identity-
@@ -98,7 +98,23 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
     identically (the displacement bound covers every origVal/origValImage
     sample, so one halo serves all). halo: int (rows; cols derived when
     column-sharded) or (rows, cols). Returns ((H, W, 4) sharded, max halo
-    excess scalar — <= 0 when the bounded-displacement contract held)."""
+    excess scalar — <= 0 when the bounded-displacement contract held).
+
+    region=(x, y, w, h): GIMP-selection semantics on a sharded drawable
+    (reference `mathmap.c` renders into the drawable's selection
+    [unverified — mount empty]): only the selection is evaluated (world
+    coordinates stay full-canvas), and — unlike the single-chip region
+    render, which returns the (h, w) crop — the result is the FULL
+    canvas with the selection replaced and every other pixel passed
+    through from input 0 unchanged (the in-place drawable semantics this
+    path models: applying a filter to a selection of a drawable too
+    large to replicate). Each device evaluates a uniform
+    (min(h,tile_h), min(w,tile_w)) window dynamically clamped inside its
+    own tile so it covers the tile∩region overlap; the window is
+    composited into the identity background and re-masked to the exact
+    region bounds. Devices that don't intersect the region still
+    evaluate one window's worth of in-tile positions (SPMD uniformity —
+    bounded by the region size per device) and discard it."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -167,6 +183,15 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
 
     arrays = (tuple(input_array)
               if isinstance(input_array, (list, tuple)) else (input_array,))
+    if region is not None and not arrays:
+        raise MMRuntimeError(
+            "region on the tiled path needs at least one input: input 0 "
+            "is the drawable whose unselected pixels pass through")
+
+    if region is not None:
+        rx, ry, rw, rh = (int(v) for v in region)
+        re_h = min(rh, tile_h)
+        re_w = min(rw, tile_w)
 
     def tile_render(*inp_locals):
         row_idx = jax.lax.axis_index(ROW_AXIS)
@@ -188,7 +213,10 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                 excess[0] = jnp.maximum(excess[0], e.astype(jnp.float32))
 
         imgs = []
+        bg_raw = bg_flt = None  # input 0's local block (region background)
         for k, inp_local in enumerate(inp_locals):
+            if k == 0 and region is not None:
+                bg_raw = inp_local
             # u8 blocks ship 4x fewer bytes host->device; float_inputs is
             # the single source of the in-trace /255 normalization rule.
             # u8_src keeps the sampler's exact-u8 path engaged on the
@@ -196,6 +224,8 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
             # when the apron 'color' is — same on-u8-grid edge_color rule)
             u8_src = inp_local.dtype == jnp.uint8
             (inp_local,) = float_inputs(jnp, [inp_local])
+            if k == 0 and region is not None:
+                bg_flt = inp_local
             # animated (T, tile_h, W, 4) blocks exchange/paint their frame
             # row/col axes (every frame shares the device's row range)
             ax0 = inp_local.ndim - 3
@@ -218,14 +248,57 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                 col_base=(col_off - halo_x) if nx > 1 else 0,
                 violation_hook=hook if check else None,
             ))
+        if region is None:
+            ey, ex = row_off, col_off
+            gs = (tile_h, tile_w)
+        else:
+            # evaluation window: uniform (re_h, re_w) shape, dynamically
+            # positioned INSIDE this device's tile (local offset >= 0, so
+            # the composite below is a plain dynamic_update_slice) while
+            # covering the tile∩region overlap; world coordinates stay
+            # global, so evaluating in-tile positions outside the region
+            # is semantically harmless (re-masked away below) and keeps
+            # every sample within this device's halo contract
+            ey = jnp.clip(jnp.int32(ry), row_off, row_off + tile_h - re_h)
+            ex = jnp.clip(jnp.int32(rx), col_off, col_off + tile_w - re_w)
+            gs = (re_h, re_w)
         ctx = RenderContext(
             be=jnp, width=width, height=height, opts=opts,
             inputs=imgs, filters=program_filters, t=t, frame=frame,
-            is_jax=True, grid_shape=(tile_h, tile_w),
-            row_offset=row_off, col_offset=col_off,
+            is_jax=True, grid_shape=gs,
+            row_offset=ey, col_offset=ex,
         )
         ctx_cell.append(ctx)
         out = render_frame(ctx, fdef, uservals)
+        if region is not None:
+            # identity background = input 0's current frame, in the
+            # OUTPUT dtype (raw u8 block when both sides are u8 — the
+            # pass-through is then bitwise; else pack the float block)
+            from ..runtime.render import pack_uint8
+
+            def cur_frame(a):
+                if a.ndim != 4:
+                    return a
+                fi = jnp.clip(jnp.floor(
+                    jnp.asarray(frame, jnp.float32) + 0.5).astype(jnp.int32),
+                    0, a.shape[0] - 1)
+                return a[fi]
+
+            if getattr(opts, "output_dtype", "float32") == "uint8":
+                bg = (cur_frame(bg_raw) if bg_raw.dtype == jnp.uint8
+                      else pack_uint8(jnp, cur_frame(bg_flt)))
+            else:
+                bg = cur_frame(bg_flt)
+            canvas = jax.lax.dynamic_update_slice(
+                bg, out.astype(bg.dtype), (ey - row_off, ex - col_off,
+                                           jnp.int32(0)))
+            gr = row_off + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, tile_w, 1), 0)
+            gc = col_off + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, tile_w, 1), 1)
+            in_reg = ((gr >= ry) & (gr < ry + rh)
+                      & (gc >= rx) & (gc < rx + rw))
+            out = jnp.where(in_reg, canvas, bg)
         worst = jax.lax.pmax(jax.lax.pmax(excess[0], ROW_AXIS), COL_AXIS)
         return out, worst
 
@@ -255,12 +328,16 @@ class TiledRenderer:
         from ..runtime.render import _rebuild_uservals, _userval_pytree
         from ..runtime.tracer import RenderContext as _Ctx
 
+        from ..runtime.render import resolve_region
+
         self.jnp = jnp
         self.check = check
-        if getattr(opts, "region", None) is not None:
-            raise ValueError(
-                "options.region is not supported by render_tiled; "
-                "use render() for region (selection) renders")
+        # region (GIMP selection) composes with input sharding: the
+        # output is the FULL sharded canvas with the selection replaced
+        # and everything else passed through from input 0 (the in-place
+        # drawable semantics — see render_frame_tiled). Validated here,
+        # statically, against the canvas.
+        region = resolve_region(opts, width, height)
         if opts.supersample > 1 and opts.supersample_scheme == "corners":
             # the corner grid extends each device's tile by one row/col of
             # EVALUATION positions whose samples would need their own halo
@@ -286,7 +363,7 @@ class TiledRenderer:
             return render_frame_tiled(
                 mesh, program_filters, fdef, width, height, opts, inp,
                 halo, uservals=_rebuild_uservals(jnp, uv_arrays, uv_kinds),
-                t=t, frame=frame, check=check,
+                t=t, frame=frame, check=check, region=region,
             )
 
         self._jitted = jax.jit(run)

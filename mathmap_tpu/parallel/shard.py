@@ -122,7 +122,9 @@ class ShardedRenderer:
             # the region single-chip (JitRenderer) instead
             raise ValueError(
                 "options.region is not supported by render_sharded; "
-                "use render() for region (selection) renders")
+                "use render() for the region crop, or render_tiled() for "
+                "the sharded-drawable selection semantics (the region "
+                "rendered in place on the full canvas)")
         nf = axis_size(mesh, FRAME_AXIS)
 
         # uservals resolved at construction (sharded renders are batch jobs;

@@ -203,6 +203,26 @@ def test_tiled_animation_frames(input_png, tmp_path):
     assert (tmp_path / "anim_0001.png").exists()
 
 
+def test_tiled_region_renders_selection_in_place(input_png, tmp_path):
+    """--tiled --region: FULL-canvas output — the selection is the plain
+    region render's crop, unselected pixels are the input bytes."""
+    a = tmp_path / "treg.png"
+    b = tmp_path / "plain.png"
+    p1 = run_cli("filters/Distorts/ripple.mm", input_png, str(a),
+                 "--tiled", "--halo", "auto", "--region", "3,4,10x8")
+    p2 = run_cli("filters/Distorts/ripple.mm", input_png, str(b))
+    assert p1.returncode == 0, p1.stderr
+    assert p2.returncode == 0, p2.stderr
+    got = mm.read_image(str(a))
+    plain = mm.read_image(str(b))
+    src = mm.read_image(input_png)
+    assert got.shape == src.shape  # full canvas, not the crop
+    np.testing.assert_array_equal(got[4:12, 3:13], plain[4:12, 3:13])
+    mask = np.zeros(src.shape[:2] + (1,), bool)
+    mask[4:12, 3:13] = True
+    np.testing.assert_array_equal(np.where(mask, src, got), src)
+
+
 def test_tiled_sharded_conflict(input_png, tmp_path):
     proc = run_cli("filters/Distorts/ripple.mm", input_png,
                    str(tmp_path / "x.png"), "--tiled", "--sharded")
@@ -424,7 +444,7 @@ def test_region_errors(tmp_path):
     assert p.returncode != 0 and "X,Y,WxH" in p.stderr
     p = run_cli(expr, str(out), "--size", "32x32", "--region", "0,0,8x8",
                 "--sharded")
-    assert p.returncode != 0 and "single-chip" in p.stderr
+    assert p.returncode != 0 and "--tiled" in p.stderr
     # negative X/Y and zero W/H are one-line CLI errors, not RenderOptions
     # tracebacks (ADVICE r4: int('-1') parses, so the parse block must
     # range-check before opts construction)

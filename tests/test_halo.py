@@ -784,3 +784,126 @@ def test_tiled_uint8_input_normalizes_in_trace():
     c = np.asarray(f.render(stack, width=48, height=64, frame=1.0,
                             options=opts))
     np.testing.assert_allclose(a, c, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# region (GIMP selection) × input-sharded tiling (VERDICT r4 item 7): the
+# sharded-drawable workload — apply a filter to a selection of a canvas too
+# large to replicate. Output is the FULL canvas: the selection rendered in
+# place, every other pixel passed through from input 0 unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _region_tiled(src, img, region, halo=4, t=0.0, opts_kw=None,
+                  mesh_shape=(1, 8, 1), w=W, h=H):
+    f = mm.compile(src)
+    mesh = make_mesh(*mesh_shape)
+    opts = mm.RenderOptions(region=region, **(opts_kw or {}))
+    r = TiledRenderer(mesh, f.filters, f.fdef, w, h, opts, halo)
+    return np.asarray(r(img, t=t))
+
+
+@pytest.mark.parametrize("region", [
+    (3, 5, 9, 11),    # interior, spans several 4-row shards
+    (0, 0, 16, 4),    # one device's rows exactly
+    (2, 29, 5, 3),    # bottom edge, partial overlap on the last shard
+    (0, 0, 16, 32),   # full canvas
+])
+def test_region_tiled_matches_full_tiled_crop(region):
+    """Inside the region: the full tiled render's crop (same path, same
+    halo machinery). Outside: input 0, bitwise."""
+    img = _image(17)
+    src = "origVal(xy + xy:[2 * sin(y / 5), 2 * sin(x / 3)])"
+    got = _region_tiled(src, img, region)
+    f = mm.compile(src)
+    full = np.asarray(f.render_tiled(img, halo=4, mesh=make_mesh(1, 8, 1),
+                                     width=W, height=H))
+    x, y, w, h = region
+    np.testing.assert_allclose(got[y:y + h, x:x + w],
+                               full[y:y + h, x:x + w], atol=1e-6)
+    mask = np.zeros((H, W, 1), bool)
+    mask[y:y + h, x:x + w] = True
+    np.testing.assert_array_equal(np.where(mask, img, got), img)
+
+
+def test_region_tiled_matches_single_chip_region_crop():
+    """The tiled region's selection content == the single-chip region
+    render (which returns the crop)."""
+    img = _image(18)
+    region = (1, 6, 13, 17)
+    src = "origVal(xy + xy:[0, 2 * sin(x / 3 + t)])"
+    got = _region_tiled(src, img, region, t=0.37)
+    f = mm.compile(src)
+    crop = np.asarray(f.render(
+        img, width=W, height=H, t=0.37,
+        options=mm.RenderOptions(region=region)))
+    x, y, w, h = region
+    np.testing.assert_allclose(got[y:y + h, x:x + w], crop, atol=1e-6)
+
+
+def test_region_tiled_column_sharded():
+    img = _image(19)
+    region = (5, 7, 8, 18)
+    src = "origVal(xy + xy:[2 * sin(y / 4), 2 * sin(x / 5)])"
+    got = _region_tiled(src, img, region, halo=(3, 3),
+                        mesh_shape=(1, 2, 4))
+    f = mm.compile(src)
+    full = np.asarray(f.render_tiled(img, halo=(3, 3),
+                                     mesh=make_mesh(1, 2, 4),
+                                     width=W, height=H))
+    x, y, w, h = region
+    np.testing.assert_allclose(got[y:y + h, x:x + w],
+                               full[y:y + h, x:x + w], atol=1e-6)
+    mask = np.zeros((H, W, 1), bool)
+    mask[y:y + h, x:x + w] = True
+    np.testing.assert_array_equal(np.where(mask, img, got), img)
+
+
+def test_region_tiled_u8_io_passthrough_bitwise():
+    """u8 drawable in, u8 out: unselected pixels are the INPUT BYTES
+    (bitwise — the in-place drawable contract), selection matches the
+    full u8 tiled render's crop."""
+    rng = np.random.RandomState(23)
+    u8 = (rng.rand(H, W, 4) * 255).astype(np.uint8)
+    region = (4, 9, 7, 10)
+    src = "origVal(xy + xy:[0, 2 * sin(x / 3)])"
+    got = _region_tiled(src, u8, region,
+                        opts_kw=dict(output_dtype="uint8"))
+    assert got.dtype == np.uint8
+    f = mm.compile(src)
+    full = np.asarray(f.render_tiled(
+        u8, halo=4, mesh=make_mesh(1, 8, 1), width=W, height=H,
+        options=mm.RenderOptions(output_dtype="uint8")))
+    x, y, w, h = region
+    np.testing.assert_array_equal(got[y:y + h, x:x + w],
+                                  full[y:y + h, x:x + w])
+    mask = np.zeros((H, W, 1), bool)
+    mask[y:y + h, x:x + w] = True
+    np.testing.assert_array_equal(np.where(mask, u8, got), u8)
+
+
+def test_region_tiled_animated_background_is_current_frame():
+    """Animated drawable: the pass-through background is the CURRENT
+    frame (same round+clamp rule as origVal's current-frame sampling)."""
+    rng = np.random.RandomState(29)
+    stack = rng.rand(3, H, W, 4).astype(np.float32)
+    region = (2, 4, 6, 8)
+    src = "origVal(xy + xy:[0, 1])"
+    got = _region_tiled(src, stack, region, halo=3, t=0.0)
+    # frame=0.0 -> frame 0 background
+    x, y, w, h = region
+    mask = np.zeros((H, W, 1), bool)
+    mask[y:y + h, x:x + w] = True
+    np.testing.assert_array_equal(np.where(mask, stack[0], got), stack[0])
+    f = mm.compile(src)
+    mesh = make_mesh(1, 8, 1)
+    r = TiledRenderer(mesh, f.filters, f.fdef, W, H,
+                      mm.RenderOptions(region=region), 3)
+    got2 = np.asarray(r(stack, frame=2.0))
+    np.testing.assert_array_equal(np.where(mask, stack[2], got2), stack[2])
+
+
+def test_region_tiled_out_of_bounds_raises():
+    img = _image(31)
+    with pytest.raises(ValueError, match="exceeds"):
+        _region_tiled("origVal(xy)", img, (10, 0, 10, 4), halo=1)
