@@ -224,6 +224,43 @@ def main():
               f"{e}", flush=True)
         results.append(("tiled-1dev/animated-frame", False))
 
+    # --- region x tiled (r5): the sharded-drawable selection semantics —
+    # full-canvas output, selection == the single-chip region render's
+    # crop (bf16 envelope: different block bases), pass-through == the
+    # input bytes BITWISE (u8 io: the exact-u8 path through the dynamic
+    # evaluation window) ---
+    try:
+        u8 = (np.random.RandomState(31).rand(SIZE, SIZE, 4) * 255
+              ).astype(np.uint8)
+        rx, ry, rw, rh = 41, 97, 90, 70
+        src = "origVal(xy + xy:[5 * sin(y / 17), 4 * cos(x / 21)])"
+        f = mm.compile(src)
+        opts = O(region=(rx, ry, rw, rh), output_dtype="uint8")
+        r = TiledRenderer(make_mesh(1, 1, 1), f.filters, f.fdef, SIZE, SIZE,
+                          opts, 8)
+        t0 = time.time()
+        got = np.asarray(r(u8))
+        crop = np.asarray(f.render(
+            u8, width=SIZE, height=SIZE,
+            options=O(region=(rx, ry, rw, rh), output_dtype="uint8")))
+        # tiled-vs-plain is a TOLERANCE bar (per-block coordinate rebase,
+        # ~7e-6 float -> <=1 u8 count), not bitwise (CLAUDE.md)
+        d = np.abs(got[ry:ry+rh, rx:rx+rw].astype(np.int16)
+                   - crop.astype(np.int16))
+        sel_ok = int(d.max()) <= 1
+        mask = np.zeros((SIZE, SIZE, 1), bool)
+        mask[ry:ry+rh, rx:rx+rw] = True
+        pass_ok = np.array_equal(np.where(mask, u8, got), u8)
+        ok = sel_ok and pass_ok
+        print(f"tiled-region/u8-inplace [{time.time()-t0:.0f}s]: "
+              f"sel={'OK' if sel_ok else 'FAIL'} "
+              f"passthrough={'OK' if pass_ok else 'FAIL'}", flush=True)
+        results.append(("tiled-region/u8-inplace", ok))
+    except Exception as e:
+        print(f"tiled-region/u8-inplace: EXCEPTION {type(e).__name__}: {e}",
+              flush=True)
+        results.append(("tiled-region/u8-inplace", False))
+
     # --- AOT artifact (export -> load -> render, incl. the batched
     # program): must be BIT-identical to the live renderer on hardware
     # (generators/artifact.py's headline claim) ---

@@ -69,16 +69,27 @@ select, button { background: #2a2a33; color: #ddd; border: 1px solid #555; }
   <div id="error"></div>
 </div>
 <div id="right">
-  <img id="preview" width="512">
+  <div id="pwrap" style="position:relative; display:inline-block">
+    <img id="preview" width="512" draggable="false">
+    <div id="selbox" style="position:absolute; border:1px dashed #fc6;
+         pointer-events:none; display:none"></div>
+  </div>
   <div id="stats" style="color:#888"></div>
+  <div style="color:#888; font-size:12px">drag on the preview to select a
+    region (GIMP-selection render: only the selection is evaluated and
+    composited in place) <button id="clearsel" style="display:none"
+    onclick="clearSelection()">clear selection</button></div>
 </div>
 <script>
 let paramState = {};
 let renderSeq = 0;
+let selRegion = null;  // [x, y, w, h] in image pixels, or null
 async function render() {
   const src = document.getElementById('src').value;
   const t = parseFloat(document.getElementById('t').value);
-  const body = JSON.stringify({source: src, t: t, params: paramState});
+  const req = {source: src, t: t, params: paramState};
+  if (selRegion) req.region = selRegion;
+  const body = JSON.stringify(req);
   const t0 = performance.now();
   const seq = ++renderSeq;
   const res = await fetch('/render', {method: 'POST', body: body});
@@ -263,8 +274,55 @@ async function uploadImage(input) {
   const info = await res.json();
   document.getElementById('inputinfo').textContent =
     info.error ? info.error : `${info.width}x${info.height}`;
-  render();
+  clearSelection();  // the canvas geometry changed; old bounds are stale
 }
+// ---- region (GIMP selection): drag on the preview to select ----
+let selDrag = null;  // [x0, y0] image px while dragging
+function imgPos(e) {
+  const img = document.getElementById('preview');
+  const r = img.getBoundingClientRect();
+  const sx = img.naturalWidth / r.width, sy = img.naturalHeight / r.height;
+  return [Math.max(0, Math.min(img.naturalWidth - 1, Math.round((e.clientX - r.left) * sx))),
+          Math.max(0, Math.min(img.naturalHeight - 1, Math.round((e.clientY - r.top) * sy)))];
+}
+function drawSelBox() {
+  const img = document.getElementById('preview');
+  const box = document.getElementById('selbox');
+  const btn = document.getElementById('clearsel');
+  if (!selRegion) { box.style.display = 'none'; btn.style.display = 'none'; return; }
+  const sx = img.clientWidth / img.naturalWidth, sy = img.clientHeight / img.naturalHeight;
+  box.style.left = (selRegion[0] * sx) + 'px';
+  box.style.top = (selRegion[1] * sy) + 'px';
+  box.style.width = (selRegion[2] * sx) + 'px';
+  box.style.height = (selRegion[3] * sy) + 'px';
+  box.style.display = 'block'; btn.style.display = 'inline';
+}
+function clearSelection() {
+  if (!selRegion && !selDrag) return;
+  selRegion = null; selDrag = null; drawSelBox(); render();
+}
+document.getElementById('preview').addEventListener('mousedown', e => {
+  if (frames.length) return;  // scrubbing an animation: no selection
+  selDrag = imgPos(e); e.preventDefault();
+});
+window.addEventListener('mousemove', e => {
+  if (!selDrag) return;
+  const p = imgPos(e);
+  selRegion = [Math.min(selDrag[0], p[0]), Math.min(selDrag[1], p[1]),
+               Math.abs(p[0] - selDrag[0]) + 1, Math.abs(p[1] - selDrag[1]) + 1];
+  drawSelBox();
+});
+window.addEventListener('mouseup', e => {
+  if (!selDrag) return;
+  selDrag = null;
+  if (!selRegion || selRegion[2] < 4 || selRegion[3] < 4) {  // a click
+    selRegion = null; drawSelBox(); render(); return;
+  }
+  render();
+});
+window.addEventListener('keydown', e => {
+  if (e.key === 'Escape') clearSelection();
+});
 // ---- animation: one-program t-sweep on the server, scrub client-side ----
 let frames = [];
 let playTimer = null;
@@ -854,7 +912,17 @@ class PreviewState:
                 for p in entry.fdef.params]}
         return meta
 
-    def render(self, source: str, t: float, params: dict):
+    def render(self, source: str, t: float, params: dict, region=None):
+        """region=(x, y, w, h): the GIMP-selection twin in the GUI — the
+        filter is applied to the selection only (world coords stay
+        full-canvas, same as the API/CLI region semantics) and the result
+        is composited IN PLACE over the drawable, so the preview shows
+        the full canvas with only the selection changed (`mathmap.c`
+        renders into the drawable's selection bounds [unverified — mount
+        empty]). Evaluation cost scales with the selection, not the
+        canvas — the incremental-preview behavior of the reference."""
+        import mathmap_tpu as mm
+
         with self.lock:
             filt = self._compile(source)
             # the preview has ONE uploaded drawable; a multi-input filter
@@ -866,7 +934,29 @@ class PreviewState:
             w = self.size
             if inputs:
                 h, w = inputs[0].shape[-3], inputs[0].shape[-2]
-            out = filt.render(*inputs, width=w, height=h, t=t, params=params)
+            if region is not None:
+                rx, ry, rw, rh = (int(v) for v in region)
+                crop = filt.render(
+                    *inputs, width=w, height=h, t=t, params=params,
+                    options=mm.RenderOptions(region=(rx, ry, rw, rh)))
+                # background: the drawable's current frame, normalized to
+                # the render's float range (uploads are u8; animated
+                # stacks show frame 0 — the preview scrubs t, not frame)
+                bg = np.asarray(self.input_image)
+                if bg.ndim == 4:
+                    bg = bg[0]
+                bg = (bg.astype(np.float32) / 255.0
+                      if bg.dtype == np.uint8 else bg.astype(np.float32))
+                if bg.shape[:2] != (h, w):
+                    # generative canvas decoupled from the drawable size:
+                    # composite onto black (no layer bound to this canvas)
+                    bg = np.zeros((h, w, 4), np.float32)
+                    bg[..., 3] = 1.0
+                out = bg.copy()
+                out[ry:ry + rh, rx:rx + rw] = np.asarray(crop)
+            else:
+                out = filt.render(*inputs, width=w, height=h, t=t,
+                                  params=params)
             meta = [
                 {
                     "name": p.name, "kind": p.kind,
@@ -935,6 +1025,7 @@ def _make_handler(state: PreviewState):
                     out, meta = state.render(
                         req["source"], float(req.get("t", 0.0)),
                         req.get("params", {}),
+                        region=req.get("region"),
                     )
                     self._send(200, json.dumps({
                         "png": self._png_b64(out),

@@ -235,3 +235,47 @@ def test_sweep_endpoint(server):
     out = _post(server + "/sweep", {
         "source": src2, "param": "c", "lo": 0.0, "hi": 1.0, "frames": 2})
     assert "only float/int" in out["error"]
+
+
+def test_render_region_composites_in_place():
+    """region=[x,y,w,h]: the GIMP-selection twin — the filter is applied
+    to the selection only and composited in place; pixels outside the
+    selection are the drawable's, inside they match the full render's
+    crop (same world coordinates). Own server: module fixture state is
+    order-dependent (uploads)."""
+    import io
+    from PIL import Image
+
+    rng = np.random.RandomState(8)
+    img = rng.rand(24, 32, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    state = PreviewState(img, 24, default_db())
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        src = "origVal(xy + xy:[0, 2 * sin(x / 3)])"
+        full = _post(base + "/render", {"source": src, "t": 0.0})
+        reg = _post(base + "/render", {"source": src, "t": 0.0,
+                                       "region": [5, 3, 12, 10]})
+        assert not reg.get("error"), reg.get("error")
+        assert (reg["width"], reg["height"]) == (32, 24)  # full canvas
+
+        def png(d):
+            a = np.asarray(Image.open(io.BytesIO(
+                __import__("base64").b64decode(d["png"]))))
+            return a
+
+        got, want = png(reg), png(full)
+        np.testing.assert_array_equal(got[3:13, 5:17], want[3:13, 5:17])
+        # outside: the drawable's bytes (u8-quantized float drawable)
+        bg = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+        mask = np.zeros((24, 32, 1), bool)
+        mask[3:13, 5:17] = True
+        np.testing.assert_array_equal(np.where(mask, bg, got), bg)
+        # out-of-canvas region: readable one-line error
+        bad = _post(base + "/render", {"source": src, "t": 0.0,
+                                       "region": [30, 0, 10, 4]})
+        assert "exceeds" in bad.get("error", "")
+    finally:
+        srv.shutdown()
