@@ -381,6 +381,29 @@ def test_param_sweep_sequence_matches_per_frame(input_png, tmp_path):
         np.testing.assert_array_equal(got, want)
 
 
+def test_param_sweep_with_region(input_png, tmp_path):
+    """--param-sweep composes with --region: each step is the lone
+    region render at the swept value (selection crop output)."""
+    seq = tmp_path / "sr.png"
+    proc = run_cli("filters/Distorts/twirl.mm", input_png, str(seq),
+                   "--param-sweep", "angle=1:5", "--frames", "3",
+                   "--region", "3,4,10x8")
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    img = mm.read_image(input_png)
+    from mathmap_tpu.imgio.images import to_uint8
+
+    opts = mm.RenderOptions(region=(3, 4, 10, 8))
+    for i, v in enumerate((1.0, 3.0, 5.0)):
+        got = (mm.read_image(str(tmp_path / f"sr_{i:04d}.png")) * 255.0
+               + 0.5).astype(np.uint8)
+        assert got.shape[:2] == (8, 10)
+        want = to_uint8(np.asarray(f.render(
+            img, t=0.0, frame=float(i), params={"angle": v},
+            options=opts)))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_param_sweep_errors(input_png, tmp_path):
     out = tmp_path / "o.png"
     # unknown param
