@@ -907,3 +907,22 @@ def test_region_tiled_out_of_bounds_raises():
     img = _image(31)
     with pytest.raises(ValueError, match="exceeds"):
         _region_tiled("origVal(xy)", img, (10, 0, 10, 4), halo=1)
+
+
+def test_region_tiled_supersample_grid():
+    """supersample (grid scheme) composes with region x tiled: selection
+    == the single-chip supersampled region crop, pass-through bitwise.
+    (corners scheme stays rejected by TiledRenderer as before.)"""
+    img = _image(37)
+    region = (3, 5, 9, 11)
+    src = "origVal(xy + xy:[0, 2 * sin(x / 3)])"
+    got = _region_tiled(src, img, region, opts_kw=dict(supersample=2))
+    f = mm.compile(src)
+    crop = np.asarray(f.render(
+        img, width=W, height=H,
+        options=mm.RenderOptions(region=region, supersample=2)))
+    x, y, w, h = region
+    np.testing.assert_allclose(got[y:y + h, x:x + w], crop, atol=1e-6)
+    mask = np.zeros((H, W, 1), bool)
+    mask[y:y + h, x:x + w] = True
+    np.testing.assert_array_equal(np.where(mask, img, got), img)
