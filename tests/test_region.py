@@ -122,12 +122,21 @@ def test_region_validation():
                  options=RenderOptions(region=(30, 0, 10, 4)))
 
 
-def test_region_rejected_by_sharded_and_tiled(img):
+def test_region_rejected_by_sharded_accepted_by_tiled(img):
+    """render_sharded still rejects region (an output-sharded region IS
+    a tile) with guidance pointing at the two supported routes;
+    render_tiled ACCEPTS it since r5 (the sharded-drawable in-place
+    semantics — full coverage in tests/test_halo.py)."""
     f = mm.compile_source(WARP)
-    with pytest.raises(ValueError, match="render_sharded"):
-        f.render_sharded(img, options=RenderOptions(region=REG))
     with pytest.raises(ValueError, match="render_tiled"):
-        f.render_tiled(img, options=RenderOptions(region=REG))
+        f.render_sharded(img, options=RenderOptions(region=REG))
+    out = np.asarray(f.render_tiled(img, options=RenderOptions(region=REG),
+                                    halo=8))
+    assert out.shape == img.shape  # FULL canvas, selection in place
+    x, y, w, h = REG
+    mask = np.zeros(img.shape[:2] + (1,), bool)
+    mask[y:y + h, x:x + w] = True
+    np.testing.assert_array_equal(np.where(mask, img, out), img)
 
 
 def test_region_artifact_roundtrip(img, tmp_path):
