@@ -138,8 +138,22 @@ def merge_record(best: dict, d: dict) -> dict:
         rec = dict(d)
         rec["date"] = time.strftime("%Y-%m-%d")
         rec["prev_value"] = best.get("value", 0.0)
+        loser = best
     else:
         rec = dict(best)
+        loser = d
+    # a load-polluted winner must not enshrine its slowed C denominator
+    # as the record's (review r5): adopt the loser's clean one when
+    # available — the same recorded-quiet-window rule the live run uses
+    if rec.get("c_baseline_polluted") and not loser.get(
+            "c_baseline_polluted") and (loser.get("c_baseline_mpix") or 0.0):
+        rec["c_baseline_mpix"] = loser["c_baseline_mpix"]
+        rec["c_threads"] = loser.get("c_threads", rec.get("c_threads"))
+        rec["c_baseline_source"] = "recorded-quiet-window"
+        rec.pop("c_baseline_polluted", None)
+        if rec.get("value") and rec["c_baseline_mpix"]:
+            rec["vs_baseline"] = round(rec["value"] / rec["c_baseline_mpix"],
+                                       1)
     # a stored record predating the bases field is assumed current-basis
     # ONLY because records.json was hand-audited at the r4->r5 transition
     # (the one known-tainted field, suite_batched 458.4, was demoted then)
@@ -409,8 +423,13 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
     recorded_c = 0.0
     try:
         with open(_records_path()) as f:
-            recorded_c = (json.load(f).get("best") or {}).get(
-                "c_baseline_mpix", 0.0) or 0.0
+            _best = json.load(f).get("best") or {}
+        # a recorded denominator is only trustworthy if the run that
+        # stored it was NOT itself load-polluted (a polluted first run
+        # on a loaded host must not become the "quiet-window" fallback
+        # of every later loaded run — review r5)
+        if not _best.get("c_baseline_polluted"):
+            recorded_c = _best.get("c_baseline_mpix", 0.0) or 0.0
     except Exception:
         pass
 
@@ -447,7 +466,11 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
             print(f"# host loaded ({load:.2f}) and no recorded baseline — "
                   "C number flagged polluted, vs_baseline withheld",
                   file=sys.stderr)
-    if cpu_mpix and value and not (c_polluted and not recorded_c):
+    # ONE ratio-trust predicate, used everywhere vs_baseline is written
+    # (first write, suite-retry refresh, final JSON) — review r5: the
+    # retry loop's bare `if cpu_mpix:` used to resurrect a withheld ratio
+    vs_ok = not (c_polluted and not recorded_c)
+    if cpu_mpix and value and vs_ok:
         partial["vs_baseline"] = round(value / cpu_mpix, 1)
         partial["c_baseline_mpix"] = round(cpu_mpix, 2)
     mark("c_baseline")
@@ -707,7 +730,7 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
               f"{attempt + 1}", file=sys.stderr)
         h_prev = suite_attempt()
         value = suite_value()
-        if cpu_mpix:
+        if cpu_mpix and vs_ok:
             partial["vs_baseline"] = round(value / cpu_mpix, 1)
 
     for path, dt in zip(suite, best_dt):
@@ -729,7 +752,6 @@ def _measure(args, partial, emitted, emit_lock, over, t_start, wd):
         if emitted[0]:
             return  # watchdog already spoke
         emitted[0] = True
-    vs_ok = not (c_polluted and not recorded_c)
     final = {
         "metric": ("distortion_suite_quick" if args.quick
                    else "distortion_suite_4k_bilinear"),

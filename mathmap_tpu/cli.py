@@ -179,6 +179,39 @@ def _sweep_ts(args):
     return np.arange(args.frames, dtype=np.float32) / denom
 
 
+def _region_inplace(crop, inputs, opts, frame=0.0):
+    """Host-side twin of render_tiled's in-place region semantics
+    (parallel/halo.render_frame_tiled) for the oracle/fallback path:
+    full canvas out, the selection replaced by `crop`, every other pixel
+    passed through from input 0's current frame. Keeps `--tiled
+    --region`'s full-canvas output contract when --interpret/--fallback
+    route the render through the single-chip engine (review r5: the
+    shape/semantics silently changed to a crop there)."""
+    import numpy as np
+
+    if not inputs:
+        from .utils.errors import MMRuntimeError
+
+        raise MMRuntimeError(
+            "region on the tiled path needs at least one input: input 0 "
+            "is the drawable whose unselected pixels pass through")
+    rx, ry, rw, rh = opts.region
+    bg = np.asarray(inputs[0])
+    if bg.ndim == 4:  # animated drawable: current-frame rule
+        fi = int(np.clip(np.floor(float(frame) + 0.5), 0, bg.shape[0] - 1))
+        bg = bg[fi]
+    crop = np.asarray(crop)
+    if crop.dtype == np.uint8 and bg.dtype != np.uint8:
+        from .imgio.images import to_uint8
+
+        bg = to_uint8(bg)
+    elif crop.dtype != np.uint8 and bg.dtype == np.uint8:
+        bg = bg.astype(np.float32) / 255.0
+    out = bg.copy()
+    out[ry:ry + rh, rx:rx + rw] = crop
+    return out
+
+
 def _render_sweep(args, filt, inputs, width, height, opts, params):
     """All animation frames as one (F, H, W, 4) array, honoring the flags
     the one-program path cannot: --interpret/--fallback render each frame
@@ -189,13 +222,17 @@ def _render_sweep(args, filt, inputs, width, height, opts, params):
 
     if args.interpret or args.fallback:
         ts = _sweep_ts(args)
-        return np.stack([
+        frames = [
             np.asarray(filt.render(
                 *inputs, width=width, height=height, t=float(t),
                 frame=float(i), options=opts, params=params,
                 interpret=args.interpret,
                 on_error="interpret" if args.fallback else "raise"))
-            for i, t in enumerate(ts)])
+            for i, t in enumerate(ts)]
+        if args.tiled and getattr(opts, "region", None) is not None:
+            frames = [_region_inplace(f, inputs, opts, frame=float(i))
+                      for i, f in enumerate(frames)]
+        return np.stack(frames)
     if args.tiled:
         # one TiledRenderer program (cached per geometry), F executions;
         # frame tracks the sweep so animated inputs map frame i -> output
@@ -633,6 +670,10 @@ def main(argv=None) -> int:
                 options=opts, params=params, interpret=args.interpret,
                 on_error="interpret" if args.fallback else "raise",
             )
+            if args.tiled and getattr(opts, "region", None) is not None:
+                # --tiled --region through --interpret/--fallback keeps
+                # the tiled contract: full canvas, selection in place
+                out = _region_inplace(out, inputs, opts, frame=0.0)
             write_image(out_path, out)
             frames_done = 1
         elif out_path.lower().endswith(".gif"):

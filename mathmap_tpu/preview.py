@@ -274,7 +274,12 @@ async function uploadImage(input) {
   const info = await res.json();
   document.getElementById('inputinfo').textContent =
     info.error ? info.error : `${info.width}x${info.height}`;
-  clearSelection();  // the canvas geometry changed; old bounds are stale
+  // the canvas geometry changed: drop stale selection bounds, then
+  // ALWAYS re-render the new drawable (clearSelection alone early-
+  // returns when no selection exists — review r5: uploads stopped
+  // refreshing the preview in the common no-selection case)
+  selRegion = null; selDrag = null; drawSelBox();
+  render();
 }
 // ---- region (GIMP selection): drag on the preview to select ----
 let selDrag = null;  // [x0, y0] image px while dragging
@@ -942,12 +947,14 @@ class PreviewState:
                 # background: the drawable's current frame, normalized to
                 # the render's float range (uploads are u8; animated
                 # stacks show frame 0 — the preview scrubs t, not frame)
-                bg = np.asarray(self.input_image)
-                if bg.ndim == 4:
+                bg = (np.asarray(self.input_image)
+                      if self.input_image is not None else None)
+                if bg is not None and bg.ndim == 4:
                     bg = bg[0]
-                bg = (bg.astype(np.float32) / 255.0
-                      if bg.dtype == np.uint8 else bg.astype(np.float32))
-                if bg.shape[:2] != (h, w):
+                if bg is not None:
+                    bg = (bg.astype(np.float32) / 255.0
+                          if bg.dtype == np.uint8 else bg.astype(np.float32))
+                if bg is None or bg.shape[:2] != (h, w):
                     # generative canvas decoupled from the drawable size:
                     # composite onto black (no layer bound to this canvas)
                     bg = np.zeros((h, w, 4), np.float32)

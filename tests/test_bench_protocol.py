@@ -195,3 +195,37 @@ def test_degraded_plateau_run_measures_every_secondary(tmp_path, monkeypatch,
         assert d[k] > 0, f"secondary {k} was skipped/zero: {d}"
     assert d["skipped_phases"] == []
     assert d["budget_exhausted"] is False
+
+
+def test_merge_polluted_winner_adopts_clean_denominator():
+    """Review r5: a load-polluted run that wins the headline must not
+    enshrine its slowed C denominator — the merged record adopts the
+    loser's clean one and recomputes the ratio."""
+    clean = dict(R3_RECORD, c_baseline_mpix=11.57, vs_baseline=43.5)
+    polluted = dict(ZEROS_RUN, value=510.0, c_baseline_mpix=5.94,
+                    vs_baseline=0.0, c_baseline_polluted=True)
+    rec = bench.merge_record(clean, polluted)
+    assert rec["value"] == 510.0
+    assert rec["c_baseline_mpix"] == 11.57
+    assert rec["c_baseline_source"] == "recorded-quiet-window"
+    assert "c_baseline_polluted" not in rec
+    assert rec["vs_baseline"] == round(510.0 / 11.57, 1)
+
+
+def test_recorded_polluted_denominator_not_trusted(tmp_path, monkeypatch,
+                                                   capsys):
+    """Review r5: a stored best whose C number was itself load-polluted
+    must NOT serve as the recorded-quiet-window fallback — a loaded run
+    on top of it withholds vs_baseline instead of publishing the
+    polluted ratio as 'quiet'."""
+    p = tmp_path / "records.json"
+    monkeypatch.setattr(bench, "_records_path", lambda: str(p))
+    p.write_text(json.dumps({"best": dict(
+        R3_RECORD, c_baseline_mpix=5.94, c_baseline_polluted=True)}))
+    monkeypatch.setenv("MMTPU_BENCH_FAKE_LOAD", "2.5")
+    bench.main(["--size", "128x72", "--iters", "2", "--budget-s", "540"])
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["value"] > 0
+    assert d.get("c_baseline_source") != "recorded-quiet-window"
+    assert d["c_baseline_polluted"] is True
+    assert d["vs_baseline"] == 0.0

@@ -477,3 +477,26 @@ def test_region_errors(tmp_path):
         p = run_cli(expr, str(out), "--size", "32x32", f"--region={bad}")
         assert p.returncode != 0 and "X,Y,WxH" in p.stderr, bad
         assert "Traceback" not in p.stderr, bad
+
+
+def test_tiled_region_interpret_keeps_inplace_contract(input_png, tmp_path):
+    """--tiled --region through --interpret must keep the full-canvas
+    in-place output (review r5: it silently degraded to the WxH crop)."""
+    a = tmp_path / "ti.png"
+    p = run_cli("filters/Distorts/ripple.mm", input_png, str(a),
+                "--tiled", "--halo", "auto", "--region", "3,4,10x8",
+                "--interpret")
+    assert p.returncode == 0, p.stderr
+    got = mm.read_image(str(a))
+    src = mm.read_image(input_png)
+    assert got.shape == src.shape  # full canvas, not the crop
+    mask = np.zeros(src.shape[:2] + (1,), bool)
+    mask[4:12, 3:13] = True
+    np.testing.assert_array_equal(np.where(mask, src, got), src)
+    # selection content == the oracle region render's crop (quantized)
+    b = tmp_path / "crop.png"
+    p2 = run_cli("filters/Distorts/ripple.mm", input_png, str(b),
+                 "--region", "3,4,10x8", "--interpret")
+    assert p2.returncode == 0, p2.stderr
+    crop = mm.read_image(str(b))
+    np.testing.assert_array_equal(got[4:12, 3:13], crop)
