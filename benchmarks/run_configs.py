@@ -22,7 +22,13 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# robust under BOTH documented invocations: `python benchmarks/run_configs.py`
+# (repo root = parent of this file) and `python - < benchmarks/run_configs.py`
+# from the repo cwd (__file__ is "<stdin>" -> fall back to cwd)
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.isdir(os.path.join(_repo, "filters")):
+    _repo = os.getcwd()
+sys.path.insert(0, _repo)
 
 import mathmap_tpu as mm  # noqa: E402
 
@@ -90,7 +96,7 @@ def main():
     it = 8
     results = []
 
-    root = os.path.join(os.path.dirname(__file__), "..", "filters")
+    root = os.path.join(_repo, "filters")
 
     def report(config, mpix_s, detail):
         rec = {"config": config, "mpix_per_s": round(mpix_s, 2), **detail}
