@@ -500,3 +500,17 @@ def test_tiled_region_interpret_keeps_inplace_contract(input_png, tmp_path):
     assert p2.returncode == 0, p2.stderr
     crop = mm.read_image(str(b))
     np.testing.assert_array_equal(got[4:12, 3:13], crop)
+
+
+def test_chain_with_region(input_png, tmp_path):
+    """--chain compiles to ONE composed filter, so --region composes:
+    the crop is bitwise the full chain render's crop."""
+    a, b = tmp_path / "cr.png", tmp_path / "cf.png"
+    p1 = run_cli("--chain", "ripple|invert", input_png, str(a),
+                 "--region", "3,4,10x8")
+    p2 = run_cli("--chain", "ripple|invert", input_png, str(b))
+    assert p1.returncode == 0, p1.stderr
+    assert p2.returncode == 0, p2.stderr
+    got, full = mm.read_image(str(a)), mm.read_image(str(b))
+    assert got.shape == (8, 10, 4)
+    np.testing.assert_array_equal(got, full[4:12, 3:13])
