@@ -246,6 +246,7 @@ def render_frame_tiled(mesh, program_filters, fdef, width, height, opts,
                 global_height=height, global_width=width if nx > 1 else 0,
                 row_base=row_off - halo_y,
                 col_base=(col_off - halo_x) if nx > 1 else 0,
+                halo_y=halo_y, halo_x=halo_x if nx > 1 else 0,
                 violation_hook=hook if check else None,
             ))
         if region is None:

@@ -158,8 +158,25 @@ def uses_sampling(filters: dict, fdef: A.FilterDef) -> bool:
         seen.add(fd.name)
         lut_names = {p.name for p in fd.params
                      if p.kind in ("image", "gradient", "curve")}
+        # locals aliased (transitively) to an image/LUT param also sample
+        # when called: `q = in; q(xy)` (review r5 — the alias silently
+        # disabled base layout). Fixpoint over plain name-to-name assigns.
+        changed = True
+        while changed:
+            changed = False
+            for sub in A.walk(fd.body):
+                if (isinstance(sub, A.Assign)
+                        and isinstance(sub.expr, A.Var)
+                        and sub.expr.name in lut_names
+                        and sub.name not in lut_names):
+                    lut_names.add(sub.name)
+                    changed = True
         for sub in A.walk(fd.body):
-            if isinstance(sub, A.Call) and isinstance(sub.func, A.Var):
+            if isinstance(sub, A.Call):
+                if not isinstance(sub.func, A.Var):
+                    # applied-closure form (`myfilt(in)(xy)`): the callee
+                    # is an expression — conservatively assume it samples
+                    return True
                 nm = sub.func.name
                 if nm in ("origVal", "origValXY", "origValImage"):
                     return True
@@ -794,11 +811,19 @@ class JitRenderer:
             ent = self._prepad_cache.get(id(a))
             if ent is None or ent[0] is not a:
                 if len(self._prepad_cache) >= 4:
-                    self._prepad_cache.clear()
+                    # evict the oldest single entry (insertion-ordered
+                    # dict), not the whole cache — wholesale clearing
+                    # thrashed working sets of 5+ alternating inputs
+                    # (review r5)
+                    self._prepad_cache.pop(next(iter(self._prepad_cache)))
                 ent = (a, self._pad_jit([a])[0])
                 self._prepad_cache[id(a)] = ent
             out.append(ent[1])
-            any_pad = True
+            # an over-budget animated prepad is a None ENTRY (pad-in-trace
+            # fallback): it must not force a [None] return, whose pytree
+            # treedef differs from plain None and retraces the program
+            # (review r5 — ~1-3 min spurious remote compile)
+            any_pad = any_pad or ent[1] is not None
         return out if any_pad else None
 
     def __call__(self, input_arrays, params: dict, t: float = 0.0, frame: float = 0.0):
@@ -852,10 +877,25 @@ class JitRenderer:
         shared = [a for a, m in zip(ins, mask) if m]
         per_job = [a for a, m in zip(ins, mask) if not m]
         ts = jnp.asarray(ts, dtype=jnp.float32)
+        n_jobs = int(ts.shape[0])
         if frames is None:
             frames = jnp.arange(ts.shape[0], dtype=jnp.float32)
         else:
             frames = jnp.asarray(frames, dtype=jnp.float32)
+            if int(frames.shape[0]) != n_jobs:
+                raise ValueError(
+                    f"render_batch: {int(frames.shape[0])} frames for a "
+                    f"batch of {n_jobs} jobs (ts)")
+        # per-job batched inputs must carry one leading entry per job —
+        # caught here as a readable error instead of an opaque lax.map
+        # leading-axis trace failure (review r5)
+        for i, a in enumerate(per_job):
+            lead = getattr(a, "shape", (n_jobs,))[0]
+            if int(lead) != n_jobs:
+                raise ValueError(
+                    f"render_batch: per-job input {i} has leading dim "
+                    f"{int(lead)} for a batch of {n_jobs} jobs (mark it "
+                    f"mm.shared(...) if it is one image for every job)")
         if isinstance(params, (list, tuple)):
             import jax
 

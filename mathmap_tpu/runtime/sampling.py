@@ -230,12 +230,15 @@ def _sample_pallas_tiled(ev, img, x, y):
     # taps back inside so check=True cannot flag it; review finding).
     # auto_halo always includes the margin; thinner explicit halos take
     # the exact gather path, which edge-maps every tap globally.
+    # The halo widths come from the TiledInput itself — NOT inferred as
+    # (ext - grid_shape)//2: on region renders grid_shape is the
+    # (smaller) evaluation window, and the inferred halo overestimates,
+    # skipping this fallback exactly when it is needed (review r5).
     margin = {"nearest": 1, "bilinear": 2, "bicubic": 3}[opts.interpolation]
-    tile_h, tile_w = ev.ctx.grid_shape
-    if opts.edge_y in ("wrap", "reflect") and (ext_h - tile_h) // 2 < margin:
+    if opts.edge_y in ("wrap", "reflect") and img.halo_y < margin:
         return _sample_xla(ev, img, x, y)
     if col_sharded and opts.edge_x in ("wrap", "reflect") \
-            and (ext_w - tile_w) // 2 < margin:
+            and img.halo_x < margin:
         return _sample_xla(ev, img, x, y)
 
     px, py = world_to_pixel(jnp, x, y, gw, gh)

@@ -210,6 +210,13 @@ class TiledInput(InputImage):
     global_width: int = 0  # 0 = not column-sharded (block spans full width)
     row_base: Any = 0  # global row of local row 0 (may be traced)
     col_base: Any = 0
+    #: static halo widths actually exchanged/painted around the block.
+    #: The Pallas tiled sampler's thin-halo guard needs these explicitly:
+    #: inferring them as (ext - grid_shape)//2 breaks on region renders,
+    #: where grid_shape is the (smaller) evaluation window, not the tile
+    #: (review r5 — the overestimate skipped the wrap/reflect fallback).
+    halo_y: int = 0
+    halo_x: int = 0
     #: optional callable(excess_scalar) recording how far past the halo a
     #: sample reached (<=0 = contract held) — parallel/halo.py debug check
     violation_hook: Any = None

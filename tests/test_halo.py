@@ -926,3 +926,27 @@ def test_region_tiled_supersample_grid():
     mask = np.zeros((H, W, 1), bool)
     mask[y:y + h, x:x + w] = True
     np.testing.assert_array_equal(np.where(mask, img, got), img)
+
+
+def test_region_tiled_thin_halo_takes_exact_fallback():
+    """The Pallas tiled sampler's thin-halo wrap/reflect guard must use
+    the TiledInput's true halo, not (ext - grid_shape)//2 — on region
+    renders grid_shape is the (smaller) evaluation window and the
+    inferred halo overestimates, keeping the kernel route where the
+    guard intends the exact gather fallback (review r5). Discriminator:
+    the fallback is float-exact vs the single-chip crop (1e-6), the
+    kernel route is only bf16-envelope (~2e-3 observed pre-fix)."""
+    himg = np.random.RandomState(41).rand(64, W, 4).astype(np.float32)
+    himg[..., 3] = 1.0
+    region = (0, 61, W, 3)
+    src = "origVal(xy + xy:[0, 0.8])"
+    got = _region_tiled(src, himg, region, halo=1, h=64,
+                        opts_kw=dict(interpolation="bicubic",
+                                     edge_y="reflect", sampler="pallas"))
+    f = mm.compile(src)
+    crop = np.asarray(f.render(
+        himg, width=W, height=64,
+        options=mm.RenderOptions(region=region, interpolation="bicubic",
+                                 edge_y="reflect")))
+    x, y, w, h = region
+    np.testing.assert_allclose(got[y:y + h, x:x + w], crop, atol=1e-6)

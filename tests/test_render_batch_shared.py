@@ -119,3 +119,39 @@ def test_shared_prepad_actually_hoists():
     assert out_pads == ["PAD", None]
     ins, out_pads = _merge_shared((False,), [], ["JOB"], None)
     assert ins == ["JOB"] and out_pads is None
+
+
+def test_batch_leading_dim_mismatch_is_readable(input_like=None):
+    """Per-job inputs and explicit frames whose leading dim mismatches
+    the ts batch size raise a clear ValueError at the API boundary, not
+    an opaque lax.map leading-axis trace error (review r5)."""
+    f = mm.compile_file("filters/Distorts/twirl.mm")
+    stack3 = np.random.RandomState(3).rand(3, H, W, 4).astype(np.float32)
+    with pytest.raises(ValueError, match="4 ts for a batch of 3"):
+        f.render_batch(stack3, ts=[0.0, 0.1, 0.2, 0.3],
+                       width=W, height=H)
+    # the renderer-level guard (serve/direct-renderer callers bypass the
+    # api check): per-job leading dim vs the jobs count
+    rend = f._renderer(W, H, mm.RenderOptions(), 1)
+    with pytest.raises(ValueError, match="leading dim 3 for a batch of 4"):
+        rend.render_batch([stack3], [{}] * 4,
+                          np.asarray([0.0, 0.1, 0.2, 0.3], np.float32))
+    with pytest.raises(ValueError, match="2 frames for a batch of 3"):
+        f.render_batch(stack3, ts=[0.0, 0.1, 0.2], frames=[0.0, 1.0],
+                       width=W, height=H)
+
+
+def test_uses_sampling_sees_aliased_image():
+    """`q = in; q(xy)` samples through a local alias — uses_sampling must
+    see it so base-block layout stays on (review r5)."""
+    from mathmap_tpu.runtime.render import uses_sampling
+
+    f = mm.compile("filter f (image in) q = in; q(xy) end")
+    assert uses_sampling(f.filters, f.fdef)
+    g = mm.compile("filter g () grayColor(sin(x)) end")
+    assert not uses_sampling(g.filters, g.fdef)
+    # aliased render still correct vs oracle
+    img = np.random.RandomState(2).rand(16, 16, 4).astype(np.float32)
+    a = np.asarray(f.render(img, width=16, height=16))
+    b = np.asarray(f.render(img, width=16, height=16, interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
