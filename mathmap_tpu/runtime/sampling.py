@@ -268,15 +268,17 @@ def _sample_pallas_tiled(ev, img, x, y):
         # mirror make_gather's check: edge-map each tap index GLOBALLY
         # (like _edge_index), localize mod-global (a below-block violation
         # wraps to a large local index), measure past the ext block.
-        # The range's two endpoint taps suffice: a contiguous range either
-        # stays within one mod period (max at an endpoint) or crosses it
-        # (the lo endpoint lands near gh-1 >> ext, flagged regardless).
+        # EVERY tap is checked, not just the range endpoints: the reflect
+        # map is non-monotonic, so the max mapped tap can sit at an
+        # interior tap (bicubic taps {gh-2..gh+1} map to {gh-2, gh-1,
+        # gh-1, gh-2} — both endpoints under-report by 1 row; review r5).
+        # Cost is ≤2 extra cheap elementwise ops, only under check=True.
         half = 0.5 if opts.interpolation == "nearest" else 0.0
         tap_lo, n_taps = _tap_range(opts.interpolation)
 
         def _tap_excess(pg, behavior, n, base, ext_n):
             exc = None
-            for k in (tap_lo, tap_lo + n_taps - 1):
+            for k in range(tap_lo, tap_lo + n_taps):
                 t = jnp.floor(pg + half) + k
                 if behavior == "color":
                     t = jnp.clip(t, 0, n - 1)
