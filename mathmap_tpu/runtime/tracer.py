@@ -271,6 +271,12 @@ class Evaluator:
                       + be.asarray(self.ctx.col_offset, dtype=be.uint32))
             idx = iy * be.asarray(self.ctx.width, dtype=be.uint32) + ix
         else:
+            # the numpy branch decodes NO base layout: guard the trap
+            # explicitly (review r5) — an oracle context with base_layout
+            # set would read (nby*nbx, 512) as literal rows/cols and
+            # silently break jit-vs-oracle rand parity
+            assert self.ctx.base_layout is None, (
+                "rand() on the numpy backend does not decode base_layout")
             iy = be.arange(h, dtype=be.uint32) + be.asarray(self.ctx.row_offset, dtype=be.uint32)
             ix = be.arange(w, dtype=be.uint32) + be.asarray(self.ctx.col_offset, dtype=be.uint32)
             idx = iy[:, None] * be.asarray(self.ctx.width, dtype=be.uint32) + ix[None, :]
@@ -534,8 +540,16 @@ class Evaluator:
         else:
             iv = self.eval(node.index).scalar(node.span)
             be = self.be
+            # MIRROR the dynamic read's floor/clamp semantics (the
+            # where(iv >= i) chain in _eval_Subscript): l-value and
+            # r-value must name the same component for any index. An
+            # exact iv == i match silently DROPPED writes for fractional
+            # or out-of-range computed indices that the read resolves
+            # (review r5: v[1.7] = 5 left v unchanged while v[1.7] read
+            # component 1).
+            sel = be.clip(be.floor(iv), 0.0, float(base.length - 1))
             for i in range(base.length):
-                comps[i] = be.where(iv == i, rhs, comps[i])
+                comps[i] = be.where(sel == i, rhs, comps[i])
         self.env[node.name] = TupleValue(base.tag, tuple(comps))
         return TupleValue(NIL, (rhs,))
 
@@ -572,7 +586,12 @@ class Evaluator:
                 if k in saved:
                     return saved[k]
                 iv = self._internal(k)
-                if iv is not None and iv.length == other.length:
+                # a length-1 internal merges fine against a longer branch
+                # value — _select broadcasts via broadcast_pair (review
+                # r5: `if c then y = xy end; y[0]` read 0 instead of the
+                # y coordinate on the untaken branch under the old
+                # exact-length guard)
+                if iv is not None and iv.length in (1, other.length):
                     return iv
                 return self._zero_like(other)
 
@@ -658,12 +677,18 @@ class Evaluator:
             tgt = probe_env[n]
             if n not in init_env:
                 iv = self._internal(n)
-                if iv is not None and iv.length == tgt.length:
+                if iv is not None and (iv.length == tgt.length
+                                       or iv.length == 1):
                     # seed with the internal's value (see probe seeding
-                    # above); a var whose final length DIFFERS from the
-                    # internal's is necessarily write-before-read (user
-                    # repurposing the name, e.g. a scalar counter `I`) —
-                    # keep the zero seed so widen() doesn't reject it
+                    # above); a LENGTH-1 internal whose carried length is
+                    # longer widens below exactly like any scalar carry —
+                    # the old exact-length guard zero-seeded it, so
+                    # `q = y[0]` before `y = xy` read 0 instead of the y
+                    # coordinate (review r5). A LONGER internal (e.g. the
+                    # 2-tuple `I`) carried at a different length is
+                    # genuinely write-before-read (user repurposing the
+                    # name as a scalar counter) — keep the zero seed so
+                    # widen() doesn't reject it
                     init_env[n] = iv
                 else:
                     init_env[n] = TupleValue(NIL, (self.lit(0.0),),
@@ -798,7 +823,7 @@ class Evaluator:
         if node.post:
             # do-while's pre-pass strips consts; its first cond can still
             # fold when literal-only, but counter-driven ones stay dynamic
-            flat0 = self._run_body_once(node, flat0, unpack, pack, carried, lengths)
+            flat0 = self._run_body_once(node, flat0, unpack, repack)
             consts0 = tuple(None for _ in consts0)
         flat0, mask0 = eval_cond(flat0, None, self.salt_extra, consts=consts0)
         cond0_t = cond_const[0]   # before pallas/lax tracing clobbers it
@@ -941,13 +966,19 @@ class Evaluator:
             self.env[n] = final_env[n]
         return TupleValue(NIL, (self.lit(0.0),))
 
-    def _run_body_once(self, node, flat0, unpack, pack, carried, lengths):
-        """do-while: execute the body unconditionally once before looping."""
+    def _run_body_once(self, node, flat0, unpack, repack):
+        """do-while: execute the body unconditionally once before looping.
+
+        The result folds back through repack() (mask=None = all pixels),
+        NOT a raw pack(): repack widens length-1 values to the carried
+        length and rejects opaque values with a clean MMTypeError — raw
+        pack emitted the body's literal slot count, silently misaligning
+        the flat carry whenever the pre-pass left a variable at a
+        different length than its carried one (review r5)."""
         env = unpack(flat0)
         ev = Evaluator(self.ctx, self.x, self.y, env, salt_extra=self.salt_extra)
         ev.eval(node.body)
-        be, shape = self.be, self.ctx.shape
-        return tuple(be.broadcast_to(self.lit(c), shape) for c in pack(env))
+        return repack(env, flat0, None, grid_shape=self.ctx.shape)
 
     # ------------------------------------------------------------------
     # calls / application

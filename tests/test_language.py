@@ -1055,3 +1055,59 @@ def test_pallas_while_on_forces_engine_regardless_of_sampler():
         np.testing.assert_allclose(np.asarray(j), np.asarray(o), atol=1e-6)
     finally:
         WK.launch = orig
+
+
+# ---------------------------------------------------------------------------
+# review r5: internal-variable shadowing and dynamic-index l-value semantics
+# ---------------------------------------------------------------------------
+
+
+def _both(src):
+    f = mm.compile(src)
+    o = np.asarray(f.render(BLANK, interpret=True))[..., 0]
+    j = np.asarray(f.render(BLANK))[..., 0]
+    np.testing.assert_allclose(o, j, atol=1e-5)
+    return o
+
+
+def test_if_branch_shadowing_internal_reads_internal_on_untaken():
+    """`if c then y = xy end`: on untaken pixels a read of y sees the
+    INTERNAL y coordinate (broadcast to the branch value's length), not
+    zeros (review r5 — the exact-length guard zero-filled)."""
+    out = _both("filter f (image in) if x > 99 then y = xy end; "
+                "grayColor(clamp(y[0] / Y * 0.25 + 0.5, 0, 1)) end")
+    want = np.clip(Y / (H / 2) * 0.25 + 0.5, 0, 1)
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_while_read_internal_before_shadowing_write():
+    """A loop that reads `y[0]` before assigning `y = xy` sees the
+    internal y coordinate on the first iteration, widened to the carried
+    length (review r5 — zero-seeded before)."""
+    out = _both("filter f (image in) q = 0; c = 0; while c < 1 do "
+                "q = y[0]; y = xy; c = c + 1 end; "
+                "grayColor(clamp(q / Y * 0.25 + 0.5, 0, 1)) end")
+    want = np.clip(Y / (H / 2) * 0.25 + 0.5, 0, 1)
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_dynamic_subassign_mirrors_subscript_floor_clamp():
+    """l-value and r-value dynamic indices name the SAME component:
+    v[1.7] writes where v[1.7] reads (floor/clamp), incl. out-of-range
+    (review r5 — exact equality dropped fractional writes)."""
+    out = _both("filter f (image in) v = xy:[1, 2]; jj = x - x + 1.7; "
+                "v[jj] = 5; grayColor(v[jj] / 5) end")
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+    out = _both("filter f (image in) v = xy:[1, 2]; jj = x - x - 3; "
+                "v[jj] = 5; grayColor(v[jj] / 5) end")  # clamps to 0
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+def test_do_while_prepass_widens_length_1_assignment():
+    """do-while pre-pass routes through repack: a body that momentarily
+    leaves a 2-tuple carry at length 1 widens instead of misaligning the
+    flat carry (review r5 — raw pack emitted the wrong slot count)."""
+    out = _both("filter f (image in) v = xy:[1, 2]; c = 0; do v = 3; "
+                "v = v + xy:[0, 1]; c = c + 1 while c < 2 end; "
+                "grayColor(v[1] / 5) end")
+    np.testing.assert_allclose(out, 0.8, atol=1e-5)  # [3, 4][1] / 5
