@@ -180,6 +180,17 @@ class Parser:
             self.pos = save
 
     def parse_stmt(self) -> A.Node:
+        return self.parse_expr()
+
+    # -- expressions ---------------------------------------------------------
+    def parse_expr(self) -> A.Node:
+        # Assignment and sub-assignment are EXPRESSIONS in the reference's
+        # bison grammar (exprtree assign/sub-assign NODE kinds, SURVEY
+        # §2.1 — the language is expression-oriented): `x = y = 1` nests
+        # right-associatively and yields the assigned value, and
+        # `q = (p = 2) * 3` is valid. Previously recognized only at
+        # statement level (review r5). _eval_Assign/_eval_SubAssign
+        # already return the assigned value.
         if self.at("ident"):
             nxt = self.peek(1)
             if nxt.kind == "op" and nxt.text == "=":
@@ -197,10 +208,6 @@ class Parser:
                     expr = self.parse_expr()
                     return A.SubAssign(span=name_tok.span, name=name_tok.text, index=index, expr=expr)
                 self.pos = save
-        return self.parse_expr()
-
-    # -- expressions ---------------------------------------------------------
-    def parse_expr(self) -> A.Node:
         return self.parse_or()
 
     def _binop_chain(self, sub, ops):
@@ -256,8 +263,8 @@ class Parser:
                     args.append(self.parse_expr())
                     while self.accept("op", ","):
                         args.append(self.parse_expr())
-                close = self.expect("op", ")")
-                node = A.Call(span=node.span or close.span, func=node, args=tuple(args))
+                self.expect("op", ")")
+                node = A.Call(span=node.span, func=node, args=tuple(args))
             elif self.at("op", "["):
                 self.next()
                 index = self.parse_expr()
@@ -311,9 +318,15 @@ class Parser:
             self.expect("kw", "end")
             return A.While(span=tok.span, cond=cond, body=body, post=True)
         if tok.kind == "ident":
-            # `tag:expr` retag cast — only when the ident is a known tag and a
-            # ':' follows (tags.c `:` operator).
-            if tagmod.is_tag(tok.text) and self.peek(1).kind == "op" and self.peek(1).text == ":":
+            # `tag:expr` retag cast (tags.c `:` operator). ANY identifier
+            # followed by ':' is a tag — the reference's registry INTERNS
+            # tag names, so user tags like `foo:[1, 2]` are valid source
+            # (review r5: gating on KNOWN_TAGS made register_tag
+            # unreachable from the language and rejected user tags with a
+            # misleading "expected eof, got ':'"). Unknown tags carry no
+            # arity constraint (tag_length None); ops dispatch on the tag
+            # name either way.
+            if self.peek(1).kind == "op" and self.peek(1).text == ":":
                 self.next()
                 self.next()  # ':'
                 operand = self.parse_unary()

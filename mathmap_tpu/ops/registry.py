@@ -131,7 +131,14 @@ def need_tag(v: TupleValue, tag: str, name: str, span) -> TupleValue:
 
 
 def need_length(v: TupleValue, n: int, name: str, span) -> TupleValue:
-    if v.is_opaque or v.length != n:
+    if v.is_opaque:
+        # name the opaque kind, not "length 1" (TupleValue.length is 1
+        # for any payload value — the old message sent users debugging a
+        # tuple-arity problem that doesn't exist; review r5)
+        raise MMTypeError(
+            f"{name!r} expects a length-{n} tuple, got a {v.tag} value",
+            span)
+    if v.length != n:
         raise MMTypeError(f"{name!r} expects a length-{n} tuple, got length {v.length}", span)
     return v
 

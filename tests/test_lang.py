@@ -157,3 +157,43 @@ def test_nested_while_inside_do_while_body():
     j = np.asarray(f.render(img))[..., 0]
     np.testing.assert_allclose(o, 0.625, atol=1e-6)
     np.testing.assert_allclose(j, o, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# review r5: expression-position assignment + user-defined (interned) tags
+# ---------------------------------------------------------------------------
+
+
+def test_assignment_is_an_expression():
+    """The reference grammar is expression-oriented: assignment nests
+    (`x = y = 1`, `q = (p = 2) * 3`) and yields the assigned value
+    (review r5 — previously only recognized at statement level)."""
+    import numpy as np
+
+    import mathmap_tpu as mm
+
+    f = mm.compile("filter f () p = 0; q = p = 0.3; grayColor(q + p) end")
+    assert abs(float(np.asarray(
+        f.render(width=2, height=2, interpret=True))[0, 0, 0]) - 0.6) < 1e-6
+    f = mm.compile("filter f () q = (p = 0.2) * 2; grayColor(q + p) end")
+    assert abs(float(np.asarray(
+        f.render(width=2, height=2, interpret=True))[0, 0, 0]) - 0.6) < 1e-6
+    f = mm.compile(
+        "filter f () v = xy:[0, 0]; q = v[1] = 0.35; grayColor(q) end")
+    assert abs(float(np.asarray(
+        f.render(width=2, height=2, interpret=True))[0, 0, 0]) - 0.35) < 1e-6
+
+
+def test_user_defined_tags_parse_and_dispatch():
+    """ANY identifier before ':' is a tag (the reference registry interns
+    names — review r5: unknown tags were a misleading syntax error).
+    Unknown tags carry no arity constraint and flow through ops."""
+    import numpy as np
+
+    import mathmap_tpu as mm
+
+    f = mm.compile(
+        "filter f () v = foo:[0.1, 0.2] + foo:[0.1, 0.2]; "
+        "grayColor(v[1]) end")
+    assert abs(float(np.asarray(
+        f.render(width=2, height=2, interpret=True))[0, 0, 0]) - 0.4) < 1e-6
