@@ -130,6 +130,15 @@ class DesignerGraph:
         for nid in order:
             node = self.nodes[nid]
             entry = self._filter_def(node.filter_name)
+            declared = {p.name for p in entry.fdef.params}
+            unknown = sorted(set(node.params) - declared)
+            if unknown:
+                # a typo'd param name silently rendered with the default
+                # value (review r5) — name the node and what IS declared
+                raise MMNameError(
+                    f"node {nid!r}: filter {node.filter_name!r} has no "
+                    f"parameter {unknown[0]!r} (declared: "
+                    f"{', '.join(sorted(declared)) or 'none'})")
             call_args = []
             for p in entry.fdef.params:
                 v = node.params.get(p.name)

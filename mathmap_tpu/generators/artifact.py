@@ -354,6 +354,12 @@ class LoadedArtifact:
             ins.append(arr)
         frames = (np.arange(n, dtype=np.float32) if frames is None
                   else np.asarray(frames, np.float32).reshape(-1))
+        if frames.shape[0] != n:
+            # same readable validation as Filter.render_batch (review r5:
+            # a wrong-length frames died inside the exported module with
+            # an opaque XLA shape error after padding)
+            raise ValueError(
+                f"render_batch: {frames.shape[0]} frame values for {n} jobs")
         bucket = next((s for s in sorted(self._exp_batch) if s >= n), None)
         if bucket is None:
             raise ValueError(

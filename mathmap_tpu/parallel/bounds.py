@@ -153,9 +153,23 @@ class BoundWalker:
         self.env: dict[str, list[Aff]] = {}
         params = params or {}
         self.image_params = set()
+        #: names that MAY alias an image param (q = in; q(xy) — review r5:
+        #: the call fell through to the unknown-name path and the sample
+        #: site was silently dropped, an UNSOUND (0,0) auto-halo bound).
+        #: Monotone (a later non-image reassignment never removes): a call
+        #: through a dead alias records a conservative extra sample.
+        self.may_image: set[str] = set()
+        #: names that MAY alias a user filter (calls are unbounded).
+        self.may_filter: set[str] = set()
+        #: curve/gradient params: calls are LUT lookups into [0,1], length
+        #: 1 / 4 — bounded (must stay usable under the strict unknown-call
+        #: rule below).
+        self.lut_params: dict[str, int] = {}
         for p in fdef.params:
             if p.kind == "image":
                 self.image_params.add(p.name)
+            elif p.kind in ("curve", "gradient"):
+                self.lut_params[p.name] = 1 if p.kind == "curve" else 4
             elif p.name in params and isinstance(params[p.name], (int, float)):
                 self.env[p.name] = [Aff.const(Iv(float(params[p.name])))]
             elif p.kind in ("int", "float") and p.lo is not None and p.hi is not None:
@@ -235,6 +249,21 @@ class BoundWalker:
         if isinstance(node, A.Assign):
             v = self.expr(node.expr)
             self.env[node.name] = v
+            # image/filter alias tracking (monotone; also follows alias-of-
+            # alias chains through a Var RHS, mirroring render.uses_sampling)
+            rhs = node.expr
+            if isinstance(rhs, A.Var):
+                if rhs.name in self.image_params or rhs.name in self.may_image:
+                    self.may_image.add(node.name)
+                if rhs.name in self.filters or rhs.name in self.may_filter:
+                    self.may_filter.add(node.name)
+            elif not isinstance(rhs, (A.Num, A.TupleLit, A.BinOp, A.UnOp,
+                                      A.Subscript, A.Cast)):
+                # an If/Seq/Call RHS could select BETWEEN images — numeric-
+                # only node kinds are safe; anything else makes the name a
+                # possible image or filter (calls of it then go unbounded
+                # via may_filter rather than silently bounded)
+                self.may_filter.add(node.name)
             return v
         if isinstance(node, A.If):
             # evaluate branches on isolated envs and union both the branch
@@ -363,9 +392,20 @@ class BoundWalker:
     def call(self, node: A.Call) -> list[Aff]:
         func = node.func
         name = func.name if isinstance(func, A.Var) else None
+        if name is None:
+            # first-class application of a computed callee (e.g. an
+            # applied-closure `f(p)(xy)`): the callee's body may sample
+            # anywhere — walk subtrees for their own sample sites, then
+            # give up (review r5: this silently returned TOP with no
+            # sample recorded — an unsound auto-halo bound)
+            self.expr(func)
+            for a in node.args:
+                self.expr(a)
+            raise _Unbounded
 
-        # image sampling sites
-        if name in self.image_params and name not in self.env:
+        # image sampling sites (incl. local aliases q = in; q(xy))
+        if name in self.may_image or (
+                name in self.image_params and name not in self.env):
             if len(node.args) == 1:
                 self.record_sample(self.expr(node.args[0]))
                 return [Aff.const(Iv(0, 1))] * 4
@@ -393,12 +433,25 @@ class BoundWalker:
             else:
                 raise _Unbounded
             return [Aff.const(Iv(0, 1))] * 4
-        if name in self.filters and name not in self.env:
-            # filter-as-function: its body may sample anywhere — unbounded
-            # (a future refinement could inline-analyze it)
+        if name in self.may_filter or (
+                name in self.filters and name not in self.env):
+            # filter-as-function (or an alias that may hold one): its body
+            # may sample anywhere — unbounded (a future refinement could
+            # inline-analyze it)
             for a in node.args:
                 self.expr(a)
             raise _Unbounded
+        if name in ("gaussian_blur", "gaussian-blur", "gaussianBlur"):
+            # native blur: its FOOTPRINT (conv radius ~3*stddev) is a halo
+            # requirement this walker does not model on image values —
+            # unbounded rather than silently footprint-free (review r5)
+            for a in node.args:
+                self.expr(a)
+            raise _Unbounded
+        if name in self.lut_params:
+            for a in node.args:
+                self.expr(a)
+            return [Aff.const(Iv(0, 1))] * self.lut_params[name]
 
         args = [self.expr(a) for a in node.args]
 
@@ -450,7 +503,15 @@ class BoundWalker:
             return [Aff.const(Iv(0, 1))] * 4
         if name == "rgbaColor":
             return [Aff.const(Iv(0, 1))] * 4
-        # unknown builtin: evaluate args (they may contain samples), top value
+        # registered builtins never sample images (the sampling ones are
+        # handled above): args were evaluated, top value is sound. A call
+        # of an UNCLASSIFIED name (a local variable holding who-knows-what
+        # being applied) is not — it may be an image/closure obtained some
+        # way the alias tracking missed; go unbounded (review r5)
+        from ..ops.registry import is_builtin
+
+        if not is_builtin(name):
+            raise _Unbounded
         return [Aff.const(TOP)]
 
     def record_sample(self, arg: list[Aff] | None):

@@ -53,6 +53,24 @@ def test_from_pipeline_rejects_generative_mid_chain():
     assert len(g.nodes) == 2
 
 
+def test_composer_rejects_unknown_param_names():
+    """A typo'd param name on a node was SILENTLY ignored by codegen (only
+    declared params are consulted), so the filter rendered with the default
+    value — review r5: it must raise, naming the declared params."""
+    import pytest as _pytest
+
+    from mathmap_tpu.designer.graph import from_pipeline
+    from mathmap_tpu.expression_db import default_db
+    from mathmap_tpu.utils.errors import MMNameError
+
+    db = default_db()
+    g = from_pipeline("twirl anlge=4.5", db)  # typo: anlge
+    with _pytest.raises(MMNameError, match="no parameter 'anlge'"):
+        g.to_source()
+    # the correctly-spelled param still compiles
+    assert "twirl" in from_pipeline("twirl angle=4.5", db).to_source()
+
+
 def test_load_mmc_counter_and_output_validation():
     from mathmap_tpu.designer.graph import from_mmc
     from mathmap_tpu.expression_db import default_db
@@ -271,6 +289,10 @@ def test_artifact_render_batch_parity(tmp_path):
     with pytest.raises(ValueError, match="exceeds the largest"):
         art.render_batch(np.zeros((5, 32, 48, 4), np.float32),
                          params=plist[0], ts=np.zeros(5))
+    # wrong-length frames raises readably (review r5: it used to die
+    # inside the exported module with an opaque XLA shape error)
+    with pytest.raises(ValueError, match="frame values for 3 jobs"):
+        art.render_batch(stack, params=plist, ts=ts, frames=[0.0, 1.0])
     # an artifact without batch programs refuses render_batch
     export_artifact(f, str(tmp_path / "nb.mmxa"), 48, 32,
                     params={"angle": 3.0, "tint": [1, 1, 1, 1]})

@@ -254,6 +254,45 @@ def test_bounds_soundness_review_cases():
     assert b is not None and b[0] >= 8.0, b
 
 
+def test_bounds_soundness_alias_and_unknown_calls():
+    """Review r5: image-ALIAS calls (q = in; q(...)) were invisible to the
+    walker — an unsound (0, 0) auto-halo bound; computed callees, calls of
+    unclassified names and gaussian_blur's unmodeled footprint silently
+    returned TOP with no sample recorded. Aliases now record the sample
+    site; the rest go unbounded (None — auto refuses with guidance)."""
+    from mathmap_tpu.parallel.bounds import infer_displacement_bound
+
+    def bound(src, w=40, h=128):
+        f = mm.compile(src)
+        return infer_displacement_bound(f.filters, f.fdef, w, h, None)
+
+    # direct alias and alias-of-alias record the sampling displacement
+    b = bound("filter f (image in) q = in; q(xy + xy:[10, 0]) end")
+    assert b is not None and b[1] >= 10.0, b
+    b = bound("filter f (image in) q = in; p = q; p(xy + xy:[0, 3]) end")
+    assert b is not None and b[0] >= 3.0, b
+    # calling an unclassified local (may hold an image/closure) -> None
+    assert bound("filter f (image in) q = 5; q(xy) end") is None
+    # native blur footprint is not modeled -> None, not footprint-free
+    assert bound("filter f (image in) gaussianBlur(in, 2) end") is None
+    # curve/gradient params stay bounded under the strict unknown-call rule
+    b = bound("filter f (image in, curve cv, gradient g) "
+              "0.5 * g(clamp(x / X, 0, 1)) + 0.5 * "
+              "grayColor(cv(clamp(y / Y, 0, 1))) * in(xy) end")
+    assert b == (0.0, 0.0), b
+
+
+def test_auto_halo_through_image_alias_end_to_end():
+    """The aliased-sampling program renders exactly under halo='auto'
+    (pre-r5 the bound was (0,0): check=True raised, check=False silently
+    clamped at tile seams)."""
+    img = _image(17)
+    f = mm.compile("filter f (image in) q = in; q(xy + xy:[0, 2]) end")
+    got = f.render_tiled(img, halo="auto", mesh=make_mesh(1, 8, 1))
+    want = f.render(img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 class _DispGen:
     """Random bounded displacement expressions: the inferred bound must
     DOMINATE the empirical per-pixel displacement (soundness fuzz for

@@ -289,8 +289,12 @@ def test_mmc_to_mmc_reference_order_independent(tmp_path, monkeypatch):
     dependent; earlier-alphabet names referencing later ones failed)."""
     userdir = tmp_path / "exprs"
     userdir.mkdir()
+    # a composed (.mmc) filter's image param is its generated name "in0"
+    # (an unknown param name is an ERROR since review r5 — it used to be
+    # silently dropped, working here only because the missing-image
+    # fallback happens to also be input 0)
     (userdir / "a_outer.mmc").write_text(
-        '(composer (node "n1" "z_inner" (param "in" (input 0))) '
+        '(composer (node "n1" "z_inner" (param "in0" (input 0))) '
         '(output "n1"))\n')
     (userdir / "z_inner.mmc").write_text(
         '(composer (node "n1" "grayscale" (param "in" (input 0))) '
