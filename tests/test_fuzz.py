@@ -467,6 +467,81 @@ def test_random_curve_gradient_lut_parity(seed):
                                err_msg=f"lut={lut.shape} grad={grad.shape}")
 
 
+class ExoticGen:
+    """Random programs over the round-5-fixed exotic semantics classes:
+    do-while loops (carry pre-pass repacking), branch-only shadowing of
+    internals at a WIDER length, internal reads before in-loop shadowing,
+    dynamic-index sub-assignment (floor/clamp l-value rule), assignment-
+    as-expression nesting, and user tags. Each class had a silent
+    both-backend or oracle/jit divergence bug found by targeted review —
+    this fuzzes their compositions."""
+
+    def __init__(self, seed):
+        self.rng = np.random.RandomState(seed)
+
+    def scalar(self):
+        return self.rng.choice([
+            "x / 9", "y / 9", "t", "0.7", "-0.3", "a * 0.2",
+            "gray(origVal(xy))"])
+
+    def idx(self):
+        # dynamic indices: fractional (floors), negative / past-end (clamps)
+        return self.rng.choice([
+            "1.7", "-0.5", "4.2", "0.0", "abs(x) / 5", "2 + t",
+            "(if x > 0 then 1 else 2 end)"])
+
+    def program(self):
+        r = self.rng.rand()
+        sc = self.scalar()
+        if r < 0.18:
+            n = int(self.rng.randint(2, 6))
+            body = f"s = s + {sc}; i = i + 1"
+            return (f"i = 0; s = 0; do {body} while i < {n} end; "
+                    f"grayColor(clamp(s / {n}, 0, 1))")
+        if r < 0.34:
+            # do-while whose body momentarily narrows a carried var
+            n = int(self.rng.randint(2, 5))
+            return (f"i = 0; v = [0.1, 0.2]; do v = v[0]; "
+                    f"v = [v + {sc} * 0.1, v * 0.5]; i = i + 1 "
+                    f"while i < {n} end; "
+                    f"grayColor(clamp(abs(v[0]) + abs(v[1]), 0, 1))")
+        if r < 0.5:
+            iv = self.rng.choice(["y", "t", "a"])
+            # the trailing term must not reference the (possibly widened)
+            # internal at scalar length — that is an ill-typed program
+            return (f"if {sc} > 0 then {iv} = xy end; "
+                    f"grayColor(clamp(abs({iv}[0]) / 9 + x * 0.01, 0, 1))")
+        if r < 0.64:
+            n = int(self.rng.randint(2, 5))
+            iv = self.rng.choice(["y", "t"])
+            return (f"i = 0; s = 0; while i < {n} do s = s + {iv}[0]; "
+                    f"{iv} = xy * 0.8; i = i + 1 end; "
+                    f"grayColor(clamp(abs(s) / 20, 0, 1))")
+        if r < 0.8:
+            return (f"v = [0.2, 0.4, 0.6]; v[{self.idx()}] = {sc}; "
+                    f"v[{self.idx()}] = {self.scalar()}; "
+                    f"grayColor(clamp((v[0] + v[1] + v[2]) / 3, 0, 1))")
+        if r < 0.9:
+            return (f"q = (p = {sc}) * 3 + (z = {self.scalar()}); "
+                    f"grayColor(clamp(abs(q) / 4 + p * 0.1 + abs(z) * 0.1, "
+                    f"0, 1))")
+        return (f"w = tagx:[{sc}, 0.2]; w[{self.idx()}] = {self.scalar()}; "
+                f"grayColor(clamp(abs(w[0]) + abs(w[1]), 0, 1))")
+
+
+@pytest.mark.parametrize("seed", range(600, 630))
+def test_random_exotic_semantics_parity(seed):
+    src = ExoticGen(seed).program()
+    img = np.random.RandomState(seed).rand(H, W, 4).astype(np.float32)
+    img[..., 3] = 1.0
+    f = mm.compile(src)
+    oracle = f.render(img, interpret=True)
+    jax_out = f.render(img)
+    assert np.isfinite(oracle).all(), src
+    np.testing.assert_allclose(jax_out, oracle, rtol=1e-3, atol=1e-4,
+                               err_msg=src)
+
+
 def test_mutated_sources_raise_mmerror_only():
     """Error-surface fuzz: random token soup and span-mutated library
     sources must either compile or raise a structured MMError — never a
