@@ -569,26 +569,49 @@ def main(argv=None) -> int:
     inputs = [read_input(p) for p in input_paths]
     width = height = None
     if args.size:
-        width, height = (int(v) for v in args.size.lower().split("x"))
+        # one-line errors for malformed sizes, same treatment as --region
+        # (review r5: '--size 512' raised a raw unpacking traceback)
+        try:
+            dims = [int(v) for v in args.size.lower().split("x")]
+            if len(dims) == 1:
+                dims = dims * 2  # square shorthand, like --selftest
+            width, height = dims
+            if width < 1 or height < 1:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"--size wants WxH (or one N for NxN); got {args.size!r}")
 
-    opts = RenderOptions(
-        interpolation=args.interpolation,
-        edge_x=args.edge_x,
-        edge_y=args.edge_y,
-        edge_color=tuple(float(c) for c in args.edge_color.split(",")),
-        supersample=args.supersample,
-        supersample_scheme=args.supersample_scheme,
-        output_dtype=args.output_dtype,
-        periodic=not args.non_periodic,
-        seed=args.seed,
-        sampler=args.sampler,
-        pallas_precision=args.precision,
-        pallas_per_tile=args.pallas_per_tile,
-        pallas_while=args.pallas_while,
-        static_params=tuple(n.strip() for n in args.static_params.split(",")
-                            if n.strip()),
-        region=region,
-    )
+    try:
+        edge_color = tuple(float(c) for c in args.edge_color.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"--edge-color wants comma-separated floats (R,G,B[,A]); "
+            f"got {args.edge_color!r}")
+    try:
+        opts = RenderOptions(
+            interpolation=args.interpolation,
+            edge_x=args.edge_x,
+            edge_y=args.edge_y,
+            edge_color=edge_color,
+            supersample=args.supersample,
+            supersample_scheme=args.supersample_scheme,
+            output_dtype=args.output_dtype,
+            periodic=not args.non_periodic,
+            seed=args.seed,
+            sampler=args.sampler,
+            pallas_precision=args.precision,
+            pallas_per_tile=args.pallas_per_tile,
+            pallas_while=args.pallas_while,
+            static_params=tuple(n.strip()
+                                for n in args.static_params.split(",")
+                                if n.strip()),
+            region=region,
+        )
+    except ValueError as exc:
+        # RenderOptions validates everything else (edge_color arity,
+        # supersample range, ...) — print its message, not a traceback
+        raise SystemExit(str(exc))
     params = _parse_params(args.param)
 
     if region is not None:

@@ -479,6 +479,22 @@ def test_region_errors(tmp_path):
         assert "Traceback" not in p.stderr, bad
 
 
+def test_size_and_edge_color_errors_are_one_line(tmp_path):
+    """Malformed --size / --edge-color print one-line errors, not raw
+    tracebacks (review r5 — same treatment the r4 advisor asked for
+    --region); '--size N' is the NxN square shorthand."""
+    out = tmp_path / "o.png"
+    expr = "filter g () rgbaColor(x,y,0,1) end"
+    p = run_cli(expr, str(out), "--size", "24", "--interpret")
+    assert p.returncode == 0, p.stderr[-500:]
+    assert mm.read_image(str(out)).shape == (24, 24, 4)
+    for argv in (("--size", "abc"), ("--size", "8x"), ("--size", "0x8"),
+                 ("--edge-color", "1,z"), ("--edge-color", "1,2")):
+        p = run_cli(expr, str(out), *argv)
+        assert p.returncode != 0, argv
+        assert "Traceback" not in p.stderr, (argv, p.stderr[-500:])
+
+
 def test_tiled_region_interpret_keeps_inplace_contract(input_png, tmp_path):
     """--tiled --region through --interpret must keep the full-canvas
     in-place output (review r5: it silently degraded to the WxH crop)."""
